@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2
+(plus the large-scale training-data extensions); ``oracle_sql()`` pairs each
+with DuckDB-ANSI SQL over the same parquet tables. Implementations live in
+``pdcm_etl_spark/`` — this module only assembles the registry.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pdcm_etl_spark.plans.catalog import q_pricing_summary
+
+    return q_pricing_summary(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pdcm_etl_spark.plans.catalog import RELATIONAL_CATALOG
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    regs: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (fn, _sql) in RELATIONAL_CATALOG.items():
+        regs[name] = fn
+    try:
+        from pdcm_etl_spark.plans.extensions import EXTENSION_CATALOG
+
+        for name, (fn, _sql) in EXTENSION_CATALOG.items():
+            regs[name] = fn
+    except ImportError:
+        pass
+    return regs
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdcm_etl_spark.plans.catalog import RELATIONAL_CATALOG
+
+    out = {n: sql for n, (fn, sql) in RELATIONAL_CATALOG.items() if sql}
+    try:
+        from pdcm_etl_spark.plans.extensions import EXTENSION_CATALOG
+
+        out.update({n: sql for n, (fn, sql) in EXTENSION_CATALOG.items() if sql})
+    except ImportError:
+        pass
+    return out

@@ -1,0 +1,83 @@
+"""Graph closure operators.
+
+The reference holds the NCIt ontology DAG in driver-side networkx
+(etl/jobs/util/graph_builder.py:33-124) and computes the recursive
+model-relationship tree in Postgres (scripts/updates.sql:6-34 via
+pdcm_api.get_parents_tree). Both are transitive-closure problems; at
+100 TB neither a driver graph nor a recursive-SQL UPDATE survives, so the
+engine's primitive is an **iterative DataFrame self-join to fixpoint**:
+each round doubles nothing — it extends every frontier path by one edge,
+checkpointed via persist so lineage stays flat.
+
+Depth is bounded by the longest path (ontology DAGs: ~20; the synthetic
+test hierarchy: ~4), so the loop is cheap; every round is one shuffle on
+the join key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def ancestor_closure(
+    edges: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    max_iterations: int = 50,
+    stop_at: int = 0,
+) -> DataFrame:
+    """Transitive ancestors of every node.
+
+    ``edges``: one row per (node, parent). Returns (node, ancestor, depth)
+    with depth = 1 for the direct parent, walking up until the parent of the
+    current ancestor is ``stop_at`` (exclusive — ``stop_at`` itself appears
+    as an ancestor, its parents are not expanded) or the frontier empties.
+
+    Semantics match a WITH RECURSIVE over ``parent_map`` (see the DuckDB
+    oracle in plans/catalog.py).
+    """
+    parent_map = edges.select(
+        F.col(node_col).alias("pm_node"), F.col(parent_col).alias("pm_parent")
+    )
+
+    frontier = edges.select(
+        F.col(node_col).alias("node"),
+        F.col(parent_col).alias("ancestor"),
+        F.lit(1).cast("int").alias("depth"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    out = [frontier]
+    for _ in range(max_iterations):
+        # extend paths whose current ancestor still has a parent
+        nxt = (
+            frontier.filter(F.col("ancestor") > stop_at)
+            .join(parent_map, F.col("ancestor") == F.col("pm_node"), "inner")
+            .select(
+                "node",
+                F.col("pm_parent").alias("ancestor"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        out.append(nxt)
+        frontier = nxt
+
+    result = out[0]
+    for df in out[1:]:
+        result = result.unionByName(df)
+    return result
+
+
+def descendants_of(closure: DataFrame, ancestor_ids: list) -> DataFrame:
+    """All nodes under any of ``ancestor_ids`` (ref graph_builder.py:47-64
+    networkx.descendants) — a semi-join over the closure table."""
+    return (
+        closure.filter(F.col("ancestor").isin(ancestor_ids))
+        .select("node")
+        .distinct()
+    )

@@ -1,0 +1,80 @@
+"""SparkSession factory tuned for the engine.
+
+Local test profile: ``local[N]`` single-JVM. The configs below are chosen so
+the same code scales to a multi-executor cluster: AQE enabled (runtime
+coalescing + skew-join splitting), shuffle partitions sized to cores locally
+(a cluster deployment overrides via ``spark_conf``), Arrow enabled for the
+pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "pdcm_etl_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Defaults matter at scale:
+    - AQE on: runtime partition coalescing, skew-join handling, and
+      dynamic join-strategy switching replace hand-tuned shuffle counts.
+    - ``spark.sql.session.timeZone=UTC``: deterministic timestamp semantics
+      (the correctness oracle compares values).
+    - Arrow on: pandas UDF / applyInPandas paths move batches, not rows.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Load the test-lake parquet tables and register temp views.
+
+    Returns a dict name -> DataFrame. Mirrors the reference's pattern of
+    reading every input as parquet (spark_transformation_job.py:6-18) but in
+    one app, keeping lineage in memory instead of Luigi's ~60 write/read
+    barriers.
+    """
+    names = names or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for n in names:
+        path = os.path.join(sf_dir, f"{n}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(n)
+            out[n] = df
+    return out
