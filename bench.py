@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline operator queries end-to-end and
+prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with the noop sink (full computation, no driver
+collect — measures the engine, not result transfer). Default data dir
+$SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1; cores $SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "filter_project",
+    "join_left_fk",
+    "join_multi_key",
+    "join_full_outer",
+    "correlated_count",
+    "harmonisation_cascade",
+    "sorted_list_per_group",
+    "window_latest",
+    "collect_set_markers",
+    "explode_group_count",
+    "events_daily",
+    "recursive_closure",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality",
+    "text_langid",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    from pdcm_etl_spark.session import get_spark
+
+    spark = get_spark("pdcm-etl-spark-bench")
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        # warm the input file listing cache out of band, measure the query
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_operator_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

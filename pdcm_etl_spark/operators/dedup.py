@@ -1,0 +1,230 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design:
+- exact dedup is a hash groupBy (one shuffle on the digest — never on the
+  full text);
+- candidate generation for near-dup is always *bucketed* (shared shingle,
+  LSH band, simhash band, or blocking key) so the pair space is bounded by
+  bucket size, never O(n²) global;
+- verification (exact Jaccard / hamming / cosine) runs only on candidates.
+
+Determinism: md5/xxhash64 digests, floor-basis-point ratios — every output
+is reproducible across runs and engines (see plans/catalog.py rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group identical (normalized) texts: digest → (keep id, group size).
+
+    Shuffles 16-byte digests + ids only; the text never moves."""
+    digest = F.md5(F.lower(F.trim(F.col(text_col))))
+    return (
+        df.select(digest.alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    ws = F.split(F.lower(F.col(text_col)), " ")
+    grams = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        ),
+    ).otherwise(F.array())
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, min_bp: int = 2000, max_shingle_freq: int | None = 1000
+) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over shingle sets.
+
+    Candidates = pairs sharing ≥1 shingle (bucket join on the shingle).
+    ``max_shingle_freq`` drops ultra-common shingles before pairing — the
+    classic stop-shingle guard that keeps bucket sizes bounded at scale
+    (a shingle occurring in k docs contributes k² pair candidates).
+    Returns (id_a, id_b, inter, jaccard_bp) with id_a < id_b and
+    jaccard_bp = floor(10000 * |A∩B| / |A∪B|) ≥ min_bp.
+    """
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+        sh = (
+            sh.join(freq.filter(F.col("freq") <= max_shingle_freq), "shingle")
+            .drop("freq")
+        )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac_bp = F.floor(
+        F.col("inter") * F.lit(10000.0) / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    ).cast("bigint")
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn("jaccard_bp", jac_bp)
+        .filter(F.col("jaccard_bp") >= min_bp)
+        .select("id_a", "id_b", "inter", "jaccard_bp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame, num_perm: int = 32) -> DataFrame:
+    """MinHash signature per id from its shingle set.
+
+    Permutation i is xxhash64(i, shingle) — deterministic, seedable, and
+    computed map-side; the only shuffle is the (id, perm) min-aggregation,
+    done as one groupBy on id over an exploded perm index.
+    Returns (id, sig: array<bigint> ordered by perm)."""
+    perms = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    hashed = (
+        sh.select("id", "shingle", F.explode(perms).alias("perm"))
+        .withColumn("h", F.xxhash64(F.col("perm"), F.col("shingle")))
+    )
+    return (
+        hashed.groupBy("id", "perm")
+        .agg(F.min("h").alias("mh"))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("perm", "mh"))).alias("pairs"))
+        .select("id", F.transform(F.col("pairs"), lambda p: p["mh"]).alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands, bucket by
+    (band index, band hash), emit co-bucketed pairs. Bucket sizes bound the
+    pair blow-up; the band hash is 8 bytes so the shuffle is tiny."""
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    rows_per_band = (F.size(F.col("sig")) / F.lit(bands)).cast("int")
+    band_hash = F.xxhash64(
+        F.col("band"),
+        F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band).cast(
+            "string"
+        ),
+    )
+    banded = (
+        sigs.select("id", "sig", band_idx)
+        .withColumn("bh", band_hash)
+        .select("id", "band", "bh")
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "bh")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    min_bp: int = 2000,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → signature → banded
+    candidates → exact-Jaccard verification of candidates only."""
+    sh = shingles(df, id_col, text_col, n).persist()
+    sigs = minhash_signatures(sh, num_perm)
+    cands = lsh_candidate_pairs(sigs, bands)
+    verified = jaccard_pairs(sh, min_bp=min_bp, max_shingle_freq=None)
+    return cands.join(verified, ["id_a", "id_b"], "inner")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document, computed as pure column expressions:
+    per distinct token, xxhash64; per bit, sum(±1) over tokens; sign → bit.
+
+    The per-bit expansion is a 64-way explode — bounded and shuffle-free
+    until the final (id, bit) aggregation. Returns (id, simhash)."""
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+        ).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    bits = toks.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.col("h"),
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
+    )
+    return (
+        bits.groupBy("id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn("bitval", F.when(F.col("v") > 0, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy("id")
+        .agg(F.sum(F.expr("cast(bitval as bigint) << bit")).alias("simhash"))
+    )
+
+
+def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of ``bands`` 16-bit
+    bands (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands equal), then
+    exact hamming via bit_count(xor) ≤ max_hamming."""
+    width = 64 // bands
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = sims.select("id", "simhash", band_idx).withColumn(
+        "bh", F.expr(f"(simhash >> (band * {width})) & {(1 << width) - 1}")
+    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bh")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

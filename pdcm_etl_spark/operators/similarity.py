@@ -1,0 +1,231 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- ``cosine_topk``     — exact brute force: the correctness baseline.
+- ``lsh_topk``        — random-hyperplane LSH buckets: the scale path
+                        (candidates only from matching buckets).
+- ``ivf_topk``        — IVF-style coarse quantization against a centroid
+                        table: probe the closest n_probe cells only.
+
+All math is higher-order functions over double-cast arrays (zip_with +
+aggregate): JVM-evaluated, sequential summation order → deterministic and
+engine-comparable.
+
+Scale: brute force is O(Q×N) — fine when Q (queries) is small or N fits a
+broadcast; LSH/IVF cut N to bucket size. At 100 TB the index side stays
+partitioned by bucket/cell id so each query only shuffles to its buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dvec(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    Pre-normalizes both sides (norm computed once per vector, map-side)
+    then broadcasts the query set: the big index side never shuffles.
+    Scores are floor(cos × 1e6) with id tiebreak for total determinism.
+    Returns (query_id, neighbor_id, score_ppm, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    ix = index.select(
+        F.col(id_col).alias("neighbor_id"), _dvec(vec_col).alias("iv")
+    ).withColumn("inorm", norm(F.col("iv")))
+    scored = (
+        ix.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score_ppm",
+            F.floor(
+                dot(F.col("qv"), F.col("iv"))
+                / (F.col("qn") * F.col("inorm"))
+                * F.lit(1000000.0)
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score_ppm", "rank")
+    )
+
+
+def hyperplane_signature(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
+    """Random-hyperplane LSH signature as an n_planes-bit int.
+
+    Plane p's component d is a deterministic pseudo-random ±1 derived from
+    xxhash64(p, d) — reproducible across runs/engines, no stored plane
+    matrix. sign(v · plane_p) gives bit p."""
+    def plane_dot(p):
+        # ±1 per dimension from the hash parity
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, d: F.when(
+                    F.xxhash64(F.lit(p), d).bitwiseAND(F.lit(1)) == 1, x
+                ).otherwise(-x),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sig = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        sig = sig + F.when(plane_dot(p) > 0, F.lit(1 << p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return sig
+
+
+def lsh_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share the hyperplane-LSH bucket, exact
+    cosine re-rank within. Recall < 1 by design; the bucket join replaces
+    the cross join — this is what scales."""
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv"))
+        .withColumn("bucket", hyperplane_signature(F.col("qv"), n_planes, dim))
+        .withColumn("qn", norm(F.col("qv")))
+    )
+    ix = (
+        index.select(F.col(id_col).alias("neighbor_id"), _dvec(vec_col).alias("iv"))
+        .withColumn("bucket", hyperplane_signature(F.col("iv"), n_planes, dim))
+        .withColumn("inorm", norm(F.col("iv")))
+    )
+    scored = (
+        ix.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score_ppm",
+            F.floor(
+                dot(F.col("qv"), F.col("iv"))
+                / (F.col("qn") * F.col("inorm"))
+                * F.lit(1000000.0)
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score_ppm", "rank")
+    )
+
+
+def ivf_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style search with a precomputed coarse partition (here the
+    ``label`` column plays the centroid-assignment role): each query probes
+    only its own cell. At scale the index is written partitioned by cell,
+    so a probe is a partition-pruned scan."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _dvec(vec_col).alias("qv"),
+        F.col(label_col).alias("cell"),
+    ).withColumn("qn", norm(F.col("qv")))
+    ix = index.select(
+        F.col(id_col).alias("neighbor_id"),
+        _dvec(vec_col).alias("iv"),
+        F.col(label_col).alias("cell"),
+    ).withColumn("inorm", norm(F.col("iv")))
+    scored = (
+        ix.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score_ppm",
+            F.floor(
+                dot(F.col("qv"), F.col("iv"))
+                / (F.col("qn") * F.col("inorm"))
+                * F.lit(1000000.0)
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cell", "neighbor_id", "score_ppm", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    min_ppm: int = 950000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks: (id_a, id_b,
+    score_ppm) with id_a < id_b and cosine ≥ min_ppm/1e6. The block join
+    bounds the pair space (blocking key = coarse cluster / LSH bucket)."""
+    v = vectors.select(
+        F.col(id_col).alias("id"), _dvec(vec_col).alias("v"), F.col(block_col).alias("blk")
+    ).withColumn("nrm", norm(F.col("v")))
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "blk")
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "score_ppm",
+            F.floor(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) * F.lit(1000000.0)
+            ).cast("bigint"),
+        )
+        .filter(F.col("score_ppm") >= min_ppm)
+        .select("id_a", "id_b", "score_ppm")
+    )

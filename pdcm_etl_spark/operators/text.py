@@ -1,0 +1,117 @@
+"""Text-analysis operators for a training-data pipeline.
+
+All pure column expressions / higher-order functions — JVM-side,
+whole-stage-codegen'd, no Python in the hot path. Each operator keeps the
+determinism rules from plans/catalog.py (floor-basis-points instead of
+round; md5 for fingerprints) so it can be oracle-checked cross-engine.
+
+Scale: every operator here is embarrassingly parallel (per-row), so the
+plan is a single mapPartitions-free Project over the scan — no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "los", "y", "una", "es"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.lower(text), " ")
+
+
+def marker_count(ws: Column, markers: tuple[str, ...]) -> Column:
+    """# tokens that are in the marker set (higher-order filter, no UDF)."""
+    lits = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(ws, lambda w: F.array_contains(lits, w)))
+
+
+def floor_bp(num: Column, den: Column) -> Column:
+    """Deterministic ratio in basis points: floor(num * 10000 / den)."""
+    return F.floor(num * F.lit(10000.0) / den).cast("bigint")
+
+
+def add_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens, regex word tokens, and a BPE-ish
+    subword estimate (ceil(len(word)/4) summed — the standard ~4-chars-per-
+    token heuristic)."""
+    ws = words(F.col(text_col))
+    return (
+        df.withColumn("n_ws_tokens", F.size(ws).cast("bigint"))
+        .withColumn(
+            "n_re_tokens",
+            F.expr(f"size(regexp_extract_all({text_col}, '[a-z0-9]+', 0))").cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "n_bpe_est",
+            F.aggregate(
+                F.transform(ws, lambda w: F.ceil(F.length(w) / F.lit(4.0)).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+
+
+def add_quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, word count, stopword ratio, mean word
+    length — the length/punct/stopword-ratio family. Ratios in floor-bp."""
+    ws = words(F.col(text_col))
+    n_words = F.size(ws)
+    n_stop = marker_count(ws, STOPWORDS)
+    total_chars = F.aggregate(
+        F.transform(ws, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.withColumn("n_chars_calc", F.length(text_col).cast("bigint"))
+        .withColumn("n_words", n_words.cast("bigint"))
+        .withColumn("n_stopwords", n_stop.cast("bigint"))
+        .withColumn("stopword_bp", floor_bp(n_stop, n_words))
+        .withColumn("mean_word_len_bp", floor_bp(total_chars, n_words))
+    )
+
+
+def add_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language ID by stopword-marker voting with a deterministic
+    tie-break order (en > de > fr > es > unknown)."""
+    ws = words(F.col(text_col))
+    scores = {k: marker_count(ws, v) for k, v in LANG_MARKERS.items()}
+    out = df
+    for k, c in scores.items():
+        out = out.withColumn(f"s_{k}", c.cast("bigint"))
+    s = {k: F.col(f"s_{k}") for k in scores}
+    pred = (
+        F.when(
+            (s["en"] > 0)
+            & (s["en"] >= s["de"])
+            & (s["en"] >= s["fr"])
+            & (s["en"] >= s["es"]),
+            "en",
+        )
+        .when((s["de"] > 0) & (s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when((s["fr"] > 0) & (s["fr"] >= s["es"]), "fr")
+        .when(s["es"] > 0, "es")
+        .otherwise("unknown")
+    )
+    return out.withColumn("pred_lang", pred)
+
+
+def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set (the
+    canonical 'fingerprint clustering' key — order/duplication-insensitive)."""
+    canon = F.array_join(F.array_sort(F.array_distinct(words(F.col(text_col)))), " ")
+    return df.withColumn("fingerprint", F.md5(canon))

@@ -1,0 +1,288 @@
+"""Extension query catalog: training-data-pipeline operators over the
+documents / embeddings / events tables, wired into the driver contract.
+
+Same (fn, oracle_sql_or_None) shape as plans/catalog.py. Entries whose
+semantics are not SQL-expressible (LSH banding, SimHash, streaming,
+mapInPandas decode) carry ``None`` → the driver records a rows-only check;
+each of those still has a deterministic output so reruns are stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdcm_etl_spark.operators import dedup, multimodal, similarity, text
+from pdcm_etl_spark.plans.catalog import _t
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dup_groups(docs)
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(lower(trim(text))) AS text_hash,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, n=3)
+    return dedup.jaccard_pairs(sh, min_bp=2000, max_shingle_freq=None)
+
+
+SQL_DEDUP_NGRAM_JACCARD = """
+WITH ws AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+  FROM (
+    SELECT doc_id, w, unnest(range(greatest(len(w) - 2, 0))) AS i FROM ws
+  )
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter,
+       CAST(FLOOR(inter * 10000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) AS jaccard_bp
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE FLOOR(inter * 10000.0 / (sa.sz + sb.sz - inter)) >= 2000
+"""
+
+
+def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup(docs, min_bp=2000)
+
+
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sims = dedup.simhash(docs)
+    return dedup.simhash_near_pairs(sims, max_hamming=3)
+
+
+def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, min_ppm=900000)
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label AS blk,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(FLOOR(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS score_ppm
+FROM v a JOIN v b ON a.blk = b.blk AND a.id < b.id
+WHERE FLOOR(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1000000.0) >= 900000
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def x_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, queries, k=10)
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), q AS (SELECT * FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id,
+         CAST(FLOOR(list_dot_product(q.v, i.v) / (q.nrm * i.nrm) * 1000000.0) AS BIGINT) AS score_ppm
+  FROM v i CROSS JOIN q WHERE i.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, score_ppm, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries, k=10)
+
+
+SQL_ANN_IVF_TOPK = """
+WITH v AS (
+  SELECT vec_id, label AS cell, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), q AS (SELECT * FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, q.cell AS cell, i.vec_id AS neighbor_id,
+         CAST(FLOOR(list_dot_product(q.v, i.v) / (q.nrm * i.nrm) * 1000000.0) AS BIGINT) AS score_ppm
+  FROM v i JOIN q ON i.cell = q.cell WHERE i.vec_id <> q.vec_id
+)
+SELECT query_id, cell, neighbor_id, score_ppm, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(emb, queries, k=10, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def x_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.add_token_counts(docs).drop("text")
+
+
+SQL_TEXT_TOKENS = """
+SELECT doc_id,
+       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re_tokens,
+       CAST(list_sum(list_transform(string_split(lower(text), ' '),
+                                    w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_est
+FROM documents
+"""
+
+
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.add_quality_scores(docs).drop("text")
+
+
+SQL_TEXT_QUALITY = """
+WITH base AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(len(w) AS BIGINT) AS n_words,
+       CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS n_stopwords,
+       CAST(FLOOR(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) * 10000.0 / len(w)) AS BIGINT) AS stopword_bp,
+       CAST(FLOOR(list_sum(list_transform(w, x -> CAST(len(x) AS BIGINT))) * 10000.0 / len(w)) AS BIGINT) AS mean_word_len_bp
+FROM base
+"""
+
+
+def x_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.add_lang_id(docs).drop("text")
+
+
+SQL_TEXT_LANGID = """
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), scored AS (
+  SELECT doc_id,
+    CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS s_en,
+    CAST(len(list_filter(w, x -> x IN ('der','die','und','das','ist'))) AS BIGINT) AS s_de,
+    CAST(len(list_filter(w, x -> x IN ('le','la','et','les','est'))) AS BIGINT) AS s_fr,
+    CAST(len(list_filter(w, x -> x IN ('el','los','y','una','es'))) AS BIGINT) AS s_es
+  FROM base
+)
+SELECT doc_id, s_en, s_de, s_fr, s_es,
+       CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+            WHEN s_es > 0 THEN 'es'
+            ELSE 'unknown' END AS pred_lang
+FROM scored
+"""
+
+
+def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.add_fingerprint(docs).drop("text")
+
+
+SQL_TEXT_FINGERPRINT = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def x_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.payload_metadata(docs)
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       sha256(text) AS payload_sha256
+FROM documents
+"""
+
+
+def x_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_features(docs)
+
+
+# ---------------------------------------------------------------------------
+# streaming
+# ---------------------------------------------------------------------------
+
+
+def x_stream_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdcm_etl_spark.streaming.events_stream import run_availablenow
+
+    return run_availablenow(spark, sf_dir)
+
+
+SQL_STREAM_EVENTS_DAILY = """
+SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+EXTENSION_CATALOG: dict[str, tuple] = {
+    "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (x_dedup_minhash_lsh, None),
+    "dedup_simhash": (x_dedup_simhash, None),
+    "dedup_embedding": (x_dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "ann_cosine_topk": (x_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_ivf_topk": (x_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "ann_lsh_topk": (x_ann_lsh_topk, None),
+    "text_tokens": (x_text_tokens, SQL_TEXT_TOKENS),
+    "text_quality": (x_text_quality, SQL_TEXT_QUALITY),
+    "text_langid": (x_text_langid, SQL_TEXT_LANGID),
+    "text_fingerprint": (x_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "multimodal_meta": (x_multimodal_meta, SQL_MULTIMODAL_META),
+    "multimodal_decode": (x_multimodal_decode, None),
+    "stream_events_daily": (x_stream_events_daily, SQL_STREAM_EVENTS_DAILY),
+}

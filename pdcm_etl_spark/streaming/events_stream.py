@@ -1,0 +1,79 @@
+"""Streaming ingest of the events table.
+
+Structured Streaming over the same parquet lake: readStream → watermark →
+windowed aggregation → memory/parquet sink. ``run_availablenow`` drains
+everything currently in the source (Trigger.AvailableNow) so the result is
+deterministically comparable to the batch twin
+(plans/catalog.py::q_events_daily) — that equivalence is the correctness
+oracle for the streaming path.
+
+Scale: in production the source is a file/Kafka stream; the watermark
+bounds state, the 1-day tumbling window keys the state store, and
+``spark.sql.shuffle.partitions`` sizes the state shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (see catalog.load_events)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def daily_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream → event-time watermark → tumbling 1-day window per
+    event_type. Same aggregates as the batch twin."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the lake stores one parquet file per table; a file source needs a
+    # directory, so point at the dir and glob-filter to the events file
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_availablenow(
+    spark: SparkSession, sf_dir: str, table_name: str = "events_daily_stream"
+) -> DataFrame:
+    """Drain the source with Trigger.AvailableNow into an in-memory sink in
+    complete mode; returns the resulting DataFrame. Deterministic: one
+    final emission containing every window."""
+    agg = daily_counts_stream(spark, sf_dir)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)
