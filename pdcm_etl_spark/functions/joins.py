@@ -46,14 +46,12 @@ def transform_to_fk(
     fk_name: str,
 ) -> DataFrame:
     """Replace a natural-key column by the dimension's id column
-    (ref dataframe_functions.py:43-63). Dimension is broadcast."""
-    dim_small = F.broadcast(dim.select(dim_natural_key, dim_id))
-    joined = df.join(
-        dim_small, df[df_natural_key] == dim_small[dim_natural_key], "left"
+    (ref dataframe_functions.py:43-63). Dimension is broadcast. The dim's
+    columns are aliased first so a fact-side ``id`` never collides."""
+    dim_small = F.broadcast(
+        dim.select(
+            F.col(dim_natural_key).alias("__dim_key"), F.col(dim_id).alias(fk_name)
+        )
     )
-    return (
-        joined.withColumn(fk_name, F.col(dim_id))
-        .drop(dim_id)
-        .drop(dim_small[dim_natural_key])
-        .drop(df_natural_key)
-    )
+    joined = df.join(dim_small, df[df_natural_key] == dim_small["__dim_key"], "left")
+    return joined.drop("__dim_key").drop(df_natural_key)

@@ -1,0 +1,140 @@
+"""Declarative DAG runner — replaces the reference's Luigi orchestration.
+
+The reference launches one spark-submit per entity with parquet round-trips
+between every task (~60 write/read barriers, transformer.py:74-79). Here
+the whole entity graph is one Spark application: nodes are pure transform
+functions, edges are declared dependencies, intermediates stay as in-memory
+lineage (Catalyst sees the full plan), and only entities marked
+``materialize`` hit storage. Multiply-consumed nodes are persisted to
+avoid recomputation (the reference's molecular_characterization pattern,
+SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+
+@dataclass
+class Node:
+    name: str
+    fn: Callable[..., DataFrame]
+    deps: list[str] = field(default_factory=list)
+    # pass the SparkSession as first arg (for source/static nodes)
+    needs_spark: bool = False
+
+
+class EntityDag:
+    """Topologically-executed entity graph with memoization."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.nodes: dict[str, Node] = {}
+        self._results: dict[str, DataFrame] = {}
+
+    def add(self, name, fn, deps=None, needs_spark=False) -> "EntityDag":
+        self.nodes[name] = Node(name, fn, list(deps or []), needs_spark)
+        return self
+
+    def add_input(self, name: str, df: DataFrame) -> "EntityDag":
+        self._results[name] = df
+        return self
+
+    def get(self, name: str) -> DataFrame:
+        """Resolve a node (and its transitive deps) memoized."""
+        if name in self._results:
+            return self._results[name]
+        if name not in self.nodes:
+            raise KeyError(f"unknown entity '{name}' (not a node or input)")
+        node = self.nodes[name]
+        args = [self.get(d) for d in node.deps]
+        if node.needs_spark:
+            df = node.fn(self.spark, *args)
+        else:
+            df = node.fn(*args)
+        # persist nodes consumed by >1 downstream node: computed lazily on
+        # first action, reused after — replaces the reference's parquet
+        # round-trip barriers
+        consumers = sum(1 for n in self.nodes.values() if name in n.deps)
+        if consumers > 1:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        self._results[name] = df
+        return df
+
+    def run(self, targets: list[str] | None = None) -> dict[str, DataFrame]:
+        """Resolve all (or the given) entities; returns name → DataFrame."""
+        names = targets or list(self.nodes)
+        return {n: self.get(n) for n in names}
+
+    def topological_order(self) -> list[str]:
+        order: list[str] = []
+        seen: set[str] = set()
+        visiting: set[str] = set()
+
+        def visit(n: str):
+            if n in seen or n in self._results and n not in self.nodes:
+                return
+            if n in visiting:
+                raise ValueError(f"dependency cycle at '{n}'")
+            visiting.add(n)
+            for d in self.nodes.get(n, Node(n, lambda: None)).deps:
+                if d in self.nodes:
+                    visit(d)
+            visiting.discard(n)
+            if n in self.nodes:
+                seen.add(n)
+                order.append(n)
+
+        for n in self.nodes:
+            visit(n)
+        return order
+
+
+def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> EntityDag:
+    """Wire the metadata entity cluster (the reference DAG's first third:
+    extractor.py → dims → patient/model). ``raw`` maps module name →
+    all-string DataFrame (from sources.tsv or test fixtures)."""
+    from pdcm_etl_spark.transforms import dims, model as model_t, patient as patient_t
+
+    dag = EntityDag(spark)
+    for name, df in raw.items():
+        dag.add_input(f"raw/{name}", df)
+
+    dag.add("ethnicity", dims.ethnicity, ["raw/patient"])
+    dag.add("provider_type", dims.provider_type, ["raw/source"])
+    dag.add("project_group", dims.project_group, ["raw/source"])
+    dag.add(
+        "provider_group",
+        dims.provider_group,
+        ["raw/source", "provider_type", "project_group"],
+    )
+    dag.add(
+        "publication_group", dims.publication_group, ["raw/model", "raw/cell_model"]
+    )
+    dag.add("accessibility_group", dims.accessibility_group, ["raw/sharing"])
+    dag.add("contact_people", dims.contact_people, ["raw/sharing"])
+    dag.add("contact_form", dims.contact_form, ["raw/sharing"])
+    dag.add("source_database", dims.source_database, ["raw/sharing"])
+    dag.add("license", lambda s: dims.license_table(s), [], needs_spark=True)
+
+    dag.add(
+        "patient", patient_t.patient, ["raw/patient", "ethnicity", "provider_group"]
+    )
+    dag.add(
+        "initial_model",
+        model_t.initial_model,
+        ["raw/model", "raw/cell_model", "raw/sharing"],
+    )
+    dag.add(
+        "model",
+        model_t.model,
+        [
+            "initial_model", "publication_group", "accessibility_group",
+            "contact_people", "contact_form", "source_database", "license",
+        ],
+    )
+    return dag
