@@ -26,7 +26,7 @@ def ancestor_closure(
     node_col: str = "node",
     parent_col: str = "parent",
     max_iterations: int = 50,
-    stop_at: int = 0,
+    stop_at=0,
 ) -> DataFrame:
     """Transitive ancestors of every node.
 
@@ -34,6 +34,8 @@ def ancestor_closure(
     with depth = 1 for the direct parent, walking up until the parent of the
     current ancestor is ``stop_at`` (exclusive — ``stop_at`` itself appears
     as an ancestor, its parents are not expanded) or the frontier empties.
+    ``stop_at=None`` (e.g. string-keyed ontology ids) relies purely on the
+    frontier emptying: ancestors without a parent row stop naturally.
 
     Semantics match a WITH RECURSIVE over ``parent_map`` (see the DuckDB
     oracle in plans/catalog.py).
@@ -51,9 +53,13 @@ def ancestor_closure(
     out = [frontier]
     for _ in range(max_iterations):
         # extend paths whose current ancestor still has a parent
-        nxt = (
+        live = (
             frontier.filter(F.col("ancestor") > stop_at)
-            .join(parent_map, F.col("ancestor") == F.col("pm_node"), "inner")
+            if stop_at is not None
+            else frontier
+        )
+        nxt = (
+            live.join(parent_map, F.col("ancestor") == F.col("pm_node"), "inner")
             .select(
                 "node",
                 F.col("pm_parent").alias("ancestor"),
