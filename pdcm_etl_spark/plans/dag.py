@@ -137,4 +137,129 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
             "contact_people", "contact_form", "source_database", "license",
         ],
     )
+
+    # optional clusters — wired only when their raw modules are provided
+    from pdcm_etl_spark.transforms import (
+        molecular as mol_t,
+        ontology as ont_t,
+        sample as sample_t,
+        search as search_t,
+        treatment as tr_t,
+    )
+
+    if "sample" in raw:
+        dag.add("tissue", sample_t.tissue, ["raw/sample"])
+        dag.add("tumour_type", sample_t.tumour_type, ["raw/sample"])
+        dag.add(
+            "patient_sample",
+            sample_t.patient_sample,
+            ["raw/sample", "patient", "tissue", "tumour_type", "initial_model"],
+        )
+
+    if "drug_dosing" in raw and "patient_treatment" in raw:
+        dag.add("response", tr_t.response, ["raw/drug_dosing", "raw/patient_treatment"])
+        dag.add(
+            "response_classification",
+            tr_t.response_classification,
+            ["raw/drug_dosing", "raw/patient_treatment"],
+        )
+        dag.add(
+            "treatment_protocol",
+            tr_t.treatment_protocol,
+            ["raw/drug_dosing", "raw/patient_treatment", "initial_model",
+             "patient", "response", "response_classification"],
+        )
+        dag.add(
+            "treatment_component_helper",
+            tr_t.treatment_and_component_helper,
+            ["treatment_protocol"],
+        )
+        dag.add("treatment", tr_t.treatment, ["treatment_component_helper"])
+        dag.add(
+            "treatment_component",
+            tr_t.treatment_component,
+            ["treatment_component_helper", "treatment"],
+        )
+
+    if "molchar_sample" in raw and "molchar_platform" in raw:
+        dag.add(
+            "molecular_characterization",
+            mol_t.molecular_characterization,
+            ["raw/molchar_sample", "raw/molchar_platform"],
+        )
+
+    if "obo" in raw:
+        dag.add("ontology_term", ont_t.ontology_term, ["raw/obo"])
+        dag.add("term_closure", ont_t.term_closure, ["raw/obo"])
+        dag.add(
+            "ontology_term_diagnosis",
+            ont_t.ontology_term_diagnosis,
+            ["ontology_term", "term_closure"],
+        )
+        dag.add(
+            "term_ancestors", ont_t.term_ancestors, ["ontology_term", "term_closure"]
+        )
+        if "diagnosis_mapping" in raw and "sample" in raw:
+            dag.add(
+                "sample_to_ontology",
+                _sample_to_ontology_adapter,
+                ["patient_sample", "tissue", "tumour_type",
+                 "raw/diagnosis_mapping", "ontology_term_diagnosis"],
+            )
+            dag.add(
+                "search_index_patient_sample",
+                _search_index_ps_adapter,
+                ["patient_sample", "patient", "sample_to_ontology",
+                 "ontology_term_diagnosis", "term_ancestors"],
+            )
     return dag
+
+
+def _sample_to_ontology_adapter(
+    patient_sample, tissue, tumour_type, diagnosis_mapping, diag_terms
+):
+    """Resolve the sample's tissue/tumour-type FKs back to display names
+    and run the 4-key ontology mapping (sample_to_ontology_transformer_job
+    .py:96-139). The internal patient_sample id is the sample key used by
+    search_index_patient_sample."""
+    from pyspark.sql import functions as F
+
+    from pdcm_etl_spark.transforms import ontology as ont_t
+
+    t_primary = F.broadcast(
+        tissue.select(
+            F.col("id").alias("primary_site_id"), F.col("name").alias("primary_tissue")
+        )
+    )
+    tt = F.broadcast(
+        tumour_type.select(
+            F.col("id").alias("tumour_type_id"), F.col("name").alias("tumor_type")
+        )
+    )
+    sample_data = (
+        patient_sample.select(
+            F.col("id").alias("sample_id"),
+            F.col("data_source_tmp").alias("data_source"),
+            "diagnosis",
+            "primary_site_id",
+            "tumour_type_id",
+        )
+        .join(t_primary, "primary_site_id", "left")
+        .join(tt, "tumour_type_id", "left")
+    )
+    return ont_t.sample_to_ontology(sample_data, diagnosis_mapping, diag_terms)
+
+
+def _search_index_ps_adapter(patient_sample, patient, s2o, diag_terms, ancestors):
+    from pyspark.sql import functions as F
+
+    from pdcm_etl_spark.transforms import search as search_t
+
+    terms_with_anc = diag_terms.join(
+        ancestors.withColumnRenamed("term_id", "a_term_id"),
+        diag_terms.term_id == F.col("a_term_id"),
+        "left",
+    ).drop("a_term_id")
+    return search_t.search_index_patient_sample(
+        patient_sample, patient, s2o, terms_with_anc
+    )

@@ -217,6 +217,25 @@ MODULES: dict[str, Module] = {
             group="molecular-data",
             pattern="$provider/immunemarker/*.tsv",
         ),
+        # auxiliary (non-per-provider) reference inputs
+        Module(
+            "diagnosis_mapping",
+            ["datasource", "diagnosis", "primary_tissue", "tumor_type",
+             "mapped_term_url"],
+            group="auxiliary",
+        ),
+        Module(
+            "treatment_mapping",
+            ["datasource", "treatment", "mapped_term_url"],
+            group="auxiliary",
+        ),
+        Module(
+            "markers",
+            ["hgnc_id", "approved_symbol", "approved_name", "status",
+             "previous_symbols", "alias_symbols", "accession_numbers",
+             "refseq_ids", "alias_names", "ensembl_gene_id", "ncbi_gene_id"],
+            group="auxiliary",
+        ),
     ]
 }
 

@@ -1,0 +1,89 @@
+"""Sink layer: parquet lake writes + the Postgres-COPY-shaped TSV export.
+
+Parity targets (semantics):
+- array flatten to Postgres literals '{a,b}' with string elements quoted
+  (dataframe_functions.py:66-81)
+- null → '' (booleans → false), newline → literal \\n
+  (parquet_to_tsv_converter.py:40-85, cleaner.py:29-35) — the reference
+  does this twice, once in a Python UDF and once via regexp_replace; only
+  the column expression survives here (no Python in the export path)
+- tab-separated CSV with a NUL quote char (i.e. effectively unquoted)
+
+The parquet writer partitions by provider (``data_source_tmp``) — the lake
+layout that makes per-provider reprocessing a partition-pruned scan at
+100 TB (SURVEY §4 partitioning row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pdcm_etl_spark.functions.cleaner import null_values_to_empty_string
+from pdcm_etl_spark.sources.tsv import PROVIDER_COL
+
+
+def flatten_array_columns(df: DataFrame) -> DataFrame:
+    """array<...> → '{a,b}' literal; string elements get double quotes;
+    empty/null arrays → null (ref dataframe_functions.py:66-81)."""
+    for field in df.schema.fields:
+        if not isinstance(field.dataType, T.ArrayType):
+            continue
+        c = field.name
+        elems = F.col(c)
+        if isinstance(field.dataType.elementType, T.StringType):
+            elems = F.transform(F.col(c), lambda v: F.concat(F.lit('"'), v, F.lit('"')))
+        df = df.withColumn(
+            c,
+            F.when(
+                F.col(c).isNotNull() & (F.size(F.col(c)) > 0),
+                F.concat(F.lit("{"), F.array_join(elems, ","), F.lit("}")),
+            ).otherwise(F.lit(None).cast("string")),
+        )
+    return df
+
+
+def escape_newlines(df: DataFrame) -> DataFrame:
+    r"""Literal \n so the COPY-style TSV stays one-row-per-line."""
+    return df.select(
+        *[
+            F.regexp_replace(F.col(f.name), "\n", r"\\n").alias(f.name)
+            if isinstance(f.dataType, T.StringType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
+def to_export_frame(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Full export normalization pipeline (drop provenance, flatten arrays,
+    null→'', escape newlines) without the write — unit-testable."""
+    out = df.drop(PROVIDER_COL)
+    out = flatten_array_columns(out)
+    if columns:
+        out = out.select(columns)
+    out = null_values_to_empty_string(out)
+    return escape_newlines(out)
+
+
+def write_tsv(df: DataFrame, path: str, columns: list[str] | None = None) -> None:
+    """COPY-compatible TSV (tab sep, NUL quote = unquoted, header)."""
+    (
+        to_export_frame(df, columns)
+        .write.option("sep", "\t")
+        .option("quote", "\u0000")
+        .option("header", True)
+        .mode("overwrite")
+        .csv(path)
+    )
+
+
+def write_entity_parquet(
+    df: DataFrame, path: str, partition_by_provider: bool = True
+) -> None:
+    """Lake write; provider partitioning → partition-pruned reprocessing."""
+    writer = df.write.mode("overwrite")
+    if partition_by_provider and PROVIDER_COL in df.columns:
+        writer = writer.partitionBy(PROVIDER_COL)
+    writer.parquet(path)

@@ -1,0 +1,130 @@
+"""Search-layer transforms.
+
+Parity targets:
+- _bin_age UDF → pure when-chain (search_index_patient_sample_transformer
+  _job.py:154-172). Boundary quirk preserved: ages on a decade boundary
+  fall in the LOWER bin (the reference's inclusive-upper ranges, e.g. age
+  10 → '2 - 9'); unparseable / 'not …' → 'Not Provided'; >100 passes
+  through unchanged.
+- search_terms / cancer_system array ops (:129-147): term_name + '|'-split
+  ancestors minus the top-level exclusions; cancer_system = first
+  intersection with the curated system list, else 'Unclassified'.
+- patient_sex normalization (:110-117).
+- search_index_patient_sample assembly (:74-92).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NOT_PROVIDED = "Not Provided"
+
+CANCER_SYSTEMS = [
+    "Breast Cancer", "Cardiovascular Cancer", "Connective and Soft Tissue Cancer",
+    "Digestive System Cancer", "Endocrine Cancer", "Eye Cancer",
+    "Head and Neck Cancer", "Hematopoietic and Lymphoid System Cancer",
+    "Nervous System Cancer", "Peritoneal and Retroperitoneal Cancer",
+    "Reproductive System Cancer", "Respiratory Tract Cancer", "Thoracic Cancer",
+    "Skin Cancer", "Urinary System Cancer", "Unclassified",
+]
+
+EXCLUDE_TOP_LEVEL_TERMS = [
+    "Cancer", "Cancer by Special Category", "Cancer by Morphology", "Cancer by Site",
+]
+
+
+def bin_age(age_str: Column | str) -> Column:
+    """Age-string → display bucket, as a codegen'd expression (the
+    reference round-trips every row through a Python UDF for this)."""
+    c = F.col(age_str) if isinstance(age_str, str) else age_str
+    age = c.try_cast("double")
+    expr = (
+        F.when(c.isNull() | F.lower(c).contains("not"), NOT_PROVIDED)
+        .when(F.lower(c).contains("months"), "0 - 23 months")
+        .when(age.isNull(), NOT_PROVIDED)  # unparseable, e.g. free text
+        .when(age < 2, "0 - 23 months")
+        .when(age <= 10, "2 - 9")
+    )
+    for lo in range(10, 100, 10):
+        expr = expr.when(age <= lo + 10, f"{lo} - {lo + 9}")
+    return expr.otherwise(c)
+
+
+def normalize_sex(sex: Column | str) -> Column:
+    c = F.col(sex) if isinstance(sex, str) else sex
+    return F.when(F.lower(c).contains("not"), NOT_PROVIDED).otherwise(F.lower(c))
+
+
+def extend_sample_with_ontology(
+    sample_to_ontology_df: DataFrame, ontology_term_diagnosis_df: DataFrame
+) -> DataFrame:
+    """search_terms = {histology} ∪ ancestors − top-level noise;
+    cancer_system = first curated-system hit, else 'Unclassified'."""
+    terms = ontology_term_diagnosis_df.select(
+        F.col("id").alias("ontology_term_id"), "term_name", "ancestors"
+    )
+    out = sample_to_ontology_df.join(F.broadcast(terms), "ontology_term_id", "left")
+    exclude = F.array(*[F.lit(t) for t in EXCLUDE_TOP_LEVEL_TERMS])
+    systems = F.array(*[F.lit(s) for s in CANCER_SYSTEMS])
+    out = out.withColumn(
+        "search_terms",
+        F.array_except(
+            F.split(F.concat_ws("|", "term_name", "ancestors"), r"\|"), exclude
+        ),
+    )
+    out = out.withColumn(
+        "cancer_system",
+        F.coalesce(
+            # F.get (not getItem): ANSI mode throws on empty arrays
+            F.get(F.array_intersect(systems, F.col("search_terms")), 0),
+            F.lit("Unclassified"),
+        ),
+    )
+    return out.withColumn("histology", F.col("term_name"))
+
+
+def search_index_patient_sample(
+    patient_sample_df: DataFrame,
+    patient_df: DataFrame,
+    sample_to_ontology_df: DataFrame,
+    ontology_term_diagnosis_df: DataFrame,
+) -> DataFrame:
+    """The search_index's patient/sample slice: sample ⋈ ontology ⋈
+    patient, age binned, sex normalized."""
+    onto = extend_sample_with_ontology(sample_to_ontology_df, ontology_term_diagnosis_df)
+    ps = patient_sample_df.join(
+        onto, patient_sample_df.id == onto.sample_id, "left"
+    ).drop("sample_id")
+
+    pat = patient_df.select(
+        F.col("id").alias("patient_internal_id"),
+        normalize_sex("sex").alias("patient_sex"),
+        "history",
+        "initial_diagnosis",
+        "age_at_initial_diagnosis",
+        F.col("ethnicity_id").alias("patient_ethnicity_id"),
+    )
+    out = ps.join(pat, ps.patient_id == pat.patient_internal_id, "left")
+    out = out.withColumn("patient_age", bin_age("age_in_years_at_collection"))
+    return out.select(
+        F.col("model_id").alias("pdcm_model_id"),
+        "external_patient_id",
+        "external_patient_sample_id",
+        "diagnosis",
+        "histology",
+        "search_terms",
+        "cancer_system",
+        "patient_age",
+        "patient_sex",
+        "history",
+        "initial_diagnosis",
+        "age_at_initial_diagnosis",
+        "prior_treatment",
+        F.col("grade").alias("cancer_grade"),
+        F.col("grading_system").alias("cancer_grading_system"),
+        F.col("stage").alias("cancer_stage"),
+        F.col("staging_system").alias("cancer_staging_system"),
+        "response_to_treatment",
+        "ontology_term_id",
+    )
