@@ -50,6 +50,14 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
+
+    # JVM/codegen warmup so timings measure the engine, not first-job
+    # class-loading (one tiny aggregate + one noop write + footer reads)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(1000).write.format("noop").mode("overwrite").save()
+    for t in ("lineitem", "orders", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)

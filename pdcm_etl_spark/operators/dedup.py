@@ -112,20 +112,17 @@ def minhash_signatures(sh: DataFrame, num_perm: int = 32) -> DataFrame:
     """MinHash signature per id from its shingle set.
 
     Permutation i is xxhash64(i, shingle) — deterministic, seedable, and
-    computed map-side; the only shuffle is the (id, perm) min-aggregation,
-    done as one groupBy on id over an exploded perm index.
+    computed map-side. All ``num_perm`` minima run as parallel aggregates
+    in ONE groupBy pass (no perm explode, no row blow-up): map-side partial
+    mins make the shuffle num_perm longs per (partition, id).
     Returns (id, sig: array<bigint> ordered by perm)."""
-    perms = F.sequence(F.lit(0), F.lit(num_perm - 1))
-    hashed = (
-        sh.select("id", "shingle", F.explode(perms).alias("perm"))
-        .withColumn("h", F.xxhash64(F.col("perm"), F.col("shingle")))
-    )
-    return (
-        hashed.groupBy("id", "perm")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("perm", "mh"))).alias("pairs"))
-        .select("id", F.transform(F.col("pairs"), lambda p: p["mh"]).alias("sig"))
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    wide = sh.groupBy("id").agg(*mins)
+    return wide.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
     )
 
 
@@ -156,6 +153,30 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8) -> DataFrame:
     )
 
 
+def verify_pairs_jaccard(
+    cands: DataFrame, sh: DataFrame, min_bp: int = 2000
+) -> DataFrame:
+    """Exact Jaccard for *candidate pairs only*: join each side to its
+    collected shingle set, intersect in-row. Cost is O(|candidates|), not
+    O(|all co-bucketed pairs|) — the property that makes LSH worth it."""
+    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sset"))
+    sa = sets.select(F.col("id").alias("id_a"), F.col("sset").alias("set_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("sset").alias("set_b"))
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union = F.size(F.col("set_a")) + F.size(F.col("set_b")) - inter
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", inter.cast("bigint"))
+        .withColumn(
+            "jaccard_bp",
+            F.floor(F.col("inter") * F.lit(10000.0) / union).cast("bigint"),
+        )
+        .filter(F.col("jaccard_bp") >= min_bp)
+        .select("id_a", "id_b", "inter", "jaccard_bp")
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -170,8 +191,7 @@ def minhash_dedup(
     sh = shingles(df, id_col, text_col, n).persist()
     sigs = minhash_signatures(sh, num_perm)
     cands = lsh_candidate_pairs(sigs, bands)
-    verified = jaccard_pairs(sh, min_bp=min_bp, max_shingle_freq=None)
-    return cands.join(verified, ["id_a", "id_b"], "inner")
+    return verify_pairs_jaccard(cands, sh, min_bp=min_bp)
 
 
 # ---------------------------------------------------------------------------

@@ -15,13 +15,23 @@ from pyspark.sql import functions as F
 from pdcm_etl_spark.operators import dedup, multimodal, similarity, text
 from pdcm_etl_spark.plans.catalog import _t
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across the session's cores. The test lake stores
+    one parquet file per table → one input split → serial execution of the
+    per-row heavy operators; a production lake has many splits. The
+    repartition restores that parallelism locally (cost: one tiny shuffle
+    of raw text)."""
+    df = _t(spark, sf_dir, "documents")
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
 
 
 def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup.exact_dup_groups(docs)
 
 
@@ -33,7 +43,7 @@ FROM documents GROUP BY 1
 
 
 def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sh = dedup.shingles(docs, n=3)
     return dedup.jaccard_pairs(sh, min_bp=2000, max_shingle_freq=None)
 
@@ -64,12 +74,12 @@ WHERE FLOOR(inter * 10000.0 / (sa.sz + sb.sz - inter)) >= 2000
 
 
 def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup.minhash_dedup(docs, min_bp=2000)
 
 
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sims = dedup.simhash(docs)
     return dedup.simhash_near_pairs(sims, max_hamming=3)
 
@@ -157,7 +167,7 @@ def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     return text.add_token_counts(docs).drop("text")
 
 
@@ -172,7 +182,7 @@ FROM documents
 
 
 def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     return text.add_quality_scores(docs).drop("text")
 
 
@@ -191,7 +201,7 @@ FROM base
 
 
 def x_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     return text.add_lang_id(docs).drop("text")
 
 
@@ -217,7 +227,7 @@ FROM scored
 
 
 def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     return text.add_fingerprint(docs).drop("text")
 
 
