@@ -180,6 +180,11 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
             tr_t.treatment_component,
             ["treatment_component_helper", "treatment"],
         )
+        dag.add(
+            "treatment_aggregation_by_model",
+            tr_t.treatment_aggregation_by_model,
+            ["treatment_protocol", "treatment_component_helper", "response"],
+        )
 
     if "molchar_sample" in raw and "molchar_platform" in raw:
         dag.add(
