@@ -1,0 +1,112 @@
+"""External-DB link generation for molecular data and treatment types.
+
+Parity targets (semantics):
+- resource-lookup links (Gene / Variant): molecular_data_links_builder.py:
+  55-96 — the reference theta-joins ``colA || ' ' || colB == entry`` per
+  resource in a driver loop with unions; here ONE equi join on a
+  precomputed concat key against the whole (broadcast) resource table —
+  the BNLJ→hash-join rewrite that survives at scale.
+- regex-extracted id links (dbSNP rs…, COSMIC COSV…): :114-143 —
+  regexp_extract + template substitution via regexp_replace.
+- treatment-type classification: treatment_type_helper_transformer_job.py:
+  33-87 — the reference's Python UDF over (name, ancestors) becomes
+  higher-order ``exists`` over the ancestor array (exact match first, then
+  substring containment), fully JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# treatment classification keywords (treatment_type_helper:10-31 shape)
+KEYWORDS_BY_TYPE: list[tuple[str, list[str]]] = [
+    ("Chemotherapy", ["chemotherapy", "chemical substance", "cytotoxic"]),
+    ("Immunotherapy", ["immunotherapy", "immune system modulation"]),
+    ("Hormone Therapy", ["hormone therapy", "hormone"]),
+    ("Targeted Therapy", ["targeted therapy", "kinase inhibitor"]),
+    ("Radiation Therapy", ["radiation therapy"]),
+]
+
+
+def treatment_types(name_col: str = "treatment_name", ancestors_col: str = "ancestors") -> Column:
+    """Array of treatment types from ontology ancestors + the name itself.
+    Exact keyword match OR substring containment, per type."""
+    names = F.transform(
+        F.concat(
+            F.coalesce(F.col(ancestors_col), F.array()),
+            F.array(F.col(name_col)),
+        ),
+        lambda x: F.lower(x),
+    )
+    branches = []
+    for type_name, keywords in KEYWORDS_BY_TYPE:
+        kw = F.array(*[F.lit(k) for k in keywords])
+        hit = F.exists(
+            names,
+            lambda n: F.exists(kw, lambda k: n.contains(k)),
+        )
+        branches.append(F.when(hit, F.lit(type_name)))
+    return F.filter(F.array(*branches), lambda x: x.isNotNull())
+
+
+def resource_lookup_links(
+    molecular_df: DataFrame,
+    resources_df: DataFrame,
+    target_column: str,
+    ref_source_columns: list[str],
+    resource_type: str,
+) -> DataFrame:
+    """(id, resource, column, link) by joining the concat of
+    ``ref_source_columns`` against downloaded resource entries of
+    ``resource_type`` — single broadcast equi join for ALL resources."""
+    entry = F.concat_ws(" ", *[F.col(c) for c in ref_source_columns])
+    lookup = F.broadcast(
+        resources_df.filter(F.col("type") == resource_type).select(
+            F.col("entry"), F.col("resource"), F.col("link")
+        )
+    )
+    return (
+        molecular_df.withColumn("entry", entry)
+        .join(lookup, "entry", "inner")
+        .select(
+            "id",
+            "resource",
+            F.lit(target_column).alias("column"),
+            "link",
+        )
+    )
+
+
+def regex_id_links(
+    molecular_df: DataFrame,
+    id_pattern: str,
+    template: str,
+    placeholder: str,
+    resource_label: str,
+    target_column: str,
+    source_column: str = "variation_id",
+) -> DataFrame:
+    """dbSNP/COSMIC-style links: extract the id with a regex, substitute it
+    into the template (molecular_data_links_builder.py:114-143)."""
+    extracted = F.regexp_extract(F.col(source_column), id_pattern, 0)
+    return (
+        molecular_df.where(f"{source_column} is not null and {source_column} != ''")
+        .withColumn("__xid", extracted)
+        .select(
+            "id",
+            F.lit(resource_label).alias("resource"),
+            F.lit(target_column).alias("column"),
+            F.when(F.col("__xid") == "", F.lit(None).cast("string"))
+            .otherwise(F.regexp_replace(F.lit(template), placeholder, F.col("__xid")))
+            .alias("link"),
+        )
+    )
+
+
+def dbsnp_links(molecular_df: DataFrame, template: str = "https://www.ncbi.nlm.nih.gov/snp/RS_ID") -> DataFrame:
+    return regex_id_links(molecular_df, r"(rs\d+)", template, "RS_ID", "dbSNP", "variation_id")
+
+
+def cosmic_links(molecular_df: DataFrame, template: str = "https://cancer.sanger.ac.uk/cosmic/search?q=COSMIC_ID") -> DataFrame:
+    return regex_id_links(molecular_df, r"(COSV\d+)", template, "COSMIC_ID", "COSMIC", "variation_id")
