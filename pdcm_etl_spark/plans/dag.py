@@ -217,7 +217,46 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
                 ["patient_sample", "patient", "sample_to_ontology",
                  "ontology_term_diagnosis", "term_ancestors"],
             )
+            six_deps = ["model", "search_index_patient_sample"]
+            if "molecular_characterization" in dag.nodes:
+                dag.add(
+                    "dataset_available",
+                    _dataset_available_adapter,
+                    ["molecular_characterization", "initial_model"],
+                )
+                six_deps.append("dataset_available")
+            if "treatment_aggregation_by_model" in dag.nodes:
+                six_deps.append("treatment_aggregation_by_model")
+            dag.add("search_index", _search_index_adapter, six_deps)
     return dag
+
+
+def _dataset_available_adapter(molchar, initial_model):
+    """molchar carries the provider's external model id; resolve it to the
+    internal model id so per-model aggregates join the search spine."""
+    from pyspark.sql import functions as F
+
+    from pdcm_etl_spark.transforms import molecular_data as md_t
+
+    mm = md_t.model_molchar(molchar)
+    ids = F.broadcast(
+        initial_model.select(
+            F.col("external_model_id").alias("model_id"),
+            F.col("id").alias("internal_model_id"),
+        )
+    )
+    mm = (
+        mm.join(ids, "model_id", "left")
+        .drop("model_id")
+        .withColumnRenamed("internal_model_id", "model_id")
+    )
+    return md_t.dataset_available_per_model(mm)
+
+
+def _search_index_adapter(model, six_ps, *aggs):
+    from pdcm_etl_spark.transforms import search as search_t
+
+    return search_t.search_index(model, six_ps, list(aggs))
 
 
 def _sample_to_ontology_adapter(

@@ -84,6 +84,33 @@ def extend_sample_with_ontology(
     return out.withColumn("histology", F.col("term_name"))
 
 
+def search_index(
+    model_df: DataFrame,
+    search_index_patient_sample_df: DataFrame,
+    model_aggregates: list[DataFrame] | None = None,
+) -> DataFrame:
+    """The denormalized wide search table (search_index_transformer_job.py
+    :42-126): model spine ⟕ patient/sample slice ⟕ each per-model
+    aggregate (dataset_available, marker lists, msi/hla, treatments,
+    scores…). Every aggregate frame must carry a ``model_id`` column; all
+    joins are left joins on the model spine so models without molecular
+    or treatment data still appear."""
+    spine = model_df.select(
+        F.col("id").alias("pdcm_model_id"),
+        F.col("external_model_id"),
+        F.col("type").alias("model_type"),
+        F.col("data_source_tmp").alias("data_source"),
+    )
+    out = spine.join(search_index_patient_sample_df, "pdcm_model_id", "left")
+    for agg in model_aggregates or []:
+        out = out.join(
+            agg.withColumnRenamed("model_id", "pdcm_model_id"),
+            "pdcm_model_id",
+            "left",
+        )
+    return out
+
+
 def search_index_patient_sample(
     patient_sample_df: DataFrame,
     patient_df: DataFrame,

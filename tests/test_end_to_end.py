@@ -94,6 +94,20 @@ def test_search_index_patient_sample_end_to_end(full_dag):
     assert s1["search_terms"] is not None and "Cancer" not in s1["search_terms"]
 
 
+def test_search_index_wide_table(full_dag):
+    six = full_dag.get("search_index")
+    rows = {r["external_model_id"]: r for r in six.collect()}
+    assert set(rows) == {"M1", "M2", "M3", "C1", "C2", "C3"}
+    m1 = rows["M1"]
+    assert m1["model_type"] == "PDX"
+    assert m1["histology"] == "Breast Carcinoma"      # via patient-sample slice
+    assert m1["dataset_available"] == ["mutation"]     # via molchar aggregate
+    assert m1["model_treatments"] == ["cisplatin", "gemcitabine"]
+    # models without samples/molecular data still present (left joins)
+    assert rows["M2"]["histology"] is None
+    assert rows["M2"]["dataset_available"] is None
+
+
 def test_patient_sample_model_link(full_dag):
     ps = full_dag.get("patient_sample")
     model = full_dag.get("initial_model")
