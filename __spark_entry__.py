@@ -32,13 +32,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     regs: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (fn, _sql) in RELATIONAL_CATALOG.items():
         regs[name] = fn
-    try:
-        from pdcm_etl_spark.plans.extensions import EXTENSION_CATALOG
-
-        for name, (fn, _sql) in EXTENSION_CATALOG.items():
+    for cat in _optional_catalogs():
+        for name, (fn, _sql) in cat.items():
             regs[name] = fn
-    except ImportError:
-        pass
     return regs
 
 
@@ -46,10 +42,23 @@ def oracle_sql() -> dict[str, str]:
     from pdcm_etl_spark.plans.catalog import RELATIONAL_CATALOG
 
     out = {n: sql for n, (fn, sql) in RELATIONAL_CATALOG.items() if sql}
+    for cat in _optional_catalogs():
+        out.update({n: sql for n, (fn, sql) in cat.items() if sql})
+    return out
+
+
+def _optional_catalogs() -> list[dict]:
+    cats = []
     try:
         from pdcm_etl_spark.plans.extensions import EXTENSION_CATALOG
 
-        out.update({n: sql for n, (fn, sql) in EXTENSION_CATALOG.items() if sql})
+        cats.append(EXTENSION_CATALOG)
     except ImportError:
         pass
-    return out
+    try:
+        from pdcm_etl_spark.plans.catalog_extra import EXTRA_CATALOG
+
+        cats.append(EXTRA_CATALOG)
+    except ImportError:
+        pass
+    return cats

@@ -1,0 +1,210 @@
+"""Second relational operator tranche: rollup/cube, set ops, JSON
+aggregation, date arithmetic, string kit, split_part, exact percentile.
+
+These cover the Postgres-layer operators of SURVEY §2.12 that the first
+tranche didn't (jsonb_agg → to_json(collect_list(struct)), SPLIT_PART,
+grouped totals) plus standard analytics surface (rollup, intersect/except,
+date math). Determinism rules as in plans/catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdcm_etl_spark.plans.catalog import D182, _t
+
+
+def q_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotal + grand-total rows
+    with NULL group indicators — same semantics both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.col("l_quantity").cast(D182)).cast("decimal(38,2)").alias("sum_qty"))
+    )
+
+
+SQL_ROLLUP_TOTALS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_CUBE_COUNTS = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nation keys having both customers and suppliers."""
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+SQL_INTERSECT_KEYS = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with customers but no suppliers."""
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).exceptAll(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    ).distinct()
+
+
+SQL_EXCEPT_KEYS = """
+SELECT DISTINCT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+)
+"""
+
+
+def q_json_agg_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jsonb_agg of subquery rows (views.sql:1147-1162) →
+    to_json(array_sort(collect_list(struct(...)))) — list sorted for
+    cross-engine determinism."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.to_json(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("n_nationkey"), F.col("n_name")))
+                )
+            ).alias("nations_json")
+        )
+    )
+
+
+SQL_JSON_AGG_STRUCT = """
+SELECT r_name,
+       to_json(list_sort(list(struct_pack(n_nationkey := n_nationkey, n_name := n_name)))) AS nations_json
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT_PART(x,'/',1) (views.sql:1113-1126) → split(x,' ')[0] here
+    over part names."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", F.split(F.col("p_name"), " ").getItem(0).alias("first_word")
+    )
+
+
+SQL_SPLIT_PART = """
+SELECT p_partkey, split_part(p_name, ' ', 1) AS first_word FROM part
+"""
+
+
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date kit: year/month extraction, month truncation + interval add."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.add_months(F.date_trunc("month", F.col("o_orderdate")), 1)
+        .cast("timestamp")
+        .alias("next_month"),
+    )
+
+
+SQL_DATE_ARITHMETIC = """
+SELECT o_orderkey,
+       CAST(date_part('year', o_orderdate) AS INTEGER) AS order_year,
+       CAST(date_part('month', o_orderdate) AS INTEGER) AS order_month,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH AS TIMESTAMP) AS next_month
+FROM orders
+"""
+
+
+def q_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lpad / substr / instr / reverse / repeat string functions."""
+    nation = _t(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        F.lpad(F.col("n_nationkey").cast("string"), 4, "0").alias("padded"),
+        F.substring("n_name", 2, 3).alias("middle"),
+        F.instr(F.col("n_name"), "A").cast("bigint").alias("a_pos"),
+        F.reverse("n_name").alias("reversed"),
+        F.repeat(F.lit("*"), F.col("n_nationkey") % 3 + 1).alias("stars"),
+    )
+
+
+SQL_STRING_KIT = """
+SELECT n_nationkey,
+       lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded,
+       substr(n_name, 2, 3) AS middle,
+       CAST(instr(n_name, 'A') AS BIGINT) AS a_pos,
+       reverse(n_name) AS reversed,
+       repeat('*', n_nationkey % 3 + 1) AS stars
+FROM nation
+"""
+
+
+def q_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous median per group (both engines interpolate the
+    same way; result floored to basis points for float determinism)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.floor(
+            F.expr("percentile(l_quantity, 0.5)") * 10000
+        ).cast("bigint").alias("median_qty_bp")
+    )
+
+
+SQL_EXACT_PERCENTILE = """
+SELECT l_returnflag,
+       CAST(FLOOR(quantile_cont(l_quantity, 0.5) * 10000) AS BIGINT) AS median_qty_bp
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct count (HLL). Sketch implementations differ
+    across engines → no SQL oracle; the rows-only check still pins row
+    count and schema, and the value is deterministic per engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+EXTRA_CATALOG: dict[str, tuple] = {
+    "rollup_totals": (q_rollup_totals, SQL_ROLLUP_TOTALS),
+    "cube_counts": (q_cube_counts, SQL_CUBE_COUNTS),
+    "intersect_keys": (q_intersect_keys, SQL_INTERSECT_KEYS),
+    "except_keys": (q_except_keys, SQL_EXCEPT_KEYS),
+    "json_agg_struct": (q_json_agg_struct, SQL_JSON_AGG_STRUCT),
+    "split_part": (q_split_part, SQL_SPLIT_PART),
+    "date_arithmetic": (q_date_arithmetic, SQL_DATE_ARITHMETIC),
+    "string_kit": (q_string_kit, SQL_STRING_KIT),
+    "exact_percentile": (q_exact_percentile, SQL_EXACT_PERCENTILE),
+    "approx_distinct": (q_approx_distinct, None),
+}
