@@ -186,6 +186,31 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
             ["treatment_protocol", "treatment_component_helper", "response"],
         )
 
+    if "model_validation" in raw:
+        from pdcm_etl_spark.transforms import specimen as spec_t
+
+        dag.add(
+            "quality_assurance",
+            spec_t.quality_assurance,
+            ["raw/model_validation", "initial_model"],
+        )
+    if "model" in raw:
+        from pdcm_etl_spark.transforms import lineage as lin_t, specimen as spec_t
+
+        dag.add("engraftment_site", spec_t.engraftment_site, ["raw/model"])
+        dag.add("engraftment_type", spec_t.engraftment_type, ["raw/model"])
+        dag.add("engraftment_sample_type", spec_t.engraftment_sample_type, ["raw/model"])
+        dag.add("engraftment_sample_state", spec_t.engraftment_sample_state, ["raw/model"])
+        dag.add("host_strain", spec_t.host_strain, ["raw/model"])
+        dag.add(
+            "xenograft_model_specimen",
+            spec_t.xenograft_model_specimen,
+            ["raw/model", "engraftment_site", "engraftment_type",
+             "engraftment_sample_type", "engraftment_sample_state",
+             "initial_model", "host_strain"],
+        )
+        dag.add("model_relationships", lin_t.model_relationships, ["initial_model"])
+
     if "molchar_sample" in raw and "molchar_platform" in raw:
         dag.add(
             "molecular_characterization",

@@ -55,6 +55,39 @@ def nodes(patient_df: DataFrame, patient_sample_df: DataFrame, model_df: DataFra
     return add_id(out, "id", key_cols=["node_type", "node_label", "data_source"])
 
 
+def model_relationships(model_df: DataFrame) -> DataFrame:
+    """Transitive parent closure over model parent links — the reference's
+    recursive Postgres UPDATE (scripts/updates.sql:6-34,
+    pdcm_api.get_parents_tree) as a distributed fixpoint join.
+
+    Returns (model_id, ancestor_model_id, depth) over internal ids."""
+    from pdcm_etl_spark.operators.graph import ancestor_closure
+
+    m = model_df.select("id", "external_model_id", "parent_id", PROVIDER_COL)
+    parents = m.select(
+        F.col("external_model_id").alias("parent_external_id"),
+        F.col("id").alias("parent_internal_id"),
+        F.col(PROVIDER_COL).alias("p_provider"),
+    )
+    edges_df = (
+        m.where("parent_id is not null and parent_id != ''")
+        .join(
+            parents,
+            (m.parent_id == parents.parent_external_id)
+            & (m[PROVIDER_COL] == parents.p_provider),
+        )
+        .select(
+            F.col("id").alias("node"),
+            F.col("parent_internal_id").alias("parent"),
+        )
+    )
+    return ancestor_closure(edges_df, stop_at=None).select(
+        F.col("node").alias("model_id"),
+        F.col("ancestor").alias("ancestor_model_id"),
+        "depth",
+    )
+
+
 def edges(nodes_df: DataFrame, patient_sample_df: DataFrame, model_df: DataFrame) -> DataFrame:
     """(previous_node, next_node) node-id pairs: patient→sample,
     sample→model, parent-model→model."""
