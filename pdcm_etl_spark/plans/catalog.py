@@ -39,9 +39,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp (matching DuckDB's TIMESTAMP_NS → µs truncation)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # integer division (`div`), not `/1000`: double division rounds and
+    # lands 1µs off DuckDB's ns→µs truncation on some values
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 # ---------------------------------------------------------------------------

@@ -272,6 +272,42 @@ def x_stream_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_availablenow(spark, sf_dir)
 
 
+def x_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session_window aggregation (2h gap) over events."""
+    from pdcm_etl_spark.streaming.sessionize import sessionize_batch
+
+    return sessionize_batch(_t(spark, sf_dir, "events"))
+
+
+SQL_SESSION_WINDOW = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState.
+
+    No oracle: AvailableNow leaves the final open session per user in the
+    state store (unclosed), so the output is the *closed* session set —
+    deterministic, but intentionally not equal to the batch twin."""
+    from pdcm_etl_spark.streaming.sessionize import sessionize_stream
+
+    return sessionize_stream(spark, sf_dir)
+
+
 SQL_STREAM_EVENTS_DAILY = """
 SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
@@ -295,4 +331,6 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "multimodal_meta": (x_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (x_multimodal_decode, None),
     "stream_events_daily": (x_stream_events_daily, SQL_STREAM_EVENTS_DAILY),
+    "session_window": (x_session_window, SQL_SESSION_WINDOW),
+    "stream_sessionize": (x_stream_sessionize, None),
 }

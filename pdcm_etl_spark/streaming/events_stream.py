@@ -42,7 +42,7 @@ def daily_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    ev = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return (
         ev.withWatermark("ts", "1 day")
         .groupBy(F.window("ts", "1 day").alias("win"), "event_type")

@@ -1,0 +1,134 @@
+"""Gap-based sessionization of the events stream — the engine's custom
+stateful operator (green-field; the reference is batch-only, SURVEY §2.11).
+
+Two implementations with identical semantics:
+- ``sessionize_batch``: built-in ``session_window`` aggregation — the
+  declarative form; Catalyst plans it as a session-window aggregation
+  (oracle-checkable against a lag+cumsum SQL rewrite).
+- ``sessionize_stream``: Structured Streaming ``applyInPandasWithState``
+  — the custom-stateful-operator form: per-user state carries the open
+  session (start, last ts, count, sum); a session closes when the gap is
+  exceeded or the watermark times the state out.
+
+Scale: state is keyed by user_id → the shuffle is the state partitioning;
+the watermark bounds state size; gap/timeout are the only tunables.
+"""
+
+from __future__ import annotations
+
+import datetime
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEFAULT_GAP = "2 hours"
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = "start long, last long, n long, total double"
+
+
+def sessionize_batch(events: DataFrame, gap: str = DEFAULT_GAP) -> DataFrame:
+    """Built-in session_window aggregation (batch twin, oracle-checkable)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(
+    spark: SparkSession, sf_dir: str, gap_seconds: int = 7200
+) -> DataFrame:
+    """applyInPandasWithState sessionization, drained with AvailableNow
+    into a memory sink. Kernel defined as a closure (shipped by value)."""
+    from pdcm_etl_spark.streaming.events_stream import EVENTS_RAW_SCHEMA
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start, last, n, total = None, None, 0, 0.0
+        closed = []
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        for ts, value in zip(rows["ts"], rows["value"]):
+            micros = int(ts.value // 1000)  # pandas ns → µs epoch
+            if last is not None and micros - last > gap_seconds * 1_000_000:
+                closed.append((user_id, start, n, total))
+                start, last, n, total = micros, micros, 1, float(value)
+            else:
+                start = micros if start is None else start
+                last = micros
+                n += 1
+                total += float(value)
+        state.update((start, last, n, total))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [
+                        datetime.datetime.utcfromtimestamp(c[1] / 1e6) for c in closed
+                    ],
+                    "n_events": [c[2] for c in closed],
+                    "sum_value": [c[3] for c in closed],
+                }
+            )
+
+    sessions = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            # NoTimeout: with Trigger.AvailableNow a processing-time
+            # timeout would stall the drain waiting for the timeout batch;
+            # the trailing open session per user intentionally stays in
+            # state (a continuous deployment closes it via timeout)
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("events_sessions_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("events_sessions_stream")
