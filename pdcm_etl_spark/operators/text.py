@@ -44,8 +44,14 @@ def floor_bp(num: Column, den: Column) -> Column:
 def add_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens, regex word tokens, and a BPE-ish
     subword estimate (ceil(len(word)/4) summed — the standard ~4-chars-per-
-    token heuristic)."""
-    ws = words(F.col(text_col))
+    token heuristic).
+
+    The token array is materialized once into a temp column: expressions
+    referenced from higher-order-function lambdas are re-evaluated per
+    element (no CSE across the lambda boundary), so computing from the
+    split expression directly re-tokenizes per token."""
+    df = df.withColumn("__ws", words(F.col(text_col)))
+    ws = F.col("__ws")
     return (
         df.withColumn("n_ws_tokens", F.size(ws).cast("bigint"))
         .withColumn(
@@ -62,13 +68,16 @@ def add_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
                 lambda acc, x: acc + x,
             ),
         )
+        .drop("__ws")
     )
 
 
 def add_quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality scoring: length, word count, stopword ratio, mean word
-    length — the length/punct/stopword-ratio family. Ratios in floor-bp."""
-    ws = words(F.col(text_col))
+    length — the length/punct/stopword-ratio family. Ratios in floor-bp.
+    Tokenizes once into a temp column (see add_token_counts)."""
+    df = df.withColumn("__ws", words(F.col(text_col)))
+    ws = F.col("__ws")
     n_words = F.size(ws)
     n_stop = marker_count(ws, STOPWORDS)
     total_chars = F.aggregate(
@@ -82,13 +91,16 @@ def add_quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_stopwords", n_stop.cast("bigint"))
         .withColumn("stopword_bp", floor_bp(n_stop, n_words))
         .withColumn("mean_word_len_bp", floor_bp(total_chars, n_words))
+        .drop("__ws")
     )
 
 
 def add_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Language ID by stopword-marker voting with a deterministic
-    tie-break order (en > de > fr > es > unknown)."""
-    ws = words(F.col(text_col))
+    tie-break order (en > de > fr > es > unknown).
+    Tokenizes once into a temp column (see add_token_counts)."""
+    df = df.withColumn("__ws", words(F.col(text_col)))
+    ws = F.col("__ws")
     scores = {k: marker_count(ws, v) for k, v in LANG_MARKERS.items()}
     out = df
     for k, c in scores.items():
@@ -107,7 +119,7 @@ def add_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         .when(s["es"] > 0, "es")
         .otherwise("unknown")
     )
-    return out.withColumn("pred_lang", pred)
+    return out.withColumn("pred_lang", pred).drop("__ws")
 
 
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
