@@ -137,6 +137,7 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
             "contact_people", "contact_form", "source_database", "license",
         ],
     )
+    dag.add("cell_model", model_t.cell_model, ["raw/cell_model", "model"])
 
     # optional clusters — wired only when their raw modules are provided
     from pdcm_etl_spark.transforms import (
@@ -217,6 +218,22 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
             mol_t.molecular_characterization,
             ["raw/molchar_sample", "raw/molchar_platform"],
         )
+        dag.add(
+            "platform",
+            sample_t.platform,
+            ["raw/molchar_platform", "provider_group"],
+        )
+        dag.add(
+            "cell_sample",
+            sample_t.cell_sample,
+            ["raw/molchar_sample", "model", "platform"],
+        )
+        if "model" in raw:
+            dag.add(
+                "xenograft_sample",
+                sample_t.xenograft_sample,
+                ["raw/molchar_sample", "host_strain", "model", "platform"],
+            )
 
     if "obo" in raw:
         dag.add("ontology_term", ont_t.ontology_term, ["raw/obo"])
@@ -229,6 +246,22 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
         dag.add(
             "term_ancestors", ont_t.term_ancestors, ["ontology_term", "term_closure"]
         )
+        dag.add(
+            "ontology_term_treatment",
+            ont_t.ontology_term_treatment,
+            ["ontology_term", "term_closure"],
+        )
+        dag.add(
+            "ontology_term_regimen",
+            ont_t.ontology_term_regimen,
+            ["ontology_term", "term_closure"],
+        )
+        if "ontolia" in raw:
+            dag.add(
+                "regimen_to_treatment",
+                ont_t.regimen_to_treatment,
+                ["raw/ontolia", "ontology_term_regimen", "ontology_term_treatment"],
+            )
         if "diagnosis_mapping" in raw and "sample" in raw:
             dag.add(
                 "sample_to_ontology",

@@ -140,3 +140,25 @@ def model(
         "contaminated", "contamination_details", "supplements", "drug",
         "drug_concentration", "date_submitted", PROVIDER_COL,
     )
+
+
+def cell_model(raw_cell_model: DataFrame, model_df: DataFrame) -> DataFrame:
+    """cell_model entity (cell_model_transformer_job.py:29-49): the raw
+    cell-model rows with the internal model FK resolved on
+    (external_model_id, provider). The reference joins on external id
+    alone; the 2-key join is the correct grain across ~56 providers
+    (external ids are only provider-unique)."""
+    c = raw_cell_model.withColumnRenamed("model_id", "external_model_id")
+    m = model_df.select(
+        F.col("id").alias("model_id"),
+        "external_model_id",
+        F.col(PROVIDER_COL).alias("__m_provider"),
+    )
+    c = c.join(
+        F.broadcast(m),
+        (c.external_model_id == m.external_model_id)
+        & (c[PROVIDER_COL] == m["__m_provider"]),
+        "left",
+    ).drop(m.external_model_id).drop("__m_provider")
+    c = c.withColumnRenamed(PROVIDER_COL, "provider_abb")
+    return add_id(c, "id", key_cols=["external_model_id", "provider_abb"])

@@ -155,3 +155,37 @@ def sample_to_ontology(
         how="left",
     )
     return joined.select("sample_id", "ontology_term_id")
+
+
+def regimen_to_treatment(
+    raw_ontolia: DataFrame,
+    ontology_term_regimen_df: DataFrame,
+    ontology_term_treatment_df: DataFrame,
+) -> DataFrame:
+    """regimen → component treatment names
+    (regimen_to_treatment_transformer_job.py:35-99): explode the ontolia
+    comma list, normalize NCIT ids (``_`` → ``:``), resolve both sides to
+    display names via inner joins on the (small, broadcast) branch terms."""
+    r2t = raw_ontolia.select(
+        F.regexp_replace(F.col("regimen"), "_", ":").alias("regimen_ncit_id"),
+        F.explode(F.split(F.col("treatments"), ",")).alias("treatment_ncit_id"),
+    ).withColumn(
+        "treatment_ncit_id", F.regexp_replace(F.col("treatment_ncit_id"), "_", ":")
+    )
+    reg = F.broadcast(
+        ontology_term_regimen_df.select(
+            F.col("term_id").alias("regimen_ncit_id"),
+            F.col("term_name").alias("regimen"),
+        )
+    )
+    trt = F.broadcast(
+        ontology_term_treatment_df.select(
+            F.col("term_id").alias("treatment_ncit_id"),
+            F.col("term_name").alias("treatment"),
+        )
+    )
+    return (
+        r2t.join(reg, "regimen_ncit_id", "inner")
+        .join(trt, "treatment_ncit_id", "inner")
+        .select("regimen", "treatment")
+    )

@@ -82,3 +82,115 @@ def patient_sample(
     )
     ps = ps.join(F.broadcast(mdl), on=["model_name", PROVIDER_COL], how="left")
     return add_id(ps, "id", key_cols=["external_patient_sample_id", PROVIDER_COL])
+
+
+def platform(raw_molchar_platform: DataFrame, provider_group: DataFrame) -> DataFrame:
+    """Sequencing-platform dim (platform_transformer_job.py:30-76): distinct
+    platform metadata rows with the provider_group FK resolved.
+
+    Scale: pure distinct + broadcast dim join — one shuffle on the
+    (small) distinct key set."""
+    p = raw_molchar_platform.select(
+        "instrument_model",
+        "library_strategy",
+        "library_selection",
+        "platform_id",
+        "molecular_characterisation_type",
+        F.col(PROVIDER_COL),
+    ).drop_duplicates()
+    pg = provider_group.select(
+        F.col("data_source_tmp").alias("__pg_key"), F.col("id").alias("provider_group_id")
+    )
+    p = p.join(
+        F.broadcast(pg), p[PROVIDER_COL] == pg["__pg_key"], "left"
+    ).drop("__pg_key")
+    p = add_id(
+        p, "id", key_cols=["platform_id", "molecular_characterisation_type", PROVIDER_COL]
+    )
+    return p.select(
+        "id", "library_strategy", "provider_group_id", "instrument_model",
+        "library_selection", "platform_id", "molecular_characterisation_type",
+        PROVIDER_COL,
+    )
+
+
+def _origin_sample(
+    raw_molchar_sample: DataFrame,
+    model: DataFrame,
+    platform_df: DataFrame,
+    origin: str,
+    ext_id_name: str,
+    extra_cols: list[str],
+) -> DataFrame:
+    """Shared body of cell/xenograft sample (cell_sample_transformer_job.py
+    :36-80, xenograft_sample_transformer_job.py:37-92): filter on
+    sample_origin, resolve model (2-key) and platform FKs."""
+    s = (
+        raw_molchar_sample.where(F.lower(F.trim(F.col("sample_origin"))) == origin)
+        .select(
+            F.col("sample_id").alias(ext_id_name),
+            F.col("model_id").alias("external_model_id"),
+            "passage",
+            *extra_cols,
+            F.col("platform_id").alias("external_platform_id"),
+            F.col(PROVIDER_COL),
+        )
+        .drop_duplicates()
+    )
+    m = model.select(
+        F.col("id").alias("model_id"),
+        "external_model_id",
+        F.col(PROVIDER_COL).alias("__m_provider"),
+    )
+    s = s.join(
+        F.broadcast(m),
+        (s.external_model_id == m.external_model_id)
+        & (s[PROVIDER_COL] == m["__m_provider"]),
+        "left",
+    ).drop(m.external_model_id).drop("__m_provider")
+    pl = platform_df.select(
+        F.col("platform_id").alias("__pl_key"), F.col("id").alias("platform_fk")
+    )
+    s = (
+        s.join(F.broadcast(pl), s.external_platform_id == pl["__pl_key"], "left")
+        .drop("__pl_key", "external_platform_id")
+        .withColumnRenamed("platform_fk", "platform_id")
+    )
+    return s
+
+
+def cell_sample(
+    raw_molchar_sample: DataFrame, model: DataFrame, platform_df: DataFrame
+) -> DataFrame:
+    """cell_sample entity (cell_sample_transformer_job.py:36-80)."""
+    s = _origin_sample(
+        raw_molchar_sample, model, platform_df, "cell", "external_cell_sample_id", []
+    )
+    s = add_id(s, "id", key_cols=["external_cell_sample_id", PROVIDER_COL])
+    return s.select(
+        "id", "external_cell_sample_id", "passage", "model_id", "platform_id",
+        PROVIDER_COL,
+    )
+
+
+def xenograft_sample(
+    raw_molchar_sample: DataFrame,
+    host_strain: DataFrame,
+    model: DataFrame,
+    platform_df: DataFrame,
+) -> DataFrame:
+    """xenograft_sample entity (xenograft_sample_transformer_job.py:37-92):
+    adds the host-strain nomenclature FK on top of the shared body."""
+    s = _origin_sample(
+        raw_molchar_sample, model, platform_df, "xenograft",
+        "external_xenograft_sample_id", ["host_strain_nomenclature"],
+    )
+    s = transform_to_fk(
+        s, host_strain, "host_strain_nomenclature", "nomenclature", "id",
+        "host_strain_id",
+    )
+    s = add_id(s, "id", key_cols=["external_xenograft_sample_id", PROVIDER_COL])
+    return s.select(
+        "id", "external_xenograft_sample_id", "passage", "host_strain_id",
+        "model_id", "platform_id", PROVIDER_COL,
+    )

@@ -1,0 +1,116 @@
+"""Sample-cluster completion: platform dim, cell/xenograft samples,
+cell_model, regimen_to_treatment."""
+
+import fixtures
+from pyspark.sql import functions as F
+
+from pdcm_etl_spark.transforms import model as model_t
+from pdcm_etl_spark.transforms import ontology as ont
+from pdcm_etl_spark.transforms import sample as sample_t
+
+
+def _molchar_platform(spark):
+    return fixtures.make_module_df(spark, "molchar_platform", [
+        dict(platform_id="pl1", molecular_characterisation_type="mutation",
+             instrument_model="Illumina", library_strategy="WGS",
+             library_selection="PCR", data_source_tmp="TRACE"),
+        dict(platform_id="pl2", molecular_characterisation_type="expression",
+             instrument_model="Illumina", library_strategy="RNA-Seq",
+             library_selection=None, data_source_tmp="TRACE"),
+        # duplicate row collapses in the distinct
+        dict(platform_id="pl1", molecular_characterisation_type="mutation",
+             instrument_model="Illumina", library_strategy="WGS",
+             library_selection="PCR", data_source_tmp="TRACE"),
+    ])
+
+
+def _provider_group(spark):
+    return spark.createDataFrame(
+        [(1, "TRACE"), (2, "PDMR")], "id bigint, data_source_tmp string"
+    )
+
+
+def _model_entity(spark):
+    return spark.createDataFrame(
+        [(10, "M1", "TRACE"), (11, "C1", "TRACE")],
+        "id bigint, external_model_id string, data_source_tmp string",
+    )
+
+
+def _molchar_sample(spark):
+    return fixtures.make_module_df(spark, "molchar_sample", [
+        dict(model_id="M1", sample_id="XS1", sample_origin="Xenograft",
+             passage="2", host_strain_nomenclature="NOD scid",
+             platform_id="pl1", data_source_tmp="TRACE"),
+        dict(model_id="C1", sample_id="CS1", sample_origin="cell", passage=None,
+             platform_id="pl2", data_source_tmp="TRACE"),
+        dict(model_id="M1", sample_id="PS1", sample_origin="patient",
+             passage="0", platform_id="pl1", data_source_tmp="TRACE"),
+    ])
+
+
+def test_platform_dim(spark):
+    p = sample_t.platform(_molchar_platform(spark), _provider_group(spark))
+    rows = {(r["platform_id"], r["molecular_characterisation_type"]): r
+            for r in p.collect()}
+    assert len(rows) == 2
+    assert rows[("pl1", "mutation")]["provider_group_id"] == 1
+    assert rows[("pl1", "mutation")]["library_strategy"] == "WGS"
+    ids = [r["id"] for r in rows.values()]
+    assert sorted(ids) == [1, 2]  # deterministic dense ids
+
+
+def test_cell_sample(spark):
+    platform = sample_t.platform(_molchar_platform(spark), _provider_group(spark))
+    cs = sample_t.cell_sample(_molchar_sample(spark), _model_entity(spark), platform)
+    rows = cs.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["external_cell_sample_id"] == "CS1"
+    assert r["model_id"] == 11
+    assert r["platform_id"] is not None
+
+
+def test_xenograft_sample(spark):
+    platform = sample_t.platform(_molchar_platform(spark), _provider_group(spark))
+    hs = spark.createDataFrame(
+        [(7, "nod scid", "NOD scid")], "id bigint, name string, nomenclature string"
+    )
+    xs = sample_t.xenograft_sample(
+        _molchar_sample(spark), hs, _model_entity(spark), platform
+    )
+    rows = xs.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["external_xenograft_sample_id"] == "XS1"
+    assert r["host_strain_id"] == 7
+    assert r["model_id"] == 10
+
+
+def test_cell_model(spark):
+    raw = fixtures.metadata_fixture(spark)["cell_model"]
+    cm = model_t.cell_model(raw, _model_entity(spark))
+    rows = {r["external_model_id"]: r for r in cm.collect()}
+    assert rows["C1"]["model_id"] == 11
+    assert rows["C2"]["model_id"] is None  # no matching model entity row
+    assert rows["C1"]["provider_abb"] == "TRACE"
+    assert rows["C1"]["rrid"] == "CVCL_1"
+
+
+def test_regimen_to_treatment(spark):
+    raw_ontolia = spark.createDataFrame(
+        [("NCIT_1", "NCIT_10,NCIT_11"), ("NCIT_2", "NCIT_10"),
+         ("NCIT_9", "NCIT_10")],  # NCIT:9 not a known regimen -> dropped
+        "regimen string, treatments string",
+    )
+    regimens = spark.createDataFrame(
+        [("NCIT:1", "FOLFOX"), ("NCIT:2", "CHOP")], "term_id string, term_name string"
+    )
+    treatments = spark.createDataFrame(
+        [("NCIT:10", "Cisplatin"), ("NCIT:11", "Oxaliplatin")],
+        "term_id string, term_name string",
+    )
+    r2t = ont.regimen_to_treatment(raw_ontolia, regimens, treatments)
+    got = {(r["regimen"], r["treatment"]) for r in r2t.collect()}
+    assert got == {("FOLFOX", "Cisplatin"), ("FOLFOX", "Oxaliplatin"),
+                   ("CHOP", "Cisplatin")}
