@@ -286,12 +286,55 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
             if "treatment_aggregation_by_model" in dag.nodes:
                 six_deps.append("treatment_aggregation_by_model")
             dag.add("search_index", _search_index_adapter, six_deps)
+
+    # model_metadata: model spine + whichever JSON/array aggregates this
+    # run's raw modules produced (each aggregate is optional, like the
+    # reference's left-join chain in model_metadata_transformer_job.py)
+    mm_deps = ["model"]
+    mm_tags: list[str] = []
+    if "quality_assurance" in dag.nodes:
+        mm_deps.append("quality_assurance")
+        mm_tags.append("qa")
+    if "xenograft_model_specimen" in dag.nodes:
+        mm_deps += [
+            "xenograft_model_specimen", "host_strain", "engraftment_site",
+            "engraftment_type", "engraftment_sample_type",
+            "engraftment_sample_state",
+        ]
+        mm_tags.append("specimens")
+    if "molecular_characterization" in dag.nodes:
+        mm_deps.append("molecular_characterization")
+        mm_deps.append("initial_model")
+        mm_tags.append("dataset")
+    dag.add("model_metadata", _model_metadata_adapter(mm_tags), mm_deps)
     return dag
 
 
-def _dataset_available_adapter(molchar, initial_model):
-    """molchar carries the provider's external model id; resolve it to the
-    internal model id so per-model aggregates join the search spine."""
+def _model_metadata_adapter(tags: list[str]):
+    def build(model, *dfs):
+        from pdcm_etl_spark.transforms import metadata as meta_t
+
+        dfs = list(dfs)
+        aggs = []
+        if "qa" in tags:
+            aggs.append(meta_t.quality_assurance_json(dfs.pop(0)))
+        if "specimens" in tags:
+            sp, hs, es, et, est, ess = (dfs.pop(0) for _ in range(6))
+            aggs.append(
+                meta_t.xenograft_specimens_json(sp, hs, es, et, est, ess)
+            )
+        if "dataset" in tags:
+            molchar, initial_model = dfs.pop(0), dfs.pop(0)
+            mm = _resolve_molchar_model_ids(molchar, initial_model)
+            aggs.append(meta_t.dataset_available(mm))
+        return meta_t.model_metadata(model, aggs)
+
+    return build
+
+
+def _resolve_molchar_model_ids(molchar, initial_model):
+    """molchar rows carry the provider-external model id; resolve to the
+    internal id used by every per-model aggregate."""
     from pyspark.sql import functions as F
 
     from pdcm_etl_spark.transforms import molecular_data as md_t
@@ -303,12 +346,21 @@ def _dataset_available_adapter(molchar, initial_model):
             F.col("id").alias("internal_model_id"),
         )
     )
-    mm = (
+    return (
         mm.join(ids, "model_id", "left")
         .drop("model_id")
         .withColumnRenamed("internal_model_id", "model_id")
     )
-    return md_t.dataset_available_per_model(mm)
+
+
+def _dataset_available_adapter(molchar, initial_model):
+    """molchar carries the provider's external model id; resolve it to the
+    internal model id so per-model aggregates join the search spine."""
+    from pdcm_etl_spark.transforms import molecular_data as md_t
+
+    return md_t.dataset_available_per_model(
+        _resolve_molchar_model_ids(molchar, initial_model)
+    )
 
 
 def _search_index_adapter(model, six_ps, *aggs):
