@@ -287,6 +287,13 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
                 six_deps.append("treatment_aggregation_by_model")
             dag.add("search_index", _search_index_adapter, six_deps)
 
+    # lineage graph (nodes/edges entities, nodes_transformer_job.py:59-79)
+    if "patient_sample" in dag.nodes:
+        from pdcm_etl_spark.transforms import lineage as lin_t2
+
+        dag.add("node", lin_t2.nodes, ["patient", "patient_sample", "model"])
+        dag.add("edge", lin_t2.edges, ["node", "patient_sample", "model"])
+
     # model_metadata: model spine + whichever JSON/array aggregates this
     # run's raw modules produced (each aggregate is optional, like the
     # reference's left-join chain in model_metadata_transformer_job.py)

@@ -71,6 +71,61 @@ VIEW_DEFINITIONS: dict[str, str] = {
         ) WHERE model_id IS NOT NULL
         GROUP BY treatment
     """,
+    # matview models_by_cancer (views.sql:1097-1102): count per
+    # (cancer_system, histology) over the search slice
+    "models_by_cancer": """
+        SELECT cancer_system, histology, COUNT(*) AS count
+        FROM search_index_patient_sample
+        GROUP BY cancer_system, histology
+    """,
+    # matview models_by_dataset_availability (views.sql:1128-1136):
+    # unnest(dataset_available) → explode + count distinct models
+    "models_by_dataset_availability": """
+        SELECT dataset_availability, COUNT(DISTINCT pdcm_model_id) AS count
+        FROM (
+          SELECT pdcm_model_id, explode(dataset_available) AS dataset_availability
+          FROM search_index
+        ) GROUP BY dataset_availability
+    """,
+    # search_index_enriched (views.sql:818-842): derived columns —
+    # cardinality() → size(), ANY(array) → array_contains(), array ||
+    # append → concat(array(...)). paediatric uses the columns our
+    # search slice carries (histology/patient_age heuristics).
+    "search_index_enriched": """
+        SELECT si.*,
+               CASE WHEN array_contains(dataset_available, 'publication')
+                    THEN size(dataset_available) - 1
+                    ELSE size(dataset_available)
+               END AS model_dataset_type_count,
+               CASE WHEN lower(histology) LIKE '%childhood%'
+                    OR patient_age LIKE '%19'
+                    OR patient_age = '2 - 9'
+                    OR patient_age LIKE '%months'
+                    THEN true ELSE false
+               END AS paediatric
+        FROM search_index si
+    """,
+    # matview dosing_studies (views.sql:1147-1162): per-protocol JSON of
+    # component rows — jsonb_agg(sub) → to_json(collect_list(struct(...)))
+    "dosing_studies": """
+        SELECT tp.model_id,
+               tc.treatment_protocol_id AS protocol_id,
+               to_json(sort_array(collect_list(struct(t.name, tc.treatment_dose)))) AS entries
+        FROM treatment_component tc
+        JOIN treatment t ON t.id = tc.treatment_id
+        JOIN treatment_protocol tp ON tp.id = tc.treatment_protocol_id
+        GROUP BY tp.model_id, tc.treatment_protocol_id
+    """,
+    # models_by_mutated_gene (views.sql:1113-1126):
+    # SPLIT_PART(unnest(markers), '/', 1) → split(explode(...), '/')[0]
+    "models_by_mutated_gene": """
+        SELECT split(marker, '/')[0] AS mutated_gene,
+               COUNT(DISTINCT pdcm_model_id) AS count
+        FROM (
+          SELECT pdcm_model_id, explode(markers_with_mutation_data) AS marker
+          FROM search_index
+        ) GROUP BY mutated_gene
+    """,
 }
 
 

@@ -27,3 +27,21 @@ def test_views_create_and_answer(spark, full_dag):  # noqa: F811
 
     treat = {r["treatment"]: r["n_models"] for r in spark.table("models_by_treatment").collect()}
     assert treat.get("cisplatin") == 1 and treat.get("gemcitabine") == 1
+
+    # views.sql:1097-1102 — per (cancer_system, histology) counts
+    assert "models_by_cancer" in created
+    cancers = spark.table("models_by_cancer").collect()
+    assert all(r["count"] >= 1 for r in cancers)
+
+    # views.sql:1147-1162 — jsonb_agg → to_json(collect_list(struct(...)))
+    assert "dosing_studies" in created
+    dosing = spark.table("dosing_studies").collect()
+    entries = [e for r in dosing for e in json.loads(r["entries"])]
+    assert any(e["name"] for e in entries)
+
+    # views.sql:818-842 — derived columns over search_index; only created
+    # when this run's search_index carries dataset_available
+    if "search_index_enriched" in created:
+        enr = spark.table("search_index_enriched").collect()
+        assert all("paediatric" in r.asDict() for r in enr)
+        assert "models_by_dataset_availability" in created
