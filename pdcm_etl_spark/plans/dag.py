@@ -286,6 +286,12 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
             if "treatment_aggregation_by_model" in dag.nodes:
                 six_deps.append("treatment_aggregation_by_model")
             dag.add("search_index", _search_index_adapter, six_deps)
+            dag.add(
+                "search_facet",
+                _search_facet_adapter,
+                ["search_index"],
+                needs_spark=True,
+            )
 
     # lineage graph (nodes/edges entities, nodes_transformer_job.py:59-79)
     if "patient_sample" in dag.nodes:
@@ -368,6 +374,12 @@ def _dataset_available_adapter(molchar, initial_model):
     return md_t.dataset_available_per_model(
         _resolve_molchar_model_ids(molchar, initial_model)
     )
+
+
+def _search_facet_adapter(spark, search_index_df):
+    from pdcm_etl_spark.transforms import facets as facets_t
+
+    return facets_t.search_facets(spark, search_index_df)
 
 
 def _search_index_adapter(model, six_ps, *aggs):
