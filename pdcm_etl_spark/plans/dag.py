@@ -235,6 +235,25 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
                 ["raw/molchar_sample", "host_strain", "model", "platform"],
             )
 
+        # per-type molecular measurement tables + the column-profile
+        # entity (available_molecular_data_columns_transformer_job.py)
+        meas_mods = [
+            m for m in ("mutation", "cna", "expression", "biomarker", "immunemarker")
+            if m in raw
+        ]
+        for mod in meas_mods:
+            dag.add(
+                f"{mod}_measurement_data",
+                _measurement_adapter,
+                [f"raw/{mod}", "molecular_characterization"],
+            )
+        if meas_mods:
+            dag.add(
+                "available_molecular_data_columns",
+                _available_columns_adapter(meas_mods),
+                [f"{m}_measurement_data" for m in meas_mods],
+            )
+
     if "obo" in raw:
         dag.add("ontology_term", ont_t.ontology_term, ["raw/obo"])
         dag.add("term_closure", ont_t.term_closure, ["raw/obo"])
@@ -374,6 +393,21 @@ def _dataset_available_adapter(molchar, initial_model):
     return md_t.dataset_available_per_model(
         _resolve_molchar_model_ids(molchar, initial_model)
     )
+
+
+def _measurement_adapter(raw_df, molchar):
+    from pdcm_etl_spark.transforms import molecular_data as md_t
+
+    return md_t.measurement_data(raw_df, molchar)
+
+
+def _available_columns_adapter(mod_names: list[str]):
+    def build(*dfs):
+        from pdcm_etl_spark.transforms import profile as profile_t
+
+        return profile_t.available_columns_all(dict(zip(mod_names, dfs)))
+
+    return build
 
 
 def _search_facet_adapter(spark, search_index_df):

@@ -58,6 +58,12 @@ def full_dag(spark, tmp_path_factory):
              instrument_model="Illumina", library_strategy="WGS",
              data_source_tmp="TRACE"),
     ])
+    raw["mutation"] = fixtures.make_module_df(spark, "mutation", [
+        dict(sample_id="MS1", symbol="KRAS", chromosome="12", read_depth="40",
+             platform_id="pl1", data_source_tmp="TRACE"),
+        dict(sample_id="MS1", symbol="TP53", chromosome="17", read_depth=None,
+             platform_id="pl1", data_source_tmp="TRACE"),
+    ])
     return build_metadata_dag(spark, raw)
 
 
@@ -68,11 +74,22 @@ def test_all_entities_resolve(full_dag):
         "tissue", "tumour_type", "patient_sample", "treatment_protocol",
         "treatment", "treatment_component", "molecular_characterization",
         "ontology_term", "ontology_term_diagnosis", "sample_to_ontology",
-        "search_index_patient_sample",
+        "search_index_patient_sample", "platform", "cell_sample",
+        "xenograft_sample", "cell_model", "mutation_measurement_data",
+        "available_molecular_data_columns", "model_metadata", "node", "edge",
+        "search_facet",
     }
     assert expected <= set(out)
     for name in expected:
         assert out[name].count() >= 0  # forces full materialization
+
+    amdc = {r["molecular_characterization_type"]: r["available_columns"]
+            for r in out["available_molecular_data_columns"].collect()}
+    assert "symbol" in amdc["mutation"] and "read_depth" in amdc["mutation"]
+
+    mmd = out["mutation_measurement_data"].collect()
+    assert len(mmd) == 2
+    assert all(r["molecular_characterization_id"] is not None for r in mmd)
 
 
 def test_search_index_patient_sample_end_to_end(full_dag):
