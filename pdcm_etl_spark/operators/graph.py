@@ -40,9 +40,11 @@ def ancestor_closure(
     Semantics match a WITH RECURSIVE over ``parent_map`` (see the DuckDB
     oracle in plans/catalog.py).
     """
+    # the parent map is probed once per round — persist it or every
+    # iteration re-runs the source scan
     parent_map = edges.select(
         F.col(node_col).alias("pm_node"), F.col(parent_col).alias("pm_parent")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     frontier = edges.select(
         F.col(node_col).alias("node"),
