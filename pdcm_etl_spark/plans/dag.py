@@ -253,6 +253,13 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
                 _available_columns_adapter(meas_mods),
                 [f"{m}_measurement_data" for m in meas_mods],
             )
+        if "mutation" in meas_mods:
+            dag.add(
+                "markers_with_mutation_data",
+                _markers_per_model_adapter,
+                ["mutation_measurement_data", "molecular_characterization",
+                 "initial_model"],
+            )
 
     if "obo" in raw:
         dag.add("ontology_term", ont_t.ontology_term, ["raw/obo"])
@@ -304,6 +311,8 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
                 six_deps.append("dataset_available")
             if "treatment_aggregation_by_model" in dag.nodes:
                 six_deps.append("treatment_aggregation_by_model")
+            if "markers_with_mutation_data" in dag.nodes:
+                six_deps.append("markers_with_mutation_data")
             dag.add("search_index", _search_index_adapter, six_deps)
             dag.add(
                 "search_facet",
@@ -392,6 +401,17 @@ def _dataset_available_adapter(molchar, initial_model):
 
     return md_t.dataset_available_per_model(
         _resolve_molchar_model_ids(molchar, initial_model)
+    )
+
+
+def _markers_per_model_adapter(mutation_md, molchar, initial_model):
+    """Sorted distinct mutated-marker list per model — feeds search_index
+    and the models_by_mutated_gene view (views.sql:1113-1126)."""
+    from pdcm_etl_spark.transforms import molecular_data as md_t
+
+    mm = _resolve_molchar_model_ids(molchar, initial_model)
+    return md_t.genes_per_model(
+        mutation_md, mm, "markers_with_mutation_data", symbol_col="symbol"
     )
 
 

@@ -45,3 +45,9 @@ def test_views_create_and_answer(spark, full_dag):  # noqa: F811
         enr = spark.table("search_index_enriched").collect()
         assert all("paediatric" in r.asDict() for r in enr)
         assert "models_by_dataset_availability" in created
+
+    # views.sql:1113-1126 — SPLIT_PART(unnest(...)) over the marker lists
+    assert "models_by_mutated_gene" in created
+    genes = {r["mutated_gene"]: r["count"]
+             for r in spark.table("models_by_mutated_gene").collect()}
+    assert genes.get("KRAS") == 1 and genes.get("TP53") == 1
