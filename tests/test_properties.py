@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for the core kit — coverage the
+reference lacks entirely (SURVEY §5: no property/randomized testing).
+
+Each property runs a small number of examples (Spark round-trips are the
+cost driver); the properties themselves are the strong part:
+- deterministic ids are a pure function of the row multiset (partition-
+  and order-independent) — the exact guarantee monotonically_increasing_id
+  breaks in the reference;
+- cleaning is idempotent;
+- exact-dedup groups partition the input.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+names = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs")),
+    min_size=0,
+    max_size=12,
+)
+
+
+@SLOW
+@given(st.lists(names, min_size=1, max_size=30))
+def test_dense_ids_are_order_and_partition_independent(spark, rows):
+    from pdcm_etl_spark.functions.ids import add_id
+
+    df1 = spark.createDataFrame([(r,) for r in rows], "name string").repartition(7)
+    df2 = spark.createDataFrame([(r,) for r in reversed(rows)], "name string").coalesce(1)
+    m1 = {r["name"]: r["id"] for r in add_id(df1, key_cols=["name"]).collect()}
+    m2 = {r["name"]: r["id"] for r in add_id(df2, key_cols=["name"]).collect()}
+    assert m1 == m2
+    # dense: ids cover 1..K for K distinct keys
+    assert set(m1.values()) == set(range(1, len(set(rows)) + 1))
+
+
+@SLOW
+@given(st.lists(names, min_size=1, max_size=30))
+def test_hash_ids_are_stable_and_key_pure(spark, rows):
+    from pdcm_etl_spark.functions.ids import hash_id
+
+    df = spark.createDataFrame([(r,) for r in rows], "name string")
+    a = {r["name"]: r["h"] for r in df.select("name", hash_id("name").alias("h")).collect()}
+    b = {r["name"]: r["h"] for r in df.repartition(5).select("name", hash_id("name").alias("h")).collect()}
+    assert a == b
+
+
+@SLOW
+@given(st.lists(st.text(max_size=16), min_size=1, max_size=25))
+def test_trim_all_is_idempotent(spark, rows):
+    from pdcm_etl_spark.functions.cleaner import trim_all
+
+    df = spark.createDataFrame([(r,) for r in rows], "s string")
+    out = df.select(
+        trim_all("s").alias("once"), trim_all(trim_all("s")).alias("twice")
+    )
+    assert all(r["once"] == r["twice"] for r in out.collect())
+
+
+@SLOW
+@given(st.lists(st.sampled_from(["a b c", "a  b", "x", "", "a b c d"]), min_size=1, max_size=40))
+def test_exact_dedup_partitions_the_input(spark, texts):
+    from pdcm_etl_spark.operators.dedup import exact_dup_groups
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    groups = exact_dup_groups(df).collect()
+    # group sizes sum to the row count; keep ids are members
+    assert sum(g["n_docs"] for g in groups) == len(texts)
+    keep = {g["keep_id"] for g in groups}
+    assert keep <= set(range(len(texts)))
+
+
+@pytest.mark.parametrize("n", [0, 1, 2])
+def test_shingles_short_docs_are_empty_not_errors(spark, n):
+    from pdcm_etl_spark.operators.dedup import shingles
+
+    text = " ".join(["w"] * n)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    assert shingles(df, n=3).count() == 0
