@@ -282,6 +282,13 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
             ont_t.ontology_term_regimen,
             ["ontology_term", "term_closure"],
         )
+        if "treatment_mapping" in raw and "treatment" in dag.nodes:
+            dag.add(
+                "treatment_name_harmonisation",
+                tr_t.harmonise_treatment_names,
+                ["treatment", "raw/treatment_mapping",
+                 "ontology_term_treatment", "ontology_term_regimen"],
+            )
         if "ontolia" in raw:
             dag.add(
                 "regimen_to_treatment",

@@ -27,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pdcm_etl_spark.functions.cleaner import init_cap_and_trim_all, trim_all
+from pdcm_etl_spark.functions.cleaner import (
+    init_cap_and_trim_all,
+    lower_and_trim_all,
+    trim_all,
+)
 from pdcm_etl_spark.functions.ids import add_id
 from pdcm_etl_spark.functions.joins import transform_to_fk
 from pdcm_etl_spark.sources.tsv import PROVIDER_COL
@@ -275,3 +279,40 @@ def treatment_aggregation_by_model(
         F.col("responses").alias("patient_treatments_responses"),
     )
     return dd.join(pt, on="model_id", how="outer")
+
+
+def harmonise_treatment_names(
+    treatment_df: DataFrame,
+    treatment_mapping_df: DataFrame,
+    ontology_term_treatment_df: DataFrame,
+    ontology_term_regimen_df: DataFrame,
+) -> DataFrame:
+    """Treatment-name → NCIt term harmonisation
+    (treatment_name_harmonisation_helper_transformer_job.py:43-92):
+    case-normalized mapping-rule join to the term URL, then a union of the
+    treatment/regimen ontology branches (tagged with ``class``) resolves
+    the term. Both lookup sides are small — broadcast."""
+    names = treatment_df.select("name").drop_duplicates().withColumn(
+        "name_l", lower_and_trim_all("name")
+    )
+    mapping = F.broadcast(
+        treatment_mapping_df.select(
+            lower_and_trim_all("treatment").alias("name_l"),
+            "mapped_term_url",
+        ).drop_duplicates()
+    )
+    mapped = names.join(mapping, "name_l", "left").select("name", "mapped_term_url")
+
+    terms = F.broadcast(
+        ontology_term_treatment_df.select("term_id", "term_name", "term_url")
+        .withColumn("class", F.lit("treatment"))
+        .unionByName(
+            ontology_term_regimen_df.select("term_id", "term_name", "term_url")
+            .withColumn("class", F.lit("regimen"))
+        )
+    )
+    return (
+        mapped.join(terms, mapped.mapped_term_url == terms.term_url, "left")
+        .select("name", "term_name", "term_id", "class")
+        .drop_duplicates()
+    )

@@ -114,3 +114,35 @@ def test_regimen_to_treatment(spark):
     got = {(r["regimen"], r["treatment"]) for r in r2t.collect()}
     assert got == {("FOLFOX", "Cisplatin"), ("FOLFOX", "Oxaliplatin"),
                    ("CHOP", "Cisplatin")}
+
+
+def test_harmonise_treatment_names(spark):
+    from pdcm_etl_spark.transforms import treatment as tr_t
+
+    treatment = spark.createDataFrame(
+        [(1, "Cisplatin", "TRACE"), (2, " FOLFOX ", "TRACE"), (3, "Unmapped", "PDMR")],
+        "id bigint, name string, data_source_tmp string",
+    )
+    mapping = fixtures.make_module_df(spark, "treatment_mapping", [
+        dict(datasource="trace", treatment="cisplatin",
+             mapped_term_url="http://purl.obolibrary.org/obo/NCIT_C376",
+             data_source_tmp="TRACE"),
+        dict(datasource="trace", treatment="folfox",
+             mapped_term_url="http://purl.obolibrary.org/obo/NCIT_C11197",
+             data_source_tmp="TRACE"),
+    ])
+    terms_t = spark.createDataFrame(
+        [("NCIT:C376", "Cisplatin", "http://purl.obolibrary.org/obo/NCIT_C376")],
+        "term_id string, term_name string, term_url string",
+    )
+    terms_r = spark.createDataFrame(
+        [("NCIT:C11197", "FOLFOX Regimen",
+          "http://purl.obolibrary.org/obo/NCIT_C11197")],
+        "term_id string, term_name string, term_url string",
+    )
+    out = {r["name"]: r for r in tr_t.harmonise_treatment_names(
+        treatment, mapping, terms_t, terms_r).collect()}
+    assert out["Cisplatin"]["class"] == "treatment"
+    assert out[" FOLFOX "]["term_name"] == "FOLFOX Regimen"
+    assert out[" FOLFOX "]["class"] == "regimen"
+    assert out["Unmapped"]["term_id"] is None
