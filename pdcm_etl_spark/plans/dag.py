@@ -121,6 +121,23 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
     dag.add("source_database", dims.source_database, ["raw/sharing"])
     dag.add("license", lambda s: dims.license_table(s), [], needs_spark=True)
 
+    # static / config-as-table entities (always present)
+    from pdcm_etl_spark.transforms import images as img_t
+    from pdcm_etl_spark.transforms.molecular import molecular_characterization_type
+
+    dag.add(
+        "molecular_characterization_type",
+        molecular_characterization_type,
+        [],
+        needs_spark=True,
+    )
+    dag.add(
+        "molecular_data_restriction",
+        img_t.molecular_data_restriction,
+        [],
+        needs_spark=True,
+    )
+
     dag.add(
         "patient", patient_t.patient, ["raw/patient", "ethnicity", "provider_group"]
     )
@@ -261,6 +278,19 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
                  "initial_model"],
             )
 
+    # imaging cluster (image_study/model_image modules)
+    if "image_study" in raw:
+        dag.add("image_study", img_t.image_study, ["raw/image_study"])
+    if "model_image" in raw:
+        dag.add("model_image", img_t.model_image, ["raw/model_image", "initial_model"])
+
+    # HGNC gene-marker reference + exploded symbol side tables
+    # (gene_marker_transformer_job.py:25-46)
+    if "markers" in raw:
+        dag.add("gene_marker", mol_t.gene_marker, ["raw/markers"])
+        dag.add("gene_marker_previous_symbols", mol_t.previous_symbols, ["gene_marker"])
+        dag.add("gene_marker_alias_symbols", mol_t.alias_symbols, ["gene_marker"])
+
     if "obo" in raw:
         dag.add("ontology_term", ont_t.ontology_term, ["raw/obo"])
         dag.add("term_closure", ont_t.term_closure, ["raw/obo"])
@@ -354,6 +384,9 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
         mm_deps.append("molecular_characterization")
         mm_deps.append("initial_model")
         mm_tags.append("dataset")
+    if "model_image" in dag.nodes:
+        mm_deps.append("model_image")
+        mm_tags.append("images")
     dag.add("model_metadata", _model_metadata_adapter(mm_tags), mm_deps)
     return dag
 
@@ -375,6 +408,10 @@ def _model_metadata_adapter(tags: list[str]):
             molchar, initial_model = dfs.pop(0), dfs.pop(0)
             mm = _resolve_molchar_model_ids(molchar, initial_model)
             aggs.append(meta_t.dataset_available(mm))
+        if "images" in tags:
+            from pdcm_etl_spark.transforms import images as img_t
+
+            aggs.append(img_t.model_images_json(dfs.pop(0)))
         return meta_t.model_metadata(model, aggs)
 
     return build

@@ -19,12 +19,25 @@ would emit, but explicit)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdcm_etl_spark.functions.cleaner import trim_all
 from pdcm_etl_spark.functions.ids import add_id
 from pdcm_etl_spark.sources.tsv import PROVIDER_COL
+
+# fixed vocabulary (molecular_characterization_type_transformer_job.py:24-25)
+MOLCHAR_TYPES = [
+    "biomarker", "copy number alteration", "mutation", "expression", "immunemarker",
+]
+
+
+def molecular_characterization_type(spark: SparkSession) -> DataFrame:
+    """Static molchar-type dim — values are a fixed vocabulary, so the
+    table is generated, not ingested."""
+    return spark.createDataFrame(
+        list(enumerate(MOLCHAR_TYPES, start=1)), "id long, name string"
+    )
 
 
 def gene_marker(raw_markers: DataFrame) -> DataFrame:

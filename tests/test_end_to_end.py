@@ -64,6 +64,25 @@ def full_dag(spark, tmp_path_factory):
         dict(sample_id="MS1", symbol="TP53", chromosome="17", read_depth=None,
              platform_id="pl1", data_source_tmp="TRACE"),
     ])
+    raw["image_study"] = fixtures.make_module_df(spark, "image_study", [
+        dict(study_id="IS1", title="H&E slides", imaging_method="brightfield",
+             data_source_tmp="TRACE"),
+    ])
+    raw["model_image"] = fixtures.make_module_df(spark, "model_image", [
+        dict(model_id="M1", url="http://img/1.png", description='has "quotes"',
+             sample_type="xenograft", passage="2", magnification="20x",
+             staining="H&E", data_source_tmp="TRACE"),
+        dict(model_id="M1", url="http://img/2.png", sample_type="xenograft",
+             data_source_tmp="TRACE"),
+        dict(model_id="GHOST", url="http://img/3.png",
+             data_source_tmp="TRACE"),  # unknown model → dropped (inner join)
+    ])
+    raw["markers"] = fixtures.make_module_df(spark, "markers", [
+        dict(hgnc_id="HGNC:6407", approved_symbol="KRAS", status="Approved",
+             previous_symbols="KRAS2", alias_symbols="K-ras, Ki-ras",
+             ensembl_gene_id="ENSG00000133703", ncbi_gene_id="3845",
+             data_source_tmp="AUX"),
+    ])
     return build_metadata_dag(spark, raw)
 
 
@@ -90,6 +109,36 @@ def test_all_entities_resolve(full_dag):
     mmd = out["mutation_measurement_data"].collect()
     assert len(mmd) == 2
     assert all(r["molecular_characterization_id"] is not None for r in mmd)
+
+
+def test_static_and_imaging_entities(full_dag):
+    import json
+
+    out = full_dag.run()
+    # fixed molchar-type vocabulary
+    types = {r["name"] for r in out["molecular_characterization_type"].collect()}
+    assert types == {"biomarker", "copy number alteration", "mutation",
+                     "expression", "immunemarker"}
+    # config-as-table restriction entity
+    restr = out["molecular_data_restriction"].collect()
+    assert {r["data_source"] for r in restr} == {"CRL"}
+    # imaging cluster: ghost-model image dropped by the FK inner join
+    imgs = out["model_image"].collect()
+    assert len(imgs) == 2 and all(r["model_id"] is not None for r in imgs)
+    assert out["image_study"].count() == 1
+    # model_metadata carries the per-model JSON image aggregate
+    mm = {r["external_model_id"]: r for r in out["model_metadata"].collect()}
+    images = json.loads(mm["M1"]["model_images"])
+    assert {i["url"] for i in images} == {"http://img/1.png", "http://img/2.png"}
+    assert any(i.get("description") == 'has "quotes"' for i in images)
+    assert mm["M2"]["model_images"] is None
+    # gene marker reference + exploded side tables
+    gm = out["gene_marker"].collect()
+    assert gm[0]["approved_symbol"] == "KRAS"
+    aliases = {r["alias_symbol"] for r in out["gene_marker_alias_symbols"].collect()}
+    assert aliases == {"K-ras", "Ki-ras"}
+    prev = {r["previous_symbol"] for r in out["gene_marker_previous_symbols"].collect()}
+    assert prev == {"KRAS2"}
 
 
 def test_search_index_patient_sample_end_to_end(full_dag):
