@@ -258,12 +258,16 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
             m for m in ("mutation", "cna", "expression", "biomarker", "immunemarker")
             if m in raw
         ]
+        # gene-symbol columns exist on mutation/cna/expression/biomarker
+        # (immunemarker keys on marker_name — never harmonised, matching
+        # the reference's per-type GeneHelper wiring)
+        harmonisable = {"mutation", "cna", "expression", "biomarker"}
         for mod in meas_mods:
-            dag.add(
-                f"{mod}_measurement_data",
-                _measurement_adapter,
-                [f"raw/{mod}", "molecular_characterization"],
-            )
+            deps = [f"raw/{mod}", "molecular_characterization"]
+            if mod in harmonisable and "markers" in raw:
+                deps += ["gene_marker", "gene_marker_previous_symbols",
+                         "gene_marker_alias_symbols"]
+            dag.add(f"{mod}_measurement_data", _measurement_adapter, deps)
         if meas_mods:
             dag.add(
                 "available_molecular_data_columns",
@@ -336,9 +340,10 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
                 "search_index_patient_sample",
                 _search_index_ps_adapter,
                 ["patient_sample", "patient", "sample_to_ontology",
-                 "ontology_term_diagnosis", "term_ancestors"],
+                 "ontology_term_diagnosis", "term_ancestors",
+                 "tissue", "tumour_type", "ethnicity"],
             )
-            six_deps = ["model", "search_index_patient_sample"]
+            six_deps = ["model", "search_index_patient_sample", "provider_group"]
             if "molecular_characterization" in dag.nodes:
                 dag.add(
                     "dataset_available",
@@ -459,10 +464,32 @@ def _markers_per_model_adapter(mutation_md, molchar, initial_model):
     )
 
 
-def _measurement_adapter(raw_df, molchar):
+def _measurement_adapter(raw_df, molchar, gene_marker=None, prev_syms=None,
+                         alias_syms=None):
+    """Measurement table builder; when the HGNC reference tables are
+    wired in, rows go through the 5-stage symbol-harmonisation cascade
+    first so the table carries hgnc_symbol / non_harmonised_symbol /
+    harmonisation_result (the columns every *_data_table view exposes,
+    views.sql:363-404)."""
+    from pdcm_etl_spark.transforms import molecular as mol_t
     from pdcm_etl_spark.transforms import molecular_data as md_t
 
-    return md_t.measurement_data(raw_df, molchar)
+    harmonised = None
+    if gene_marker is not None:
+        from pyspark.sql import functions as F
+
+        h_in = raw_df
+        # biomarker module names its gene column 'biomarker' and carries
+        # no stable ids — normalize so the cascade's later stages no-op
+        if "symbol" not in h_in.columns and "biomarker" in h_in.columns:
+            h_in = h_in.withColumn("symbol", F.col("biomarker"))
+        for id_col in ("ensembl_gene_id", "ncbi_gene_id"):
+            if id_col not in h_in.columns:
+                h_in = h_in.withColumn(id_col, F.lit(None).cast("string"))
+        harmonised = mol_t.harmonise_marker_symbols(
+            h_in, gene_marker, prev_syms, alias_syms
+        )
+    return md_t.measurement_data(raw_df, molchar, harmonised=harmonised)
 
 
 def _available_columns_adapter(mod_names: list[str]):
@@ -480,10 +507,12 @@ def _search_facet_adapter(spark, search_index_df):
     return facets_t.search_facets(spark, search_index_df)
 
 
-def _search_index_adapter(model, six_ps, *aggs):
+def _search_index_adapter(model, six_ps, provider_group, *aggs):
     from pdcm_etl_spark.transforms import search as search_t
 
-    return search_t.search_index(model, six_ps, list(aggs))
+    return search_t.search_index(
+        model, six_ps, list(aggs), provider_group_df=provider_group
+    )
 
 
 def _sample_to_ontology_adapter(
@@ -521,7 +550,9 @@ def _sample_to_ontology_adapter(
     return ont_t.sample_to_ontology(sample_data, diagnosis_mapping, diag_terms)
 
 
-def _search_index_ps_adapter(patient_sample, patient, s2o, diag_terms, ancestors):
+def _search_index_ps_adapter(
+    patient_sample, patient, s2o, diag_terms, ancestors, tissue, tumour_type, ethnicity
+):
     from pyspark.sql import functions as F
 
     from pdcm_etl_spark.transforms import search as search_t
@@ -532,5 +563,6 @@ def _search_index_ps_adapter(patient_sample, patient, s2o, diag_terms, ancestors
         "left",
     ).drop("a_term_id")
     return search_t.search_index_patient_sample(
-        patient_sample, patient, s2o, terms_with_anc
+        patient_sample, patient, s2o, terms_with_anc,
+        tissue_df=tissue, tumour_type_df=tumour_type, ethnicity_df=ethnicity,
     )

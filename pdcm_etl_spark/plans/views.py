@@ -126,6 +126,367 @@ VIEW_DEFINITIONS: dict[str, str] = {
           FROM search_index
         ) GROUP BY mutated_gene
     """,
+    # ---- molecular data query surface (views.sql:2-64,363-815) ----
+    # molecular_characterization_vw (views.sql:2-64): molchar with display
+    # names. Our molchar entity already resolved origin + platform, so the
+    # reference's per-origin correlated subselects collapse to projections.
+    "molecular_characterization_vw": """
+        SELECT mc.model_id,
+               mc.data_source_tmp AS data_source,
+               mc.sample_origin AS source,
+               mc.sample_id,
+               CASE WHEN mc.sample_origin = 'xenograft' THEN mc.passage END
+                 AS xenograft_passage,
+               mc.raw_data_url,
+               CASE WHEN mc.molchar_type = 'biomarker' THEN 'bio markers'
+                    ELSE mc.molchar_type END AS data_type,
+               mc.instrument_model AS platform_name,
+               mc.id AS molecular_characterization_id
+        FROM molecular_characterization mc
+    """,
+    # mutation_data_table (views.sql:363-404): restriction filter is the
+    # reference's (data_source, table) NOT IN → here an anti-join shape;
+    # (row)::text → to_json(struct(*)).
+    "mutation_data_table": """
+        SELECT mmd.molecular_characterization_id,
+               COALESCE(mmd.hgnc_symbol, mmd.non_harmonised_symbol) AS hgnc_symbol,
+               mmd.non_harmonised_symbol,
+               mmd.amino_acid_change, mmd.chromosome, mmd.strand,
+               mmd.consequence, mmd.read_depth, mmd.allele_frequency,
+               mmd.seq_start_position, mmd.ref_allele, mmd.alt_allele,
+               mmd.biotype,
+               mmd.data_source_tmp AS data_source,
+               mmd.harmonisation_result,
+               to_json(struct(mmd.*)) AS text
+        FROM mutation_measurement_data mmd
+        WHERE NOT EXISTS (
+          SELECT 1 FROM molecular_data_restriction r
+          WHERE r.data_source = mmd.data_source_tmp
+            AND r.molecular_data_table = 'mutation_measurement_data')
+    """,
+    "expression_data_table": """
+        SELECT emd.molecular_characterization_id,
+               COALESCE(emd.hgnc_symbol, emd.non_harmonised_symbol) AS hgnc_symbol,
+               emd.non_harmonised_symbol,
+               emd.rnaseq_coverage, emd.rnaseq_fpkm, emd.rnaseq_tpm,
+               emd.rnaseq_count, emd.affy_hgea_probe_id,
+               emd.affy_hgea_expression_value, emd.illumina_hgea_probe_id,
+               emd.illumina_hgea_expression_value, emd.z_score,
+               emd.data_source_tmp AS data_source,
+               emd.harmonisation_result,
+               to_json(struct(emd.*)) AS text
+        FROM expression_measurement_data emd
+        WHERE NOT EXISTS (
+          SELECT 1 FROM molecular_data_restriction r
+          WHERE r.data_source = emd.data_source_tmp
+            AND r.molecular_data_table = 'expression_measurement_data')
+    """,
+    "cna_data_table": """
+        SELECT cmd.molecular_characterization_id,
+               COALESCE(cmd.hgnc_symbol, cmd.non_harmonised_symbol) AS hgnc_symbol,
+               cmd.non_harmonised_symbol,
+               cmd.chromosome, cmd.strand,
+               cmd.log10r_cna, cmd.log2r_cna,
+               cmd.seq_start_position, cmd.seq_end_position,
+               cmd.copy_number_status, cmd.gistic_value, cmd.picnic_value,
+               cmd.data_source_tmp AS data_source,
+               cmd.harmonisation_result,
+               to_json(struct(cmd.*)) AS text
+        FROM cna_measurement_data cmd
+        WHERE NOT EXISTS (
+          SELECT 1 FROM molecular_data_restriction r
+          WHERE r.data_source = cmd.data_source_tmp
+            AND r.molecular_data_table = 'cna_measurement_data')
+    """,
+    "biomarker_data_table": """
+        SELECT bmd.molecular_characterization_id,
+               COALESCE(bmd.hgnc_symbol, bmd.non_harmonised_symbol) AS biomarker,
+               bmd.non_harmonised_symbol,
+               bmd.biomarker_status AS result,
+               bmd.data_source_tmp AS data_source,
+               bmd.harmonisation_result,
+               to_json(struct(bmd.*)) AS text
+        FROM biomarker_measurement_data bmd
+        WHERE NOT EXISTS (
+          SELECT 1 FROM molecular_data_restriction r
+          WHERE r.data_source = bmd.data_source_tmp
+            AND r.molecular_data_table = 'biomarker_measurement_data')
+    """,
+    # immunemarker has no symbol harmonisation (views.sql:655-671)
+    "immunemarker_data_table": """
+        SELECT imd.molecular_characterization_id,
+               imd.marker_type, imd.marker_name, imd.marker_value,
+               imd.essential_or_additional_details
+        FROM immunemarker_measurement_data imd
+    """,
+    # *_data_extended (views.sql:448-494 etc.): measurement rows with the
+    # model/sample they came from, via model_molecular_metadata
+    "mutation_data_extended": """
+        SELECT mmm.model_id, mmm.sample_id, mmm.source,
+               mdt.hgnc_symbol, mdt.amino_acid_change, mdt.consequence,
+               mdt.read_depth, mdt.allele_frequency, mdt.seq_start_position,
+               mdt.ref_allele, mdt.alt_allele, mdt.data_source,
+               mdt.non_harmonised_symbol, mdt.harmonisation_result
+        FROM mutation_data_table mdt
+        JOIN model_molecular_metadata mmm
+          ON mmm.molecular_characterization_id = mdt.molecular_characterization_id
+    """,
+    "expression_data_extended": """
+        SELECT mmm.model_id, mmm.sample_id, mmm.source,
+               edt.hgnc_symbol, edt.rnaseq_coverage, edt.rnaseq_fpkm,
+               edt.rnaseq_tpm, edt.rnaseq_count, edt.affy_hgea_probe_id,
+               edt.affy_hgea_expression_value, edt.illumina_hgea_probe_id,
+               edt.illumina_hgea_expression_value, edt.z_score,
+               edt.data_source, edt.non_harmonised_symbol,
+               edt.harmonisation_result
+        FROM expression_data_table edt
+        JOIN model_molecular_metadata mmm
+          ON mmm.molecular_characterization_id = edt.molecular_characterization_id
+    """,
+    "cna_data_extended": """
+        SELECT mmm.model_id, mmm.sample_id, mmm.source,
+               cdt.hgnc_symbol, cdt.chromosome, cdt.strand,
+               cdt.log10r_cna, cdt.log2r_cna, cdt.seq_start_position,
+               cdt.seq_end_position, cdt.copy_number_status,
+               cdt.gistic_value, cdt.picnic_value, cdt.data_source,
+               cdt.non_harmonised_symbol, cdt.harmonisation_result
+        FROM cna_data_table cdt
+        JOIN model_molecular_metadata mmm
+          ON mmm.molecular_characterization_id = cdt.molecular_characterization_id
+    """,
+    "biomarker_data_extended": """
+        SELECT mmm.model_id, mmm.data_source, mmm.source, mmm.sample_id,
+               bdt.biomarker, bdt.non_harmonised_symbol, bdt.result,
+               bdt.harmonisation_result
+        FROM biomarker_data_table bdt
+        JOIN model_molecular_metadata mmm
+          ON mmm.molecular_characterization_id = bdt.molecular_characterization_id
+    """,
+    "immunemarker_data_extended": """
+        SELECT mcv.model_id, mcv.data_source, mcv.source, mcv.sample_id,
+               idt.marker_type, idt.marker_name, idt.marker_value,
+               idt.essential_or_additional_details
+        FROM immunemarker_data_table idt
+        JOIN molecular_characterization_vw mcv
+          ON mcv.molecular_characterization_id = idt.molecular_characterization_id
+    """,
+    # ---- treatment query surface (views.sql:1142-1190,1192-1244,1295-1416) ----
+    # patient_treatment: per-(model, protocol) JSON of treatment entries;
+    # jsonb_agg(sub) → to_json(sort_array(collect_list(struct(...))))
+    "patient_treatment": """
+        SELECT ps.model_id,
+               tp.id AS protocol_id,
+               r.name AS response,
+               to_json(sort_array(collect_list(
+                 struct(t.name, tc.treatment_dose AS dose)))) AS entries
+        FROM treatment_protocol tp
+        JOIN patient_sample ps ON ps.patient_id = tp.patient_id
+        JOIN treatment_component tc ON tc.treatment_protocol_id = tp.id
+        JOIN treatment t ON t.id = tc.treatment_id
+        LEFT JOIN response r ON r.id = tp.response_id
+        WHERE tp.treatment_target = 'patient'
+        GROUP BY ps.model_id, tp.id, r.name
+    """,
+    "patient_treatment_extended": """
+        SELECT si.external_model_id AS model_id,
+               si.data_source,
+               si.external_patient_id AS patient_id,
+               si.patient_age, si.patient_sex, si.patient_ethnicity,
+               si.histology,
+               r.name AS response,
+               to_json(sort_array(collect_list(
+                 struct(t.name, tc.treatment_dose AS dose)))) AS entries
+        FROM treatment_protocol tp
+        JOIN patient_sample ps ON ps.patient_id = tp.patient_id
+        JOIN search_index si ON si.pdcm_model_id = ps.model_id
+        JOIN treatment_component tc ON tc.treatment_protocol_id = tp.id
+        JOIN treatment t ON t.id = tc.treatment_id
+        LEFT JOIN response r ON r.id = tp.response_id
+        WHERE tp.treatment_target = 'patient'
+        GROUP BY tp.id, si.external_model_id, si.data_source,
+                 si.external_patient_id, si.patient_age, si.patient_sex,
+                 si.patient_ethnicity, si.histology, r.name
+    """,
+    "drug_dosing_extended": """
+        SELECT si.external_model_id AS model_id,
+               si.data_source,
+               si.histology,
+               r.name AS response,
+               to_json(sort_array(collect_list(
+                 struct(t.name, tc.treatment_dose AS dose)))) AS entries
+        FROM treatment_protocol tp
+        JOIN search_index si ON si.pdcm_model_id = tp.model_id
+        JOIN treatment_component tc ON tc.treatment_protocol_id = tp.id
+        JOIN treatment t ON t.id = tc.treatment_id
+        LEFT JOIN response r ON r.id = tp.response_id
+        WHERE tp.treatment_target = 'drug dosing'
+        GROUP BY tp.id, si.external_model_id, si.data_source, si.histology,
+                 r.name
+    """,
+    # ---- search surface (views.sql:1280-1293, 1544-1549) ----
+    "search_facet_options": """
+        SELECT facet_column, explode(facet_options) AS option
+        FROM search_facet
+    """,
+    "info": """
+        SELECT 'total_models' AS key,
+               (SELECT COUNT(1) FROM search_index) AS value
+    """,
+    # ---- Data Overview counts (views.sql:1418-1543) ----
+    "models_by_primary_site": """
+        SELECT primary_site, COUNT(1) AS count
+        FROM search_index GROUP BY primary_site
+    """,
+    "models_by_anatomical_system_and_diagnosis": """
+        SELECT cancer_system, histology, COUNT(1) AS count
+        FROM search_index GROUP BY cancer_system, histology
+    """,
+    "models_by_tumour_type": """
+        SELECT tumour_type, COUNT(1) AS count
+        FROM search_index GROUP BY tumour_type
+    """,
+    "models_by_patient_age": """
+        SELECT patient_age, COUNT(1) AS count
+        FROM search_index GROUP BY patient_age
+    """,
+    "models_by_patient_sex": """
+        SELECT patient_sex, COUNT(1) AS count
+        FROM search_index GROUP BY patient_sex
+    """,
+    "models_by_patient_ethnicity": """
+        SELECT patient_ethnicity, COUNT(1) AS count
+        FROM search_index GROUP BY patient_ethnicity
+    """,
+    # ---- Data Overview cohorts (data_visualization_views.sql) ----
+    "data_overview_mutation_cohorts": f"""
+        SELECT mut.model_id, mut.sample_id,
+               mut.hgnc_symbol AS symbol,
+               mut.amino_acid_change, mut.consequence,
+               si.data_source AS provider,
+               si.model_type AS type,
+               si.cancer_system,
+               mut.read_depth, mut.seq_start_position,
+               mut.ref_allele, mut.alt_allele
+        FROM mutation_data_extended mut
+        JOIN search_index si
+          ON mut.model_id = si.external_model_id
+         AND mut.data_source = si.data_source
+        WHERE si.cancer_system != 'Unclassified'
+          AND mut.hgnc_symbol IN ({{genes}})
+    """,
+    # log(2.0, fpkm+0.001) → log2() (data_visualization_views.sql:60)
+    "data_overview_expression_cohorts": f"""
+        SELECT exp.model_id, exp.sample_id,
+               exp.hgnc_symbol AS symbol,
+               exp.rnaseq_fpkm,
+               si.data_source AS provider,
+               si.model_type AS type,
+               si.cancer_system,
+               log2(CAST(exp.rnaseq_fpkm AS DOUBLE) + 0.001) AS rnaseq_fpkm_log
+        FROM expression_data_extended exp
+        JOIN search_index si
+          ON exp.model_id = si.external_model_id
+         AND exp.data_source = si.data_source
+        WHERE si.cancer_system != 'Unclassified'
+          AND exp.rnaseq_fpkm IS NOT NULL
+          AND exp.hgnc_symbol IN ({{genes}})
+    """,
+    # model_information passthrough (views.sql:66-100)
+    "model_information": "SELECT * FROM model",
+}
+
+# cohort gene panel (data_visualization_views.sql:28-33)
+COHORT_GENES = [
+    "ALK", "BCL2", "BRAF", "BRCA1", "BRCA2", "EGFR", "ESR1", "PGR", "FGFR2",
+    "FGFR3", "ERBB2", "IDH1", "IDH2", "IRF4", "KRAS", "MYC", "PIK3CA", "RET",
+    "ROS1",
+]
+_GENE_LIST_SQL = ", ".join(f"'{g}'" for g in COHORT_GENES)
+for _name in ("data_overview_mutation_cohorts", "data_overview_expression_cohorts"):
+    VIEW_DEFINITIONS[_name] = VIEW_DEFINITIONS[_name].replace("{genes}", _GENE_LIST_SQL)
+
+
+# measurement-table registry: data_type label → temp-view name
+# (model_molecular_metadata / details_molecular_data build their
+# data_exists flag from whichever of these are registered in this run)
+MEASUREMENT_TABLES: dict[str, str] = {
+    "mutation": "mutation_measurement_data",
+    "expression": "expression_measurement_data",
+    "copy number alteration": "cna_measurement_data",
+    "bio markers": "biomarker_measurement_data",
+}
+
+
+def _registered(spark: SparkSession, name: str) -> bool:
+    return any(t.name == name for t in spark.catalog.listTables())
+
+
+def _mmm_sql(spark: SparkSession) -> str | None:
+    """model_molecular_metadata (views.sql:406-446): molchar metadata +
+    data_exists (EXISTS per measurement table → one distinct-id union +
+    left join, a single shuffle instead of N correlated probes) +
+    data_restricted from the restriction config."""
+    present = {label: t for label, t in MEASUREMENT_TABLES.items()
+               if _registered(spark, t)}
+    if not present:
+        return None
+    existing = " UNION ALL ".join(
+        f"SELECT DISTINCT molecular_characterization_id, '{t}' AS src_table FROM {t}"
+        for t in present.values()
+    )
+    type_to_table = " ".join(
+        f"WHEN '{label}' THEN '{t}'" for label, t in MEASUREMENT_TABLES.items()
+    )
+    return f"""
+        SELECT mcv.*,
+               CASE WHEN ex.molecular_characterization_id IS NOT NULL
+                    THEN 'TRUE' ELSE 'FALSE' END AS data_exists,
+               CASE WHEN r.data_source IS NOT NULL
+                    THEN 'TRUE' ELSE 'FALSE' END AS data_restricted
+        FROM molecular_characterization_vw mcv
+        LEFT JOIN ({existing}) ex
+          ON ex.molecular_characterization_id = mcv.molecular_characterization_id
+         AND ex.src_table = CASE mcv.data_type {type_to_table} END
+        LEFT JOIN molecular_data_restriction r
+          ON r.data_source = mcv.data_source
+         AND r.molecular_data_table = CASE mcv.data_type {type_to_table} END
+        WHERE mcv.data_type != 'immunemarker'
+    """
+
+
+def _details_molecular_data_sql(spark: SparkSession) -> str | None:
+    """details_molecular_data (views.sql:1041-1095): molchar rows with a
+    per-type data_availability flag."""
+    present = {label: t for label, t in MEASUREMENT_TABLES.items()
+               if _registered(spark, t)}
+    if not present:
+        return None
+    existing = " UNION ALL ".join(
+        f"SELECT DISTINCT molecular_characterization_id, '{t}' AS src_table FROM {t}"
+        for t in present.values()
+    )
+    type_to_table = " ".join(
+        f"WHEN '{label}' THEN '{t}'" for label, t in MEASUREMENT_TABLES.items()
+    )
+    return f"""
+        SELECT mcv.molecular_characterization_id AS id,
+               mcv.sample_id, mcv.model_id, mcv.source,
+               mcv.xenograft_passage, mcv.raw_data_url, mcv.data_type,
+               mcv.platform_name,
+               CASE WHEN ex.molecular_characterization_id IS NOT NULL
+                    THEN 'TRUE' ELSE 'FALSE' END AS data_availability
+        FROM molecular_characterization_vw mcv
+        LEFT JOIN ({existing}) ex
+          ON ex.molecular_characterization_id = mcv.molecular_characterization_id
+         AND ex.src_table = CASE mcv.data_type {type_to_table} END
+    """
+
+
+# views whose SQL depends on which entities this run registered;
+# each callable returns SQL or None (skip)
+DYNAMIC_VIEW_DEFINITIONS = {
+    "model_molecular_metadata": _mmm_sql,
+    "details_molecular_data": _details_molecular_data_sql,
 }
 
 
@@ -139,15 +500,37 @@ def register_entities(entities: dict[str, DataFrame]) -> None:
 
 def create_views(spark: SparkSession, only: list[str] | None = None) -> list[str]:
     """CREATE OR REPLACE TEMP VIEW for every definition whose source
-    entities are registered; returns the created view names."""
-    created = []
+    entities are registered; returns the created view names.
+
+    Views reference other views (e.g. mutation_data_extended reads
+    model_molecular_metadata which reads molecular_characterization_vw),
+    so creation loops to a fixpoint: each pass creates whatever now
+    resolves, until no progress — the SQL-level equivalent of the
+    reference's ordered views.sql script, without hand-ordering."""
+    pending: dict[str, object] = {}
     for name, sql in VIEW_DEFINITIONS.items():
         if only and name not in only:
             continue
-        try:
-            spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
-            created.append(name)
-        except Exception:
-            # source entity not registered in this run — skip
+        pending[name] = sql
+    for name, fn in DYNAMIC_VIEW_DEFINITIONS.items():
+        if only and name not in only:
             continue
+        pending[name] = fn
+    created: list[str] = []
+    progressed = True
+    while pending and progressed:
+        progressed = False
+        for name in list(pending):
+            defn = pending[name]
+            sql = defn(spark) if callable(defn) else defn
+            if sql is None:  # dynamic view: inputs absent in this run
+                del pending[name]
+                continue
+            try:
+                spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
+            except Exception:
+                continue  # source not registered (yet) — retry next pass
+            created.append(name)
+            del pending[name]
+            progressed = True
     return created

@@ -88,6 +88,7 @@ def search_index(
     model_df: DataFrame,
     search_index_patient_sample_df: DataFrame,
     model_aggregates: list[DataFrame] | None = None,
+    provider_group_df: DataFrame | None = None,
 ) -> DataFrame:
     """The denormalized wide search table (search_index_transformer_job.py
     :42-126): model spine ⟕ patient/sample slice ⟕ each per-model
@@ -101,6 +102,14 @@ def search_index(
         F.col("type").alias("model_type"),
         F.col("data_source_tmp").alias("data_source"),
     )
+    if provider_group_df is not None:
+        providers = F.broadcast(
+            provider_group_df.select(
+                F.col("data_source_tmp").alias("data_source"),
+                F.col("name").alias("provider_name"),
+            ).dropDuplicates(["data_source"])
+        )
+        spine = spine.join(providers, "data_source", "left")
     out = spine.join(search_index_patient_sample_df, "pdcm_model_id", "left")
     for agg in model_aggregates or []:
         out = out.join(
@@ -116,9 +125,17 @@ def search_index_patient_sample(
     patient_df: DataFrame,
     sample_to_ontology_df: DataFrame,
     ontology_term_diagnosis_df: DataFrame,
+    tissue_df: DataFrame | None = None,
+    tumour_type_df: DataFrame | None = None,
+    ethnicity_df: DataFrame | None = None,
 ) -> DataFrame:
     """The search_index's patient/sample slice: sample ⋈ ontology ⋈
-    patient, age binned, sex normalized."""
+    patient, age binned, sex normalized. The optional dims resolve the
+    sample's tissue/tumour-type and the patient's ethnicity FKs back to
+    display names — the reference search_index carries primary_site /
+    collection_site / tumour_type / patient_ethnicity as names
+    (views.sql models_by_primary_site / _tumour_type / _patient_ethnicity
+    group on them). Dims are tiny → broadcast joins."""
     onto = extend_sample_with_ontology(sample_to_ontology_df, ontology_term_diagnosis_df)
     ps = patient_sample_df.join(
         onto, patient_sample_df.id == onto.sample_id, "left"
@@ -134,6 +151,37 @@ def search_index_patient_sample(
     )
     out = ps.join(pat, ps.patient_id == pat.patient_internal_id, "left")
     out = out.withColumn("patient_age", bin_age("age_in_years_at_collection"))
+
+    def dim_name(df, key_col, out_col):
+        return F.broadcast(
+            df.select(F.col("id").alias(key_col), F.col("name").alias(out_col))
+        )
+
+    if tissue_df is not None:
+        out = out.join(
+            dim_name(tissue_df, "primary_site_id", "primary_site"),
+            "primary_site_id", "left",
+        ).join(
+            dim_name(tissue_df, "collection_site_id", "collection_site"),
+            "collection_site_id", "left",
+        )
+    else:
+        out = out.withColumn("primary_site", F.lit(None).cast("string"))
+        out = out.withColumn("collection_site", F.lit(None).cast("string"))
+    if tumour_type_df is not None:
+        out = out.join(
+            dim_name(tumour_type_df, "tumour_type_id", "tumour_type"),
+            "tumour_type_id", "left",
+        )
+    else:
+        out = out.withColumn("tumour_type", F.lit(None).cast("string"))
+    if ethnicity_df is not None:
+        out = out.join(
+            dim_name(ethnicity_df, "patient_ethnicity_id", "patient_ethnicity"),
+            "patient_ethnicity_id", "left",
+        )
+    else:
+        out = out.withColumn("patient_ethnicity", F.lit(None).cast("string"))
     return out.select(
         F.col("model_id").alias("pdcm_model_id"),
         "external_patient_id",
@@ -154,4 +202,8 @@ def search_index_patient_sample(
         F.col("staging_system").alias("cancer_staging_system"),
         "response_to_treatment",
         "ontology_term_id",
+        "primary_site",
+        "collection_site",
+        "tumour_type",
+        "patient_ethnicity",
     )

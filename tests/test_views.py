@@ -51,3 +51,100 @@ def test_views_create_and_answer(spark, full_dag):  # noqa: F811
     genes = {r["mutated_gene"]: r["count"]
              for r in spark.table("models_by_mutated_gene").collect()}
     assert genes.get("KRAS") == 1 and genes.get("TP53") == 1
+
+
+def test_molecular_data_views(spark, full_dag):  # noqa: F811
+    out = full_dag.run()
+    views.register_entities(out)
+    created = views.create_views(spark)
+
+    # views.sql:2-64 — molchar display view
+    assert "molecular_characterization_vw" in created
+    mcv = spark.table("molecular_characterization_vw").collect()
+    assert {r["data_type"] for r in mcv} == {"mutation"}
+    assert all(r["platform_name"] == "Illumina" for r in mcv)
+
+    # views.sql:363-404 — restriction-filtered measurement view with
+    # harmonised symbols (KRAS approved; TP53 absent from the marker
+    # fixture → coalesce falls back to the provider symbol)
+    assert "mutation_data_table" in created
+    mdt = {r["hgnc_symbol"]: r for r in spark.table("mutation_data_table").collect()}
+    assert set(mdt) == {"KRAS", "TP53"}
+    assert mdt["KRAS"]["harmonisation_result"] == "approved_symbol"
+    assert mdt["TP53"]["harmonisation_result"] == "no_mapping"
+    assert json.loads(mdt["KRAS"]["text"])["sample_id"] == "MS1"
+
+    # views.sql:406-446 — data_exists flag over registered measurement tables
+    assert "model_molecular_metadata" in created
+    mmm = spark.table("model_molecular_metadata").collect()
+    assert all(r["data_exists"] == "TRUE" and r["data_restricted"] == "FALSE"
+               for r in mmm)
+
+    # views.sql:448-494 — measurement rows + owning model/sample
+    assert "mutation_data_extended" in created
+    ext = spark.table("mutation_data_extended").collect()
+    assert {r["model_id"] for r in ext} == {"M1"}
+    assert {r["sample_id"] for r in ext} == {"MS1"}
+
+    # views.sql:1041-1095 — per-molchar availability flag
+    assert "details_molecular_data" in created
+    det = spark.table("details_molecular_data").collect()
+    assert all(r["data_availability"] == "TRUE" for r in det)
+
+    # data_visualization_views.sql — gene-panel cohort. The fixture's
+    # mini-ontology classifies every model 'Unclassified', so the cohort
+    # filter must drop all rows; without the system filter the panel
+    # keeps KRAS (in panel) and drops TP53 (not in panel).
+    assert "data_overview_mutation_cohorts" in created
+    assert spark.table("data_overview_mutation_cohorts").count() == 0
+    unfiltered = spark.sql("""
+        SELECT mut.hgnc_symbol FROM mutation_data_extended mut
+        JOIN search_index si ON mut.model_id = si.external_model_id
+                            AND mut.data_source = si.data_source
+        WHERE mut.hgnc_symbol IN ({})
+    """.format(", ".join(f"'{g}'" for g in views.COHORT_GENES))).collect()
+    assert {r["hgnc_symbol"] for r in unfiltered} == {"KRAS"}
+
+
+def test_treatment_and_overview_views(spark, full_dag):  # noqa: F811
+    out = full_dag.run()
+    views.register_entities(out)
+    created = views.create_views(spark)
+
+    # views.sql:1192-1244 — patient_treatment JSON aggregation
+    assert "patient_treatment" in created
+    pt = spark.table("patient_treatment").collect()
+    assert len(pt) >= 1
+    names = {e["name"] for r in pt for e in json.loads(r["entries"])}
+    assert "tamoxifen" in {n.lower() for n in names}
+
+    # views.sql:1363-1416 — drug dosing with model context
+    assert "drug_dosing_extended" in created
+    dd = spark.table("drug_dosing_extended").collect()
+    assert {r["model_id"] for r in dd} == {"M1"}
+    dd_names = {e["name"] for r in dd for e in json.loads(r["entries"])}
+    assert {n.lower() for n in dd_names} == {"cisplatin", "gemcitabine"}
+
+    # views.sql:1280-1293 — facet options unnest
+    assert "search_facet_options" in created
+    opts = spark.table("search_facet_options").collect()
+    assert len(opts) > 0
+
+    # views.sql:1418-1543 — Data Overview counts over the widened
+    # search_index columns
+    for view, col in [("models_by_primary_site", "primary_site"),
+                      ("models_by_tumour_type", "tumour_type"),
+                      ("models_by_patient_age", "patient_age"),
+                      ("models_by_patient_sex", "patient_sex"),
+                      ("models_by_patient_ethnicity", "patient_ethnicity")]:
+        assert view in created, view
+        rows = spark.table(view).collect()
+        assert sum(r["count"] for r in rows) >= 1, view
+    sites = {r["primary_site"]: r["count"]
+             for r in spark.table("models_by_primary_site").collect()}
+    assert sites.get("breast") == 2  # tissue names are lower_and_trim'd
+
+    # views.sql:1544-1549 — info key/value
+    assert "info" in created
+    info = spark.table("info").collect()
+    assert info[0]["key"] == "total_models" and info[0]["value"] == 6
