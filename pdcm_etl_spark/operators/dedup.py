@@ -162,8 +162,22 @@ def verify_pairs_jaccard(
 ) -> DataFrame:
     """Exact Jaccard for *candidate pairs only*: join each side to its
     collected shingle set, intersect in-row. Cost is O(|candidates|), not
-    O(|all co-bucketed pairs|) — the property that makes LSH worth it."""
-    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sset"))
+    O(|all co-bucketed pairs|) — the property that makes LSH worth it.
+
+    Shingle sets are collected only for docs that appear in a candidate
+    pair (semi-join first): at corpus scale candidates ≪ docs, so this
+    turns the heaviest shuffle — collect_set over every doc's shingles —
+    into one over the near-dup sliver only."""
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sets = (
+        sh.join(cand_ids, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_set("shingle").alias("sset"))
+    )
     sa = sets.select(F.col("id").alias("id_a"), F.col("sset").alias("set_a"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("sset").alias("set_b"))
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
@@ -196,7 +210,9 @@ def minhash_dedup(
     # signatures are one row per doc — persisting them keeps the banding
     # self-join from re-running the groupBy over the (much larger) shingles
     sigs = minhash_signatures(sh, num_perm).persist()
-    cands = lsh_candidate_pairs(sigs, bands)
+    # candidates feed verification twice (the pair join + the semi-join
+    # that prunes shingle collection) — persist so banding runs once
+    cands = lsh_candidate_pairs(sigs, bands).persist()
     return verify_pairs_jaccard(cands, sh, min_bp=min_bp)
 
 
