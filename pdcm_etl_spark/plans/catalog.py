@@ -726,7 +726,10 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     return (
         events.groupBy(
-            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+            # DATE, not the timestamp date_trunc returns — DuckDB's
+            # date_trunc('day', ts) yields DATE, and the oracle compares
+            # stringified values
+            F.to_date(F.col("ts")).alias("day"), "event_type"
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -738,7 +741,7 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENTS_DAILY = """
-SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n_events,
+SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
 FROM events GROUP BY 1, 2
 """

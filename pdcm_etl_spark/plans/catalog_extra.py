@@ -127,7 +127,7 @@ def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month"),
-        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
         F.add_months(F.date_trunc("month", F.col("o_orderdate")), 1)
         .cast("timestamp")
         .alias("next_month"),

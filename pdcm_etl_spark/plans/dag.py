@@ -198,10 +198,13 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
             tr_t.treatment_component,
             ["treatment_component_helper", "treatment"],
         )
+        agg_deps = ["treatment_protocol", "treatment_component_helper", "response"]
+        if "patient_sample" in dag.nodes:
+            agg_deps.append("patient_sample")
         dag.add(
             "treatment_aggregation_by_model",
             tr_t.treatment_aggregation_by_model,
-            ["treatment_protocol", "treatment_component_helper", "response"],
+            agg_deps,
         )
 
     if "model_validation" in raw:
@@ -234,6 +237,13 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
             "molecular_characterization",
             mol_t.molecular_characterization,
             ["raw/molchar_sample", "raw/molchar_platform"],
+        )
+        # (mol_char_id, model_id, molchar_type) with internal model ids —
+        # shared by dataset_available + every per-model molecular aggregate
+        dag.add(
+            "model_molchar",
+            _resolve_molchar_model_ids,
+            ["molecular_characterization", "initial_model"],
         )
         dag.add(
             "platform",
@@ -274,12 +284,37 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
                 _available_columns_adapter(meas_mods),
                 [f"{m}_measurement_data" for m in meas_mods],
             )
-        if "mutation" in meas_mods:
+        # per-model marker-list aggregates for search_index
+        # (search_index_molecular_data_transformer_job.py:296-315): one
+        # markers_with_<type>_data array per measurement type
+        for mod, out_col, sym in [
+            ("mutation", "markers_with_mutation_data", "symbol"),
+            ("cna", "markers_with_cna_data", "symbol"),
+            ("expression", "markers_with_expression_data", "symbol"),
+            ("biomarker", "markers_with_biomarker_data", "symbol"),
+        ]:
+            if mod in meas_mods:
+                dag.add(
+                    out_col,
+                    _genes_per_model_adapter(out_col, sym),
+                    [f"{mod}_measurement_data", "model_molchar"],
+                )
+        if "immunemarker" in meas_mods:
             dag.add(
-                "markers_with_mutation_data",
-                _markers_per_model_adapter,
-                ["mutation_measurement_data", "molecular_characterization",
-                 "initial_model"],
+                "msi_status",
+                _msi_adapter,
+                ["immunemarker_measurement_data", "model_molchar"],
+            )
+            dag.add(
+                "hla_types",
+                _hla_adapter,
+                ["immunemarker_measurement_data", "model_molchar"],
+            )
+        if "biomarker" in meas_mods:
+            dag.add(
+                "breast_cancer_biomarkers",
+                _breast_biomarkers_adapter,
+                ["biomarker_measurement_data", "model_molchar"],
             )
 
     # imaging cluster (image_study/model_image modules)
@@ -343,18 +378,59 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
                  "ontology_term_diagnosis", "term_ancestors",
                  "tissue", "tumour_type", "ethnicity"],
             )
-            six_deps = ["model", "search_index_patient_sample", "provider_group"]
-            if "molecular_characterization" in dag.nodes:
+            six_deps = ["model", "search_index_patient_sample", "provider_group",
+                        "project_group"]
+            if "model_molchar" in dag.nodes:
                 dag.add(
-                    "dataset_available",
-                    _dataset_available_adapter,
-                    ["molecular_characterization", "initial_model"],
+                    "dataset_available", _dataset_available_adapter, ["model_molchar"]
                 )
                 six_deps.append("dataset_available")
             if "treatment_aggregation_by_model" in dag.nodes:
                 six_deps.append("treatment_aggregation_by_model")
-            if "markers_with_mutation_data" in dag.nodes:
-                six_deps.append("markers_with_mutation_data")
+            # per-model JSON aggregates shared with model_metadata
+            if "quality_assurance" in dag.nodes:
+                dag.add("qa_json_agg", _qa_json_adapter, ["quality_assurance"])
+                six_deps.append("qa_json_agg")
+            if "xenograft_model_specimen" in dag.nodes:
+                dag.add(
+                    "specimens_json_agg",
+                    _specimens_json_adapter,
+                    ["xenograft_model_specimen", "host_strain",
+                     "engraftment_site", "engraftment_type",
+                     "engraftment_sample_type", "engraftment_sample_state"],
+                )
+                six_deps.append("specimens_json_agg")
+            if "model_image" in dag.nodes:
+                dag.add("images_json_agg", _images_json_adapter, ["model_image"])
+                six_deps.append("images_json_agg")
+            dag.add("publications_json_agg", _publications_json_adapter,
+                    ["initial_model"])
+            six_deps.append("publications_json_agg")
+            # molecular per-model aggregates (marker lists, msi, hla,
+            # breast-cancer biomarkers) — whichever this run produced
+            for agg in ("markers_with_mutation_data", "markers_with_cna_data",
+                        "markers_with_expression_data",
+                        "markers_with_biomarker_data", "msi_status",
+                        "hla_types", "breast_cancer_biomarkers"):
+                if agg in dag.nodes:
+                    six_deps.append(agg)
+            # treatment-type list per model over harmonised ontology terms
+            if ("treatment_name_harmonisation" in dag.nodes
+                    and "treatment_component_helper" in dag.nodes):
+                dag.add(
+                    "custom_treatment_types",
+                    _custom_treatment_types_adapter,
+                    ["treatment_protocol", "treatment_component_helper",
+                     "treatment_name_harmonisation", "term_ancestors"],
+                )
+                six_deps.append("custom_treatment_types")
+            # metadata completeness scores (search_index 'scores' JSON)
+            dag.add(
+                "scores",
+                _scores_adapter,
+                ["model_metadata", "search_index_patient_sample"],
+            )
+            six_deps.append("scores")
             dag.add("search_index", _search_index_adapter, six_deps)
             dag.add(
                 "search_facet",
@@ -443,25 +519,86 @@ def _resolve_molchar_model_ids(molchar, initial_model):
     )
 
 
-def _dataset_available_adapter(molchar, initial_model):
-    """molchar carries the provider's external model id; resolve it to the
-    internal model id so per-model aggregates join the search spine."""
+def _dataset_available_adapter(model_molchar):
+    """Per-model distinct molchar types with the reference's display
+    renames (model_metadata_transformer_job.py:219-231); the treatment /
+    publication markers are appended row-wise in search_index."""
+    from pdcm_etl_spark.transforms import metadata as meta_t
+
+    return meta_t.dataset_available(model_molchar)
+
+
+def _genes_per_model_adapter(out_col: str, symbol_col: str):
+    """Sorted distinct marker list per model for one measurement type —
+    feeds search_index and the models_by_mutated_gene view
+    (views.sql:1113-1126)."""
+    def build(md, model_molchar):
+        from pdcm_etl_spark.transforms import molecular_data as md_t
+
+        sym = symbol_col if symbol_col in md.columns else "biomarker"
+        return md_t.genes_per_model(md, model_molchar, out_col, symbol_col=sym)
+
+    return build
+
+
+def _msi_adapter(imm_md, model_molchar):
     from pdcm_etl_spark.transforms import molecular_data as md_t
 
-    return md_t.dataset_available_per_model(
-        _resolve_molchar_model_ids(molchar, initial_model)
+    return md_t.msi_status_per_model(imm_md, model_molchar)
+
+
+def _hla_adapter(imm_md, model_molchar):
+    from pdcm_etl_spark.transforms import molecular_data as md_t
+
+    return md_t.hla_types_per_model(imm_md, model_molchar)
+
+
+def _breast_biomarkers_adapter(bio_md, model_molchar):
+    from pdcm_etl_spark.transforms import molecular_data as md_t
+
+    return md_t.breast_cancer_biomarkers_per_model(bio_md, model_molchar)
+
+
+def _qa_json_adapter(qa):
+    from pdcm_etl_spark.transforms import metadata as meta_t
+
+    return meta_t.quality_assurance_json(qa)
+
+
+def _specimens_json_adapter(sp, hs, es, et, est, ess):
+    from pdcm_etl_spark.transforms import metadata as meta_t
+
+    return meta_t.xenograft_specimens_json(sp, hs, es, et, est, ess)
+
+
+def _images_json_adapter(model_image):
+    from pdcm_etl_spark.transforms import images as img_t
+
+    return img_t.model_images_json(model_image)
+
+
+def _publications_json_adapter(initial_model):
+    from pdcm_etl_spark.transforms import metadata as meta_t
+
+    return meta_t.publications_json(initial_model)
+
+
+def _custom_treatment_types_adapter(protocol, helper, harmonisation, ancestors):
+    from pdcm_etl_spark.transforms import links as links_t
+
+    return links_t.custom_treatment_types_per_model(
+        protocol, helper, harmonisation, ancestors
     )
 
 
-def _markers_per_model_adapter(mutation_md, molchar, initial_model):
-    """Sorted distinct mutated-marker list per model — feeds search_index
-    and the models_by_mutated_gene view (views.sql:1113-1126)."""
-    from pdcm_etl_spark.transforms import molecular_data as md_t
+def _scores_adapter(model_metadata, six_ps):
+    """Join the model-metadata spine (JSON aggregates + supplier cols) to
+    the patient/sample slice so the score expression sees every weighted
+    column, then emit the per-model scores JSON."""
+    from pdcm_etl_spark.transforms import scoring as scoring_t
 
-    mm = _resolve_molchar_model_ids(molchar, initial_model)
-    return md_t.genes_per_model(
-        mutation_md, mm, "markers_with_mutation_data", symbol_col="symbol"
-    )
+    joined = model_metadata.join(six_ps, "pdcm_model_id", "left")
+    return scoring_t.scores_json(joined)
 
 
 def _measurement_adapter(raw_df, molchar, gene_marker=None, prev_syms=None,
@@ -507,11 +644,12 @@ def _search_facet_adapter(spark, search_index_df):
     return facets_t.search_facets(spark, search_index_df)
 
 
-def _search_index_adapter(model, six_ps, provider_group, *aggs):
+def _search_index_adapter(model, six_ps, provider_group, project_group, *aggs):
     from pdcm_etl_spark.transforms import search as search_t
 
     return search_t.search_index(
-        model, six_ps, list(aggs), provider_group_df=provider_group
+        model, six_ps, list(aggs),
+        provider_group_df=provider_group, project_group_df=project_group,
     )
 
 

@@ -309,7 +309,7 @@ def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_STREAM_EVENTS_DAILY = """
-SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n_events,
+SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
 FROM events GROUP BY 1, 2
 """

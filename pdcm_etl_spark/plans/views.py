@@ -290,7 +290,7 @@ VIEW_DEFINITIONS: dict[str, str] = {
     "patient_treatment_extended": """
         SELECT si.external_model_id AS model_id,
                si.data_source,
-               si.external_patient_id AS patient_id,
+               si.patient_id,
                si.patient_age, si.patient_sex, si.patient_ethnicity,
                si.histology,
                r.name AS response,
@@ -304,7 +304,7 @@ VIEW_DEFINITIONS: dict[str, str] = {
         LEFT JOIN response r ON r.id = tp.response_id
         WHERE tp.treatment_target = 'patient'
         GROUP BY tp.id, si.external_model_id, si.data_source,
-                 si.external_patient_id, si.patient_age, si.patient_sex,
+                 si.patient_id, si.patient_age, si.patient_sex,
                  si.patient_ethnicity, si.histology, r.name
     """,
     "drug_dosing_extended": """
@@ -413,6 +413,7 @@ MEASUREMENT_TABLES: dict[str, str] = {
     "mutation": "mutation_measurement_data",
     "expression": "expression_measurement_data",
     "copy number alteration": "cna_measurement_data",
+    "cna": "cna_measurement_data",  # providers abbreviate the type label
     "bio markers": "biomarker_measurement_data",
 }
 
@@ -432,7 +433,7 @@ def _mmm_sql(spark: SparkSession) -> str | None:
         return None
     existing = " UNION ALL ".join(
         f"SELECT DISTINCT molecular_characterization_id, '{t}' AS src_table FROM {t}"
-        for t in present.values()
+        for t in sorted(set(present.values()))
     )
     type_to_table = " ".join(
         f"WHEN '{label}' THEN '{t}'" for label, t in MEASUREMENT_TABLES.items()
@@ -463,7 +464,7 @@ def _details_molecular_data_sql(spark: SparkSession) -> str | None:
         return None
     existing = " UNION ALL ".join(
         f"SELECT DISTINCT molecular_characterization_id, '{t}' AS src_table FROM {t}"
-        for t in present.values()
+        for t in sorted(set(present.values()))
     )
     type_to_table = " ".join(
         f"WHEN '{label}' THEN '{t}'" for label, t in MEASUREMENT_TABLES.items()

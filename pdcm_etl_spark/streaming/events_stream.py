@@ -53,7 +53,7 @@ def daily_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
         .select(
-            F.col("win.start").alias("day"),
+            F.col("win.start").cast("date").alias("day"),
             "event_type",
             "n_events",
             "sum_value",

@@ -50,6 +50,47 @@ def treatment_types(name_col: str = "treatment_name", ancestors_col: str = "ance
     return F.filter(F.array(*branches), lambda x: x.isNotNull())
 
 
+def custom_treatment_types_per_model(
+    treatment_protocol_df: DataFrame,
+    component_helper_df: DataFrame,
+    treatment_name_harmonisation_df: DataFrame,
+    term_ancestors_df: DataFrame,
+) -> DataFrame:
+    """(model_id, custom_treatment_type_list) — distinct treatment types
+    over every treatment a model received (search_index
+    custom_treatment_type_list; the reference routes this through its
+    treatment_type_helper UDF — here the keyword match is the
+    higher-order ``treatment_types`` expression over ontology ancestors).
+
+    Scale: harmonisation + ancestors are term-level (small, broadcast);
+    the only model-scale shuffle is the final collect_set."""
+    proto = treatment_protocol_df.select(
+        F.col("id").alias("treatment_protocol_id"), "model_id"
+    )
+    comp = component_helper_df.select(
+        "treatment_protocol_id", F.lower(F.trim(F.col("treatment_name"))).alias("name_l")
+    )
+    harm = F.broadcast(
+        treatment_name_harmonisation_df.select(
+            F.lower(F.trim(F.col("name"))).alias("name_l"), "term_id"
+        ).drop_duplicates(["name_l"])
+    )
+    anc = F.broadcast(term_ancestors_df.select("term_id", "ancestors"))
+    per_treatment = (
+        comp.join(harm, "name_l", "left")
+        .join(anc, "term_id", "left")
+        .withColumn(
+            "ttypes", treatment_types(name_col="name_l", ancestors_col="ancestors")
+        )
+    )
+    return (
+        proto.join(per_treatment, "treatment_protocol_id")
+        .select("model_id", F.explode("ttypes").alias("ttype"))
+        .groupBy("model_id")
+        .agg(F.array_sort(F.collect_set("ttype")).alias("custom_treatment_type_list"))
+    )
+
+
 def resource_lookup_links(
     molecular_df: DataFrame,
     resources_df: DataFrame,

@@ -91,6 +91,24 @@ def xenograft_specimens_json(
     )
 
 
+def publications_json(initial_model_df: DataFrame) -> DataFrame:
+    """(model_id, pdx_model_publications) — JSON array of the model's
+    PubMed ids. The reference enriches these with EuropePMC titles via
+    HTTP (search_index pdx_model_publications); the lookup is an offline
+    concern — here each entry carries the id, and an enrichment table can
+    be joined in when available."""
+    pubs = initial_model_df.select(
+        F.col("id").alias("model_id"), "publications"
+    ).where("publications is not null and trim(publications) != ''")
+    entry = F.transform(
+        F.split("publications", ","),
+        lambda p: F.struct(F.trim(p).alias("pub_med_id")),
+    )
+    return pubs.select(
+        "model_id", F.to_json(F.array_sort(entry)).alias("pdx_model_publications")
+    )
+
+
 def dataset_available(molchar_types_per_model: DataFrame) -> DataFrame:
     """:219-245 — distinct molecular characterisation types per model with
     the display renames (biomarker → 'bio markers', immunemarker →

@@ -45,6 +45,12 @@ def patient(
         .where("external_patient_id is not null")
     )
     out = add_id(out, "id", key_cols=["external_patient_id", PROVIDER_COL])
+    # lifestyle/category passthroughs only exist in newer provider
+    # submissions (entities_registry PATIENT_ENTITY columns)
+    for opt in ("age_category", "smoking_status", "alcohol_status",
+                "alcohol_frequency", "family_history_of_cancer"):
+        if opt not in out.columns:
+            out = out.withColumn(opt, F.lit(None).cast("string"))
     return out.select(
         "id",
         "external_patient_id",
@@ -54,6 +60,11 @@ def patient(
         "ethnicity_assessment_method",
         "initial_diagnosis",
         "age_at_initial_diagnosis",
+        "age_category",
+        "smoking_status",
+        "alcohol_status",
+        "alcohol_frequency",
+        "family_history_of_cancer",
         "provider_group_id",
         PROVIDER_COL,
     )

@@ -122,3 +122,27 @@ def model_score(
         meta * METADATA_WEIGHT + raw * RAW_DATA_WEIGHT + annot * CANCER_ANNOTATION_WEIGHT
     ).cast("int")
     return df.drop_duplicates().select("pdcm_model_id", score.alias("score"))
+
+
+def scores_json(df: DataFrame) -> DataFrame:
+    """(model_id, scores) — the search_index 'scores' JSON column
+    (model_characterizations_calculator.py:27-51): pdx_metadata_score for
+    PDX models (common + xenograft-specimen weights), in_vitro_metadata_
+    score otherwise. ``df`` is the per-model metadata frame (model_type +
+    scored columns + JSON aggregates). Nulled branch keys are omitted by
+    to_json, matching the reference's per-type score dicts."""
+    pdx_pct = metadata_score_pct(df, {**COMMON_WEIGHTS, **PDX_ONLY_WEIGHTS})
+    vitro_pct = metadata_score_pct(df, COMMON_WEIGHTS)
+    is_pdx = F.lower(F.coalesce(F.col("model_type"), F.lit(""))) == "pdx"
+    as_score = lambda pct: (pct * METADATA_WEIGHT).cast("int")  # noqa: E731
+    return df.drop_duplicates(["pdcm_model_id"]).select(
+        F.col("pdcm_model_id").alias("model_id"),
+        F.to_json(
+            F.struct(
+                F.when(is_pdx, as_score(pdx_pct)).alias("pdx_metadata_score"),
+                F.when(~is_pdx, as_score(vitro_pct)).alias(
+                    "in_vitro_metadata_score"
+                ),
+            )
+        ).alias("scores"),
+    )

@@ -89,6 +89,7 @@ def search_index(
     search_index_patient_sample_df: DataFrame,
     model_aggregates: list[DataFrame] | None = None,
     provider_group_df: DataFrame | None = None,
+    project_group_df: DataFrame | None = None,
 ) -> DataFrame:
     """The denormalized wide search table (search_index_transformer_job.py
     :42-126): model spine ⟕ patient/sample slice ⟕ each per-model
@@ -96,19 +97,42 @@ def search_index(
     scores…). Every aggregate frame must carry a ``model_id`` column; all
     joins are left joins on the model spine so models without molecular
     or treatment data still appear."""
-    spine = model_df.select(
+    spine_cols = [
         F.col("id").alias("pdcm_model_id"),
         F.col("external_model_id"),
         F.col("type").alias("model_type"),
         F.col("data_source_tmp").alias("data_source"),
-    )
-    if provider_group_df is not None:
-        providers = F.broadcast(
-            provider_group_df.select(
-                F.col("data_source_tmp").alias("data_source"),
-                F.col("name").alias("provider_name"),
-            ).dropDuplicates(["data_source"])
+    ]
+    # model passthroughs the reference search_index carries
+    # (entities_registry SEARCH_INDEX_ENTITY: supplier…date_submitted)
+    for opt in ("supplier", "supplier_type", "catalog_number", "vendor_link",
+                "rrid", "external_ids", "license_name", "license_url",
+                "model_availability", "date_submitted"):
+        spine_cols.append(
+            F.col(opt) if opt in model_df.columns
+            else F.lit(None).cast("string").alias(opt)
         )
+    spine = model_df.select(*spine_cols)
+    if provider_group_df is not None:
+        prov_cols = [
+            F.col("data_source_tmp").alias("data_source"),
+            F.col("name").alias("provider_name"),
+        ]
+        if project_group_df is not None and "project_group_id" in provider_group_df.columns:
+            pg = provider_group_df.join(
+                F.broadcast(project_group_df.select(
+                    F.col("id").alias("project_group_id"),
+                    F.col("name").alias("project_name"),
+                )),
+                "project_group_id", "left",
+            )
+            prov_cols.append("project_name")
+        else:
+            pg = provider_group_df.withColumn(
+                "project_name", F.lit(None).cast("string")
+            )
+            prov_cols.append("project_name")
+        providers = F.broadcast(pg.select(*prov_cols).dropDuplicates(["data_source"]))
         spine = spine.join(providers, "data_source", "left")
     out = spine.join(search_index_patient_sample_df, "pdcm_model_id", "left")
     for agg in model_aggregates or []:
@@ -117,6 +141,41 @@ def search_index(
             "pdcm_model_id",
             "left",
         )
+    # dataset_available also flags treatment / publication availability
+    # (model_metadata_transformer_job.py:236-266): append the marker when
+    # the corresponding per-model data exists
+    if "dataset_available" in out.columns:
+        def _append_marker(col_name: str, present: Column, marker: str) -> Column:
+            return (
+                F.when(
+                    present,
+                    F.when(
+                        F.col(col_name).isNotNull(),
+                        F.concat(F.col(col_name), F.array(F.lit(marker))),
+                    ).otherwise(F.array(F.lit(marker))),
+                )
+                .otherwise(F.col(col_name))
+            )
+
+        for src, marker in (
+            ("model_treatments", "model treatment"),
+            ("patient_treatments", "patient treatment"),
+        ):
+            if src in out.columns:
+                present = F.col(src).isNotNull() & (F.size(src) > 0)
+                out = out.withColumn(
+                    "dataset_available",
+                    _append_marker("dataset_available", present, marker),
+                )
+        if "pdx_model_publications" in out.columns:
+            out = out.withColumn(
+                "dataset_available",
+                _append_marker(
+                    "dataset_available",
+                    F.col("pdx_model_publications").isNotNull(),
+                    "publication",
+                ),
+            )
     return out
 
 
@@ -141,14 +200,22 @@ def search_index_patient_sample(
         onto, patient_sample_df.id == onto.sample_id, "left"
     ).drop("sample_id")
 
-    pat = patient_df.select(
+    pat_cols = [
         F.col("id").alias("patient_internal_id"),
         normalize_sex("sex").alias("patient_sex"),
         "history",
         "initial_diagnosis",
         "age_at_initial_diagnosis",
         F.col("ethnicity_id").alias("patient_ethnicity_id"),
-    )
+    ]
+    # newer patient columns (entities_registry PATIENT_ENTITY) — absent in
+    # older fixtures
+    for opt in ("age_category", "ethnicity_assessment_method"):
+        pat_cols.append(
+            F.col(opt) if opt in patient_df.columns
+            else F.lit(None).cast("string").alias(opt)
+        )
+    pat = patient_df.select(*pat_cols)
     out = ps.join(pat, ps.patient_id == pat.patient_internal_id, "left")
     out = out.withColumn("patient_age", bin_age("age_in_years_at_collection"))
 
@@ -182,28 +249,47 @@ def search_index_patient_sample(
         )
     else:
         out = out.withColumn("patient_ethnicity", F.lit(None).cast("string"))
+    # passthroughs carried under the reference search_index names
+    # (entities_registry SEARCH_INDEX_ENTITY): patient_sample_<col>
+    ps_passthrough = [
+        "collection_date", "collection_event", "collection_method",
+        "months_since_collection_1", "gene_mutation_status",
+        "virology_status", "sharable", "treatment_naive_at_collection",
+        "treated_at_collection",
+    ]
+    for c in ps_passthrough:
+        src = F.col(c) if c in out.columns else F.lit(None).cast("string")
+        out = out.withColumn(f"patient_sample_{c}", src)
     return out.select(
         F.col("model_id").alias("pdcm_model_id"),
-        "external_patient_id",
-        "external_patient_sample_id",
+        # legacy external_* aliases kept alongside the reference names
+        F.col("external_patient_id").alias("patient_id"),
+        F.col("external_patient_sample_id").alias("patient_sample_id"),
         "diagnosis",
         "histology",
         "search_terms",
         "cancer_system",
         "patient_age",
+        F.col("age_category").alias("patient_age_category"),
         "patient_sex",
-        "history",
-        "initial_diagnosis",
-        "age_at_initial_diagnosis",
-        "prior_treatment",
+        F.col("history").alias("patient_history"),
+        F.col("ethnicity_assessment_method")
+            .alias("patient_ethnicity_assessment_method"),
+        F.col("initial_diagnosis").alias("patient_initial_diagnosis"),
+        F.col("age_at_initial_diagnosis")
+            .alias("patient_age_at_initial_diagnosis"),
+        F.col("prior_treatment")
+            .alias("patient_sample_treated_prior_to_collection"),
         F.col("grade").alias("cancer_grade"),
         F.col("grading_system").alias("cancer_grading_system"),
         F.col("stage").alias("cancer_stage"),
         F.col("staging_system").alias("cancer_staging_system"),
-        "response_to_treatment",
+        F.col("response_to_treatment")
+            .alias("patient_sample_response_to_treatment"),
         "ontology_term_id",
         "primary_site",
         "collection_site",
         "tumour_type",
         "patient_ethnicity",
+        *[f"patient_sample_{c}" for c in ps_passthrough],
     )

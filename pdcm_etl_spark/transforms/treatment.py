@@ -241,10 +241,18 @@ def discover_regimens(
 
 
 def treatment_aggregation_by_model(
-    treatment_protocol_df: DataFrame, helper_df: DataFrame, response_df: DataFrame
+    treatment_protocol_df: DataFrame,
+    helper_df: DataFrame,
+    response_df: DataFrame,
+    patient_sample_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-model arrays of treatments/responses for drug-dosing and patient
-    targets, full-outer joined (a model may have either or both)."""
+    targets, full-outer joined (a model may have either or both).
+
+    Patient-target protocols carry a patient FK, not a model FK — they are
+    resolved to the patient's model(s) through patient_sample (the
+    reference's ``tp.patient_id = ps.patient_id AND m.id = ps.model_id``
+    join, views.sql:1218-1230)."""
     comp = helper_df.select(
         "treatment_protocol_id", F.lower(trim_all("treatment_name")).alias("treatment_name")
     )
@@ -256,9 +264,25 @@ def treatment_aggregation_by_model(
     proto = treatment_protocol_df.join(resp, "response_id", "left").select(
         F.col("id").alias("treatment_protocol_id"),
         "model_id",
+        "patient_id",
         "treatment_target",
         "treatment_response",
     )
+    if patient_sample_df is not None:
+        pat_models = (
+            patient_sample_df.select(
+                F.col("patient_id").alias("ps_patient_id"),
+                F.col("model_id").alias("patient_model_id"),
+            )
+            .where("ps_patient_id is not null and patient_model_id is not null")
+            .drop_duplicates()
+        )
+        proto = proto.join(
+            pat_models, proto.patient_id == pat_models.ps_patient_id, "left"
+        ).withColumn(
+            "model_id", F.coalesce("model_id", "patient_model_id")
+        ).drop("ps_patient_id", "patient_model_id")
+    proto = proto.drop("patient_id")
     joined = (
         proto.join(comp, "treatment_protocol_id", "left")
         .drop("treatment_protocol_id")

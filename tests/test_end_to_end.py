@@ -51,11 +51,49 @@ def full_dag(spark, tmp_path_factory):
     ])
     raw["molchar_sample"] = fixtures.make_module_df(spark, "molchar_sample", [
         dict(model_id="M1", sample_id="MS1", sample_origin="patient", passage="0",
-             platform_id="pl1", data_source_tmp="TRACE"),
+             platform_id=pl, data_source_tmp="TRACE")
+        for pl in ("pl1", "pl2", "pl3", "pl4", "pl5")
     ])
     raw["molchar_platform"] = fixtures.make_module_df(spark, "molchar_platform", [
         dict(platform_id="pl1", molecular_characterisation_type="mutation",
              instrument_model="Illumina", library_strategy="WGS",
+             data_source_tmp="TRACE"),
+        dict(platform_id="pl2", molecular_characterisation_type="copy number alteration",
+             instrument_model="Illumina", library_strategy="WGS",
+             data_source_tmp="TRACE"),
+        dict(platform_id="pl3", molecular_characterisation_type="expression",
+             instrument_model="Illumina", library_strategy="RNA-Seq",
+             data_source_tmp="TRACE"),
+        dict(platform_id="pl4", molecular_characterisation_type="biomarker",
+             instrument_model="IHC", library_strategy="targeted",
+             data_source_tmp="TRACE"),
+        dict(platform_id="pl5", molecular_characterisation_type="immunemarker",
+             instrument_model="IHC", library_strategy="targeted",
+             data_source_tmp="TRACE"),
+    ])
+    raw["cna"] = fixtures.make_module_df(spark, "cna", [
+        dict(sample_id="MS1", symbol="MYC", chromosome="8", log2r_cna="2.5",
+             copy_number_status="gain", platform_id="pl2", data_source_tmp="TRACE"),
+    ])
+    raw["expression"] = fixtures.make_module_df(spark, "expression", [
+        dict(sample_id="MS1", symbol="ESR1", rnaseq_fpkm="12.5",
+             platform_id="pl3", data_source_tmp="TRACE"),
+    ])
+    raw["biomarker"] = fixtures.make_module_df(spark, "biomarker", [
+        dict(sample_id="MS1", biomarker="ERBB2", biomarker_status="Positive",
+             platform_id="pl4", data_source_tmp="TRACE"),
+        dict(sample_id="MS1", biomarker="ESR1", biomarker_status="Negative",
+             platform_id="pl4", data_source_tmp="TRACE"),
+    ])
+    raw["immunemarker"] = fixtures.make_module_df(spark, "immunemarker", [
+        dict(sample_id="MS1", marker_type="Model Genomics", marker_name="MSI",
+             marker_value="Stable", platform_id="pl5", data_source_tmp="TRACE"),
+        dict(sample_id="MS1", marker_type="HLA type", marker_name="HLA-A*02:01",
+             marker_value="present", platform_id="pl5", data_source_tmp="TRACE"),
+    ])
+    raw["model_validation"] = fixtures.make_module_df(spark, "model_validation", [
+        dict(model_id="M1", validation_technique="histology",
+             description="matches patient tumour", passages_tested="1,2",
              data_source_tmp="TRACE"),
     ])
     raw["mutation"] = fixtures.make_module_df(spark, "mutation", [
@@ -143,7 +181,7 @@ def test_static_and_imaging_entities(full_dag):
 
 def test_search_index_patient_sample_end_to_end(full_dag):
     six = full_dag.get("search_index_patient_sample")
-    rows = {r["external_patient_sample_id"]: r for r in six.collect()}
+    rows = {r["patient_sample_id"]: r for r in six.collect()}
     s1 = rows["S1"]
     assert s1["histology"] == "Breast Carcinoma"
     assert s1["cancer_system"] == "Unclassified" or s1["cancer_system"]  # mapped below
@@ -167,11 +205,40 @@ def test_search_index_wide_table(full_dag):
     m1 = rows["M1"]
     assert m1["model_type"] == "PDX"
     assert m1["histology"] == "Breast Carcinoma"      # via patient-sample slice
-    assert m1["dataset_available"] == ["mutation"]     # via molchar aggregate
+    # molchar aggregate with the display renames (biomarker → 'bio
+    # markers', immunemarker → 'immune markers') + the appended
+    # treatment/publication markers (model_metadata_transformer:236-266)
+    assert m1["dataset_available"] == [
+        "bio markers", "copy number alteration", "expression",
+        "immune markers", "mutation",
+        "model treatment", "patient treatment", "publication"]
     assert m1["model_treatments"] == ["cisplatin", "gemcitabine"]
     # models without samples/molecular data still present (left joins)
     assert rows["M2"]["histology"] is None
     assert rows["M2"]["dataset_available"] is None
+
+
+def test_search_index_molecular_and_score_aggregates(full_dag):
+    """The per-model aggregate columns the reference's search_index_
+    molecular_data job produces (:179-315) + scores JSON."""
+    import json as _json
+
+    six = full_dag.get("search_index")
+    m1 = {r["external_model_id"]: r for r in six.collect()}["M1"]
+    assert m1["markers_with_mutation_data"] == ["KRAS", "TP53"]
+    assert m1["markers_with_cna_data"] == ["MYC"]
+    assert m1["markers_with_expression_data"] == ["ESR1"]
+    assert m1["markers_with_biomarker_data"] == ["ERBB2", "ESR1"]
+    assert m1["msi_status"] == ["Stable"]
+    assert m1["hla_types"] == ["HLA-A*02:01"]
+    assert m1["breast_cancer_biomarkers"] == [
+        "ER/ESR1 negative", "HER2/ERBB2 positive"]
+    qa = _json.loads(m1["quality_assurance"])
+    assert qa[0]["validation_technique"] == "Histology"
+    scores = _json.loads(m1["scores"])
+    assert 0 < scores["pdx_metadata_score"] <= 100
+    pubs = _json.loads(m1["pdx_model_publications"])
+    assert all("pub_med_id" in p for p in pubs)
 
 
 def test_patient_sample_model_link(full_dag):

@@ -61,8 +61,14 @@ def test_molecular_data_views(spark, full_dag):  # noqa: F811
     # views.sql:2-64 — molchar display view
     assert "molecular_characterization_vw" in created
     mcv = spark.table("molecular_characterization_vw").collect()
-    assert {r["data_type"] for r in mcv} == {"mutation"}
-    assert all(r["platform_name"] == "Illumina" for r in mcv)
+    # only biomarker is display-renamed (views.sql:10-11); the others
+    # keep their molchar type verbatim
+    assert {r["data_type"] for r in mcv} == {
+        "mutation", "copy number alteration", "expression",
+        "bio markers", "immunemarker"}
+    platforms = {r["data_type"]: r["platform_name"] for r in mcv}
+    assert platforms["mutation"] == "Illumina"
+    assert platforms["bio markers"] == "IHC"
 
     # views.sql:363-404 — restriction-filtered measurement view with
     # harmonised symbols (KRAS approved; TP53 absent from the marker
@@ -86,10 +92,14 @@ def test_molecular_data_views(spark, full_dag):  # noqa: F811
     assert {r["model_id"] for r in ext} == {"M1"}
     assert {r["sample_id"] for r in ext} == {"MS1"}
 
-    # views.sql:1041-1095 — per-molchar availability flag
+    # views.sql:1041-1095 — per-molchar availability flag; the reference's
+    # CASE has no immunemarker branch, so those rows are always FALSE
     assert "details_molecular_data" in created
     det = spark.table("details_molecular_data").collect()
-    assert all(r["data_availability"] == "TRUE" for r in det)
+    avail = {r["data_type"]: r["data_availability"] for r in det}
+    assert avail == {"mutation": "TRUE", "copy number alteration": "TRUE",
+                     "expression": "TRUE", "bio markers": "TRUE",
+                     "immunemarker": "FALSE"}
 
     # data_visualization_views.sql — gene-panel cohort. The fixture's
     # mini-ontology classifies every model 'Unclassified', so the cohort
