@@ -112,19 +112,42 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1: a*h fits in int64 with a,h < 2^31
+
+
+def minhash_perm_coeffs(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per permutation — fixed LCG of the perm index,
+    shared verbatim with the DuckDB oracle SQL (plans/extensions.py)."""
+    coeffs = []
+    for i in range(num_perm):
+        a = (i * 2654435761 + 2246822519) % MINHASH_PRIME or 1
+        b = (i * 3266489917 + 668265263) % MINHASH_PRIME
+        coeffs.append((a, b))
+    return coeffs
+
+
+def portable_hash60(col) -> F.Column:
+    """60-bit integer hash both engines compute identically: first 15 hex
+    chars of md5 parsed base-16 (Spark: conv; DuckDB: hex-digit fold)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def minhash_signatures(sh: DataFrame, num_perm: int = 32) -> DataFrame:
     """MinHash signature per id from its shingle set.
 
-    Permutation i is xxhash64(i, shingle) — deterministic, seedable, and
-    computed map-side. All ``num_perm`` minima run as parallel aggregates
-    in ONE groupBy pass (no perm explode, no row blow-up): map-side partial
-    mins make the shuffle num_perm longs per (partition, id).
-    Returns (id, sig: array<bigint> ordered by perm)."""
+    One portable 60-bit digest per shingle, then permutation i is the
+    linear map (a_i*h + b_i) mod p — deterministic, engine-portable
+    (exact DuckDB oracle), and computed map-side. All ``num_perm`` minima
+    run as parallel aggregates in ONE groupBy pass (no perm explode, no
+    row blow-up): map-side partial mins make the shuffle num_perm longs
+    per (partition, id). Returns (id, sig: array<bigint> ordered by perm)."""
+    h = (portable_hash60(F.col("shingle")) % MINHASH_PRIME).alias("h")
+    hashed = sh.select("id", h)
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_perm)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_perm_coeffs(num_perm))
     ]
-    wide = sh.groupBy("id").agg(*mins)
+    wide = hashed.groupBy("id").agg(*mins)
     return wide.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
     )
@@ -133,14 +156,17 @@ def minhash_signatures(sh: DataFrame, num_perm: int = 32) -> DataFrame:
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands, bucket by
     (band index, band hash), emit co-bucketed pairs. Bucket sizes bound the
-    pair blow-up; the band hash is 8 bytes so the shuffle is tiny."""
+    pair blow-up; the band hash is 8 bytes so the shuffle is tiny.
+
+    The band hash is a base-31 fold of the band's signature values (each
+    < 2^31, ≤ 4 per band → fits int64) — the same expression the DuckDB
+    oracle writes out longhand."""
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     rows_per_band = (F.size(F.col("sig")) / F.lit(bands)).cast("int")
-    band_hash = F.xxhash64(
-        F.col("band"),
-        F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band).cast(
-            "string"
-        ),
+    band_hash = F.aggregate(
+        F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc * F.lit(31) + x,
     )
     banded = (
         sigs.select("id", "sig", band_idx)
@@ -221,21 +247,25 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document, computed as pure column expressions:
-    per distinct token, xxhash64; per bit, sum(±1) over tokens; sign → bit.
+SIMHASH_BITS = 60  # width of portable_hash60
 
-    The per-bit expansion is a 64-way explode — bounded and shuffle-free
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per document, computed as pure column expressions:
+    per distinct token, a portable 60-bit digest (exact DuckDB oracle);
+    per bit, sum(±1) over tokens; sign → bit.
+
+    The per-bit expansion is a 60-way explode — bounded and shuffle-free
     until the final (id, bit) aggregation. Returns (id, simhash)."""
     toks = (
         df.select(F.col(id_col).alias("id"), F.explode(
             F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
         ).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", portable_hash60(F.col("tok")))
     )
     bits = toks.select(
         "id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
         F.col("h"),
     ).withColumn(
         "vote",
@@ -251,10 +281,10 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
 
 def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, bands: int = 4) -> DataFrame:
-    """Near-dup pairs by SimHash: candidates share one of ``bands`` 16-bit
+    """Near-dup pairs by SimHash: candidates share one of ``bands`` 15-bit
     bands (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands equal), then
     exact hamming via bit_count(xor) ≤ max_hamming."""
-    width = 64 // bands
+    width = SIMHASH_BITS // bands
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sims.select("id", "simhash", band_idx).withColumn(
         "bh", F.expr(f"(simhash >> (band * {width})) & {(1 << width) - 1}")

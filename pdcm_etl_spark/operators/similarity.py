@@ -86,29 +86,34 @@ def cosine_topk(
     )
 
 
+def hyperplane_signs(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 plane matrix: component (p, d) is the parity of
+    md5(f"{p}:{d}") — computed once in Python and inlined as literals in
+    BOTH the Spark plan and the DuckDB oracle SQL, so the bucket
+    assignment is engine-independent by construction."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{p}:{d}".encode()).digest()[-1] & 1 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def hyperplane_signature(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
     """Random-hyperplane LSH signature as an n_planes-bit int.
 
-    Plane p's component d is a deterministic pseudo-random ±1 derived from
-    xxhash64(p, d) — reproducible across runs/engines, no stored plane
-    matrix. sign(v · plane_p) gives bit p."""
-    def plane_dot(p):
-        # ±1 per dimension from the hash parity
-        return F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, d: F.when(
-                    F.xxhash64(F.lit(p), d).bitwiseAND(F.lit(1)) == 1, x
-                ).otherwise(-x),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
+    sign(v · plane_p) gives bit p; planes are literal ±1 arrays (see
+    ``hyperplane_signs``), so the per-plane dot is a zip_with/aggregate
+    fold over constants — JVM-evaluated, no shuffle, no stored matrix."""
+    signs = hyperplane_signs(n_planes, dim)
     sig = F.lit(0).cast("bigint")
     for p in range(n_planes):
-        sig = sig + F.when(plane_dot(p) > 0, F.lit(1 << p).cast("bigint")).otherwise(
+        plane = F.array(*[F.lit(s) for s in signs[p]])
+        pd = dot(vec, plane)
+        sig = sig + F.when(pd > 0, F.lit(1 << p).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
     return sig

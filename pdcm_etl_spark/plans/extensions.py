@@ -78,10 +78,111 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup(docs, min_bp=2000)
 
 
+# Both engines hash a string to the same 60-bit integer: first 15 hex chars
+# of md5, parsed base-16 (Spark conv(...,16,10); DuckDB hex-digit fold).
+_DUCK_H60 = (
+    "list_reduce(list_transform(string_split(substring(md5({col}),1,15),''),"
+    " c -> strpos('0123456789abcdef', c) - 1), (a,b) -> a*16 + b)::BIGINT"
+)
+
+
+def _sql_dedup_minhash_lsh(num_perm: int = 32, bands: int = 8, min_bp: int = 2000) -> str:
+    """Exact oracle for the MinHash+LSH pipeline: same 60-bit shingle
+    digest, same (a*h+b) mod p permutations (constants imported from
+    operators/dedup.py), same base-31 band fold, same candidate-only
+    Jaccard verification."""
+    p = dedup.MINHASH_PRIME
+    coeffs = dedup.minhash_perm_coeffs(num_perm)
+    mins = ",\n         ".join(
+        f"MIN(({a}*h + {b}) % {p}) AS s{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_perm // bands
+    folds = []
+    for band in range(bands):
+        expr = f"s{band * rpb}"
+        for j in range(1, rpb):
+            expr = f"({expr}*31 + s{band * rpb + j})"
+        folds.append(f"SELECT doc_id, {band} AS band, {expr} AS bh FROM sigs")
+    banded = "\n  UNION ALL ".join(folds)
+    h60 = _DUCK_H60.format(col="shingle")
+    return f"""
+WITH ws AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+  FROM (
+    SELECT doc_id, w, unnest(range(greatest(len(w) - 2, 0))) AS i FROM ws
+  )
+), hashed AS (
+  SELECT doc_id, shingle, ({h60}) % {p} AS h FROM sh
+), sigs AS (
+  SELECT doc_id, {mins}
+  FROM hashed GROUP BY doc_id
+), banded AS (
+  {banded}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, inter,
+       CAST(FLOOR(inter * 10000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) AS jaccard_bp
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE FLOOR(inter * 10000.0 / (sa.sz + sb.sz - inter)) >= {min_bp}
+"""
+
+
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sims = dedup.simhash(docs)
     return dedup.simhash_near_pairs(sims, max_hamming=3)
+
+
+def _sql_dedup_simhash(max_hamming: int = 3, bands: int = 4) -> str:
+    """Exact oracle for SimHash near-dup pairs: same portable token
+    digest, same sign-of-vote bits, same 15-bit band blocking, exact
+    hamming via bit_count(xor)."""
+    nbits = dedup.SIMHASH_BITS
+    width = nbits // bands
+    h60 = _DUCK_H60.format(col="tok")
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), hh AS (
+  SELECT doc_id, {h60} AS h FROM toks
+), votes AS (
+  SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hh, (SELECT unnest(range({nbits})) AS bit)
+  GROUP BY doc_id, bit
+), sims AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * {width})) & {(1 << width) - 1} AS bh
+  FROM sims, (SELECT unnest(range({bands})) AS band)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
 
 
 def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,6 +260,36 @@ def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.lsh_topk(emb, queries, k=10, n_planes=8)
+
+
+def _sql_ann_lsh_topk(k: int = 10, n_planes: int = 8, dim: int = 64) -> str:
+    """Exact oracle for hyperplane-LSH top-k: the same literal ±1 plane
+    matrix (similarity.hyperplane_signs) drives bucket assignment in both
+    engines; exact cosine re-rank within the bucket."""
+    signs = similarity.hyperplane_signs(n_planes, dim)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(str(s) for s in signs[p])}]) > 0 "
+        f"THEN {1 << p}::BIGINT ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), bucketed AS (
+  SELECT vec_id, v, nrm, {bucket_terms} AS bucket FROM v
+), q AS (SELECT * FROM bucketed WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id,
+         CAST(FLOOR(list_dot_product(q.v, i.v) / (q.nrm * i.nrm) * 1000000.0) AS BIGINT) AS score_ppm
+  FROM bucketed i JOIN q ON i.bucket = q.bucket WHERE i.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, score_ppm, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -318,12 +449,12 @@ FROM events GROUP BY 1, 2
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
-    "dedup_minhash_lsh": (x_dedup_minhash_lsh, None),
-    "dedup_simhash": (x_dedup_simhash, None),
+    "dedup_minhash_lsh": (x_dedup_minhash_lsh, _sql_dedup_minhash_lsh()),
+    "dedup_simhash": (x_dedup_simhash, _sql_dedup_simhash()),
     "dedup_embedding": (x_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_cosine_topk": (x_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_ivf_topk": (x_ann_ivf_topk, SQL_ANN_IVF_TOPK),
-    "ann_lsh_topk": (x_ann_lsh_topk, None),
+    "ann_lsh_topk": (x_ann_lsh_topk, _sql_ann_lsh_topk()),
     "text_tokens": (x_text_tokens, SQL_TEXT_TOKENS),
     "text_quality": (x_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (x_text_langid, SQL_TEXT_LANGID),
