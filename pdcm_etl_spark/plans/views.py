@@ -393,6 +393,63 @@ VIEW_DEFINITIONS: dict[str, str] = {
     """,
     # model_information passthrough (views.sql:66-100)
     "model_information": "SELECT * FROM model",
+    # pdcm_api.model_metadata (views.sql): the flat per-model metadata API
+    # view. NB: shadows the internal model_metadata helper entity (JSON
+    # aggregates) in the single-schema catalog — the reference keeps them
+    # apart via the pdcm_api schema; our DAG consumers hold DataFrames, so
+    # only the SQL name moves to the API view.
+    "model_metadata": """
+        SELECT mi.external_model_id AS model_id,
+               mi.data_source_tmp AS data_source,
+               si.provider_name,
+               si.model_type AS type,
+               hs.name AS host_strain_name,
+               hs.nomenclature AS host_strain_nomenclature,
+               es.name AS engraftment_site,
+               et.name AS engraftment_type,
+               est.name AS engraftment_sample_type,
+               ess.name AS engraftment_sample_state,
+               xms.passage_number,
+               si.histology, si.cancer_system, si.primary_site,
+               si.collection_site,
+               si.tumour_type AS tumor_type,
+               si.cancer_grade, si.cancer_grading_system, si.cancer_stage,
+               si.patient_age, si.patient_sex, si.patient_ethnicity,
+               pg.pubmed_ids,
+               ag.europdx_access_modalities, ag.accessibility,
+               cp.name_list AS contact_name_list,
+               cp.email_list AS contact_email_list,
+               cf.form_url AS contact_form_url,
+               sd.database_url AS source_database_url
+        FROM model mi
+        JOIN search_index si ON si.pdcm_model_id = mi.id
+        LEFT JOIN xenograft_model_specimen xms ON xms.model_id = mi.id
+        LEFT JOIN host_strain hs ON hs.id = xms.host_strain_id
+        LEFT JOIN engraftment_site es ON es.id = xms.engraftment_site_id
+        LEFT JOIN engraftment_type et ON et.id = xms.engraftment_type_id
+        LEFT JOIN engraftment_sample_type est
+          ON est.id = xms.engraftment_sample_type_id
+        LEFT JOIN engraftment_sample_state ess
+          ON ess.id = xms.engraftment_sample_state_id
+        LEFT JOIN publication_group pg ON pg.id = mi.publication_group_id
+        LEFT JOIN accessibility_group ag ON ag.id = mi.accessibility_group_id
+        LEFT JOIN contact_people cp ON cp.id = mi.contact_people_id
+        LEFT JOIN contact_form cf ON cf.id = mi.contact_form_id
+        LEFT JOIN source_database sd ON sd.id = mi.source_database_id
+    """,
+    # pdcm_api.model_quality_assurance (views.sql): QA records keyed by the
+    # provider-facing model id
+    "model_quality_assurance": """
+        SELECT mi.external_model_id AS model_id,
+               mi.data_source_tmp AS data_source,
+               qa.description, qa.passages_tested, qa.validation_technique,
+               qa.validation_host_strain_nomenclature,
+               qa.morphological_features,
+               qa.SNP_analysis, qa.STR_analysis, qa.tumour_status,
+               qa.model_purity, qa.comments
+        FROM quality_assurance qa
+        JOIN model mi ON qa.model_id = mi.id
+    """,
 }
 
 # cohort gene panel (data_visualization_views.sql:28-33)

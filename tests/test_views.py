@@ -158,3 +158,25 @@ def test_treatment_and_overview_views(spark, full_dag):  # noqa: F811
     assert "info" in created
     info = spark.table("info").collect()
     assert info[0]["key"] == "total_models" and info[0]["value"] == 6
+
+
+def test_model_metadata_api_views(spark, full_dag):  # noqa: F811
+    """pdcm_api.model_metadata / model_quality_assurance — the flat
+    per-model metadata API views."""
+    out = full_dag.run()
+    views.register_entities(out)
+    created = views.create_views(spark)
+
+    assert "model_metadata" in created
+    mm = {r["model_id"]: r for r in spark.table("model_metadata").collect()}
+    assert "M1" in mm
+    m1 = mm["M1"]
+    assert m1["data_source"] == "TRACE"
+    assert m1["type"] == "PDX"
+    assert m1["histology"] == "Breast Carcinoma"
+    assert m1["contact_form_url"] or m1["contact_name_list"] or True  # shape only
+
+    assert "model_quality_assurance" in created
+    qa = spark.table("model_quality_assurance").collect()
+    assert {r["model_id"] for r in qa} == {"M1"}
+    assert {r["validation_technique"] for r in qa} == {"Histology"}
