@@ -20,10 +20,12 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from pdcm_etl_spark.plans.catalog import q_pricing_summary
+    """Flagship: the full metadata ETL (raw provider modules → entity DAG →
+    denormalized search_index) over the synthetic provider workload derived
+    from /root/testdata/sf0.001. Fixed column projection → stable schema."""
+    from pdcm_etl_spark.plans.synth import run_etl_search_index
 
-    return q_pricing_summary(spark, SF0001)
+    return run_etl_search_index(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

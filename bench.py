@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "etl_search_index",  # the flagship: full entity DAG -> search_index
     "pricing_summary",
     "filter_project",
     "join_left_fk",
@@ -52,8 +53,13 @@ def main() -> None:
     queries = entrymod.queries()
 
     # JVM/codegen warmup so timings measure the engine, not first-job
-    # class-loading (one tiny aggregate + one noop write + footer reads)
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # class-loading (tiny aggregates covering the long/decimal/distinct
+    # codegen paths + one noop write + footer reads)
+    spark.range(1_000_000).selectExpr(
+        "sum(id)",
+        "sum(cast(id as decimal(18,2)))",
+        "count(distinct id % 100)",
+    ).collect()
     spark.range(1000).write.format("noop").mode("overwrite").save()
     for t in ("lineitem", "orders", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()

@@ -196,7 +196,18 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_etl_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline query: synthesize raw provider modules from
+    the TPC tables, run the full metadata DAG, return the search_index
+    spine (plans/synth.py). No SQL oracle — the pipeline is checked by the
+    per-entity unit/e2e tests and the rows/schema gate here."""
+    from pdcm_etl_spark.plans.synth import run_etl_search_index
+
+    return run_etl_search_index(spark, sf_dir)
+
+
 EXTRA_CATALOG: dict[str, tuple] = {
+    "etl_search_index": (q_etl_search_index, None),
     "rollup_totals": (q_rollup_totals, SQL_ROLLUP_TOTALS),
     "cube_counts": (q_cube_counts, SQL_CUBE_COUNTS),
     "intersect_keys": (q_intersect_keys, SQL_INTERSECT_KEYS),

@@ -75,7 +75,13 @@ def custom_treatment_types_per_model(
             F.lower(F.trim(F.col("name"))).alias("name_l"), "term_id"
         ).drop_duplicates(["name_l"])
     )
-    anc = F.broadcast(term_ancestors_df.select("term_id", "ancestors"))
+    # term_ancestors stores the closure as a '|'-joined display string
+    # (ref graph_builder.py:152-163); the keyword match wants the array
+    anc = F.broadcast(
+        term_ancestors_df.select(
+            "term_id", F.split(F.col("ancestors"), r"\|").alias("ancestors")
+        )
+    )
     per_treatment = (
         comp.join(harm, "name_l", "left")
         .join(anc, "term_id", "left")
