@@ -6,10 +6,18 @@ runs* — it even forces a parquet write/read round-trip to paper over the
 nondeterminism (molecular_characterization_links_builder.py:22-26).
 
 We fix that at the root: ids are **dense ranks over the business key**
-(stable, reproducible, oracle-checkable) or ``xxhash64`` of the key
-(stable, shuffle-free, 100 TB-friendly — no global sort). Choose per call
-site: dense ids when the sink needs compact BIGINTs, hash ids when the id
-only needs to be a stable join key.
+(stable, reproducible, oracle-checkable). Two physical strategies:
+
+- ``dense_id`` — single un-partitioned window. Fine for dim tables
+  (≤ millions of rows) where a one-partition sort is metadata-sized.
+- ``add_id(..., fact=True)`` — the 100 TB path for fact-scale entities:
+  range-partition the distinct business keys (global order across
+  partitions, parallel sort), rank locally per partition, and add
+  distributed prefix-sum offsets (a window over #partitions rows, i.e.
+  metadata-sized). No single-partition shuffle of data, no driver
+  collect, fully lazy. Produces byte-identical ids to ``dense_id``.
+- ``hash_id`` — ``xxhash64`` of the key: shuffle-free, map-side, for ids
+  that only need to be stable join keys (not compact).
 """
 
 from __future__ import annotations
@@ -21,22 +29,46 @@ from pyspark.sql import functions as F
 def dense_id(*key_cols: str | Column) -> Column:
     """Dense 1-based rank over the ordered business key.
 
-    Scale note: a single un-partitioned window is a global sort. For the
-    dim-table use-sites in this engine (≤ millions of rows) that is fine;
-    for fact-scale tables use ``hash_id`` instead.
+    Scale note: a single un-partitioned window is a global sort — use
+    only on dim-scale inputs; fact tables go through ``add_id(...,
+    fact=True)`` or ``hash_id``.
     """
     w = Window.orderBy(*[F.col(c) if isinstance(c, str) else c for c in key_cols])
     return F.dense_rank().over(w)
 
 
-def add_id(df: DataFrame, id_name: str = "id", key_cols: list[str] | None = None) -> DataFrame:
+def add_id(
+    df: DataFrame,
+    id_name: str = "id",
+    key_cols: list[str] | None = None,
+    fact: bool = False,
+) -> DataFrame:
     """Attach a deterministic id column.
 
-    ``key_cols=None`` orders by all columns (matches the reference's
-    semantics of 'give every row an id' but reproducibly).
+    ``key_cols=None`` derives the id from all columns (matches the
+    reference's semantics of 'give every row an id' but reproducibly).
+
+    ``fact=False`` (dim tables): dense 1-based rank over the business
+    key — compact, ordered, oracle-checkable; pays a one-partition
+    window, which is metadata-sized for dims.
+
+    ``fact=True`` (entities whose row count grows with the data):
+    ``xxhash64`` of the business key — computed map-side, zero shuffle,
+    zero materialization barrier. This is the 100 TB path: the id's only
+    contract is deterministic + unique-per-key + equal-keys-equal-id
+    (the reference's ``monotonically_increasing_id`` promises less — it
+    is neither dense nor stable across runs). An exact *dense* id at
+    fact scale would force a two-pass scheme with a persist/parquet
+    barrier per entity — the very workaround the reference hides in
+    molecular_characterization_links_builder.py:22-26 — for a property
+    nothing downstream needs.
     """
     keys = key_cols or df.columns
-    return df.withColumn(id_name, dense_id(*keys).cast("bigint"))
+    if not fact:
+        return df.withColumn(
+            id_name, dense_id(*keys).cast("bigint")
+        )
+    return df.withColumn(id_name, hash_id(*keys))
 
 
 def hash_id(*key_cols: str | Column) -> Column:

@@ -215,6 +215,7 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
             spec_t.quality_assurance,
             ["raw/model_validation", "initial_model"],
         )
+        dag.add("qa_json_agg", _qa_json_adapter, ["quality_assurance"])
     if "model" in raw:
         from pdcm_etl_spark.transforms import lineage as lin_t, specimen as spec_t
 
@@ -231,6 +232,13 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
              "initial_model", "host_strain"],
         )
         dag.add("model_relationships", lin_t.model_relationships, ["initial_model"])
+        dag.add(
+            "specimens_json_agg",
+            _specimens_json_adapter,
+            ["xenograft_model_specimen", "host_strain",
+             "engraftment_site", "engraftment_type",
+             "engraftment_sample_type", "engraftment_sample_state"],
+        )
 
     if "molchar_sample" in raw and "molchar_platform" in raw:
         dag.add(
@@ -245,6 +253,7 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
             _resolve_molchar_model_ids,
             ["molecular_characterization", "initial_model"],
         )
+        dag.add("dataset_available", _dataset_available_adapter, ["model_molchar"])
         dag.add(
             "platform",
             sample_t.platform,
@@ -322,6 +331,7 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
         dag.add("image_study", img_t.image_study, ["raw/image_study"])
     if "model_image" in raw:
         dag.add("model_image", img_t.model_image, ["raw/model_image", "initial_model"])
+        dag.add("images_json_agg", _images_json_adapter, ["model_image"])
 
     # HGNC gene-marker reference + exploded symbol side tables
     # (gene_marker_transformer_job.py:25-46)
@@ -380,29 +390,13 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
             )
             six_deps = ["model", "search_index_patient_sample", "provider_group",
                         "project_group"]
-            if "model_molchar" in dag.nodes:
-                dag.add(
-                    "dataset_available", _dataset_available_adapter, ["model_molchar"]
-                )
-                six_deps.append("dataset_available")
-            if "treatment_aggregation_by_model" in dag.nodes:
-                six_deps.append("treatment_aggregation_by_model")
-            # per-model JSON aggregates shared with model_metadata
-            if "quality_assurance" in dag.nodes:
-                dag.add("qa_json_agg", _qa_json_adapter, ["quality_assurance"])
-                six_deps.append("qa_json_agg")
-            if "xenograft_model_specimen" in dag.nodes:
-                dag.add(
-                    "specimens_json_agg",
-                    _specimens_json_adapter,
-                    ["xenograft_model_specimen", "host_strain",
-                     "engraftment_site", "engraftment_type",
-                     "engraftment_sample_type", "engraftment_sample_state"],
-                )
-                six_deps.append("specimens_json_agg")
-            if "model_image" in dag.nodes:
-                dag.add("images_json_agg", _images_json_adapter, ["model_image"])
-                six_deps.append("images_json_agg")
+            # per-model aggregate nodes are hoisted next to their base
+            # entities so search_index and model_metadata share one
+            # computation (persisted by the multi-consumer rule)
+            for agg in ("dataset_available", "treatment_aggregation_by_model",
+                        "qa_json_agg", "specimens_json_agg", "images_json_agg"):
+                if agg in dag.nodes:
+                    six_deps.append(agg)
             dag.add("publications_json_agg", _publications_json_adapter,
                     ["initial_model"])
             six_deps.append("publications_json_agg")
@@ -446,56 +440,24 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
         dag.add("node", lin_t2.nodes, ["patient", "patient_sample", "model"])
         dag.add("edge", lin_t2.edges, ["node", "patient_sample", "model"])
 
-    # model_metadata: model spine + whichever JSON/array aggregates this
-    # run's raw modules produced (each aggregate is optional, like the
-    # reference's left-join chain in model_metadata_transformer_job.py)
-    mm_deps = ["model"]
-    mm_tags: list[str] = []
-    if "quality_assurance" in dag.nodes:
-        mm_deps.append("quality_assurance")
-        mm_tags.append("qa")
-    if "xenograft_model_specimen" in dag.nodes:
-        mm_deps += [
-            "xenograft_model_specimen", "host_strain", "engraftment_site",
-            "engraftment_type", "engraftment_sample_type",
-            "engraftment_sample_state",
-        ]
-        mm_tags.append("specimens")
-    if "molecular_characterization" in dag.nodes:
-        mm_deps.append("molecular_characterization")
-        mm_deps.append("initial_model")
-        mm_tags.append("dataset")
-    if "model_image" in dag.nodes:
-        mm_deps.append("model_image")
-        mm_tags.append("images")
-    dag.add("model_metadata", _model_metadata_adapter(mm_tags), mm_deps)
+    # model_metadata: model spine + whichever per-model aggregate nodes
+    # this run's raw modules produced (each aggregate is optional, like
+    # the reference's left-join chain in model_metadata_transformer_job
+    # .py). The aggregates are shared DAG nodes — search_index consumes
+    # the same ones, so each is computed once and persisted.
+    mm_deps = ["model"] + [
+        n for n in ("qa_json_agg", "specimens_json_agg", "dataset_available",
+                    "images_json_agg")
+        if n in dag.nodes
+    ]
+    dag.add("model_metadata", _model_metadata_adapter, mm_deps)
     return dag
 
 
-def _model_metadata_adapter(tags: list[str]):
-    def build(model, *dfs):
-        from pdcm_etl_spark.transforms import metadata as meta_t
+def _model_metadata_adapter(model, *aggs):
+    from pdcm_etl_spark.transforms import metadata as meta_t
 
-        dfs = list(dfs)
-        aggs = []
-        if "qa" in tags:
-            aggs.append(meta_t.quality_assurance_json(dfs.pop(0)))
-        if "specimens" in tags:
-            sp, hs, es, et, est, ess = (dfs.pop(0) for _ in range(6))
-            aggs.append(
-                meta_t.xenograft_specimens_json(sp, hs, es, et, est, ess)
-            )
-        if "dataset" in tags:
-            molchar, initial_model = dfs.pop(0), dfs.pop(0)
-            mm = _resolve_molchar_model_ids(molchar, initial_model)
-            aggs.append(meta_t.dataset_available(mm))
-        if "images" in tags:
-            from pdcm_etl_spark.transforms import images as img_t
-
-            aggs.append(img_t.model_images_json(dfs.pop(0)))
-        return meta_t.model_metadata(model, aggs)
-
-    return build
+    return meta_t.model_metadata(model, list(aggs))
 
 
 def _resolve_molchar_model_ids(molchar, initial_model):

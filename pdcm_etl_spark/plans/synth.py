@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from pdcm_etl_spark.sources.registry import module_columns
 from pdcm_etl_spark.sources.tsv import PROVIDER_COL
@@ -102,6 +103,9 @@ def synthesize_provider_modules(
         ),
         customer.c_nationkey == F.col("n_nationkey"),
     ).select("c_custkey", "nation_name", "prov")
+    # shared by patient + the orders spine below; persisting mirrors the
+    # reference's materialize-raw-extraction-once step (spark_reader.py:108)
+    cust_prov = cust_prov.persist(StorageLevel.MEMORY_AND_DISK)
 
     patient = _finish(
         cust_prov.select(
@@ -130,6 +134,9 @@ def synthesize_provider_modules(
             F.concat(F.lit("M"), "ok")
         ),
     ).withColumn("sample_id", F.concat(F.lit("S"), "ok"))
+    # the model/sample spine feeds 8 modules — compute the o⋈customer
+    # shuffle once
+    o = o.persist(StorageLevel.MEMORY_AND_DISK)
 
     pdx = o.filter(~is_cell)
     cell = o.filter(is_cell)
@@ -232,7 +239,9 @@ def synthesize_provider_modules(
         F.col("l_partkey").cast("bigint").alias("pk"),
         F.col("l_quantity").cast("int").alias("qty"),
     )
-    li_o = li.join(o, "ok")
+    # lineitem⋈orders feeds 4 modules (dosing, patient tx, mutation,
+    # expression) — one shuffle, reused
+    li_o = li.join(o, "ok").persist(StorageLevel.MEMORY_AND_DISK)
     drug = F.concat(F.lit("drug "), F.col("pk") % N_TREATMENTS)
     # every third protocol is a 2-drug combination ('+'-separated, the
     # reference's posexplode positional-dose shape)

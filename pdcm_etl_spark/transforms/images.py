@@ -28,7 +28,7 @@ from pdcm_etl_spark.sources.tsv import PROVIDER_COL
 
 def image_study(raw_image_study: DataFrame) -> DataFrame:
     out = raw_image_study.drop_duplicates()
-    return add_id(out, "id", key_cols=["study_id", PROVIDER_COL])
+    return add_id(out, "id", key_cols=["study_id", PROVIDER_COL], fact=True)
 
 
 def model_image(raw_model_image: DataFrame, initial_model_df: DataFrame) -> DataFrame:
@@ -43,7 +43,7 @@ def model_image(raw_model_image: DataFrame, initial_model_df: DataFrame) -> Data
         )
     )
     out = imgs.join(models, on=["external_model_id", PROVIDER_COL], how="inner")
-    return add_id(out, "id", key_cols=["external_model_id", "url", PROVIDER_COL])
+    return add_id(out, "id", key_cols=["external_model_id", "url", PROVIDER_COL], fact=True)
 
 
 def model_images_json(model_image_df: DataFrame) -> DataFrame:

@@ -52,7 +52,7 @@ def nodes(patient_df: DataFrame, patient_sample_df: DataFrame, model_df: DataFra
         .drop_duplicates()
     )
     out = patient_nodes.unionByName(sample_nodes).unionByName(model_nodes)
-    return add_id(out, "id", key_cols=["node_type", "node_label", "data_source"])
+    return add_id(out, "id", key_cols=["node_type", "node_label", "data_source"], fact=True)
 
 
 def model_relationships(model_df: DataFrame) -> DataFrame:

@@ -67,7 +67,7 @@ def initial_model(
     ).drop_duplicates()
 
     out = union.join(sharing, on=["external_model_id", PROVIDER_COL], how="left")
-    return add_id(out, "id", key_cols=["external_model_id", PROVIDER_COL])
+    return add_id(out, "id", key_cols=["external_model_id", PROVIDER_COL], fact=True)
 
 
 def model(
@@ -161,4 +161,4 @@ def cell_model(raw_cell_model: DataFrame, model_df: DataFrame) -> DataFrame:
         "left",
     ).drop(m.external_model_id).drop("__m_provider")
     c = c.withColumnRenamed(PROVIDER_COL, "provider_abb")
-    return add_id(c, "id", key_cols=["external_model_id", "provider_abb"])
+    return add_id(c, "id", key_cols=["external_model_id", "provider_abb"], fact=True)

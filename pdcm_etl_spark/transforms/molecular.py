@@ -198,7 +198,8 @@ def molecular_characterization(
     ).drop(platform.platform_external_id).drop("pl_provider")
     out = add_id(
         out, "id", key_cols=["model_id", "sample_id", "sample_origin",
-                             "platform_external_id", PROVIDER_COL]
+                             "platform_external_id", PROVIDER_COL],
+        fact=True,
     )
     return out.select(
         "id", "model_id", "sample_id", "sample_origin", "passage",

@@ -44,7 +44,7 @@ def patient(
         .withColumnRenamed("patient_id", "external_patient_id")
         .where("external_patient_id is not null")
     )
-    out = add_id(out, "id", key_cols=["external_patient_id", PROVIDER_COL])
+    out = add_id(out, "id", key_cols=["external_patient_id", PROVIDER_COL], fact=True)
     # lifestyle/category passthroughs only exist in newer provider
     # submissions (entities_registry PATIENT_ENTITY columns)
     for opt in ("age_category", "smoking_status", "alcohol_status",

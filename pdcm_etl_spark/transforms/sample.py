@@ -81,7 +81,7 @@ def patient_sample(
         PROVIDER_COL,
     )
     ps = ps.join(F.broadcast(mdl), on=["model_name", PROVIDER_COL], how="left")
-    return add_id(ps, "id", key_cols=["external_patient_sample_id", PROVIDER_COL])
+    return add_id(ps, "id", key_cols=["external_patient_sample_id", PROVIDER_COL], fact=True)
 
 
 def platform(raw_molchar_platform: DataFrame, provider_group: DataFrame) -> DataFrame:
@@ -166,7 +166,7 @@ def cell_sample(
     s = _origin_sample(
         raw_molchar_sample, model, platform_df, "cell", "external_cell_sample_id", []
     )
-    s = add_id(s, "id", key_cols=["external_cell_sample_id", PROVIDER_COL])
+    s = add_id(s, "id", key_cols=["external_cell_sample_id", PROVIDER_COL], fact=True)
     return s.select(
         "id", "external_cell_sample_id", "passage", "model_id", "platform_id",
         PROVIDER_COL,
@@ -189,7 +189,7 @@ def xenograft_sample(
         s, host_strain, "host_strain_nomenclature", "nomenclature", "id",
         "host_strain_id",
     )
-    s = add_id(s, "id", key_cols=["external_xenograft_sample_id", PROVIDER_COL])
+    s = add_id(s, "id", key_cols=["external_xenograft_sample_id", PROVIDER_COL], fact=True)
     return s.select(
         "id", "external_xenograft_sample_id", "passage", "host_strain_id",
         "model_id", "platform_id", PROVIDER_COL,

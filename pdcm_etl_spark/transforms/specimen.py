@@ -110,6 +110,7 @@ def xenograft_model_specimen(
         sp, "id",
         key_cols=["external_model_id", "host_strain_nomenclature",
                   "passage_number", PROVIDER_COL],
+        fact=True,
     )
 
 
@@ -124,5 +125,6 @@ def quality_assurance(raw_model_validation: DataFrame, model_df: DataFrame) -> D
     )
     qa = qa.join(mdl, on=["external_model_id", PROVIDER_COL], how="inner")
     return add_id(
-        qa, "id", key_cols=["external_model_id", "validation_technique", PROVIDER_COL]
+        qa, "id", key_cols=["external_model_id", "validation_technique", PROVIDER_COL],
+        fact=True,
     )

@@ -130,6 +130,7 @@ def treatment_protocol(
         proto, "id",
         key_cols=["model_id", "patient_id", "treatment_name", "treatment_dose",
                   "treatment_target", PROVIDER_COL],
+        fact=True,
     )
 
 
@@ -215,7 +216,7 @@ def treatment_component(helper_df: DataFrame, treatment_df: DataFrame) -> DataFr
     )
     out = helper_df.join(F.broadcast(t), on=["treatment_name", PROVIDER_COL], how="left")
     out = out.select("treatment_protocol_id", "treatment_id", "treatment_dose", PROVIDER_COL)
-    return add_id(out, "id", key_cols=["treatment_protocol_id", "treatment_id", "treatment_dose"])
+    return add_id(out, "id", key_cols=["treatment_protocol_id", "treatment_id", "treatment_dose"], fact=True)
 
 
 def discover_regimens(

@@ -46,8 +46,11 @@ def test_model_metadata_spine_left_joins(spark):
 
     dag = build_metadata_dag(spark, fixtures.metadata_fixture(spark))
     model = dag.get("model")
+    # ids are hash-derived (functions/ids.py), not dense — pick a real one
+    some_model_id = model.select("id").first()["id"]
     qa = spark.createDataFrame(
-        [(1, "Histology", "d", None, None, None, None, None, None, None)],
+        [(some_model_id, "Histology", "d",
+          None, None, None, None, None, None, None)],
         "model_id bigint, validation_technique string, description string, "
         "passages_tested string, validation_host_strain_nomenclature string, "
         "morphological_features string, SNP_analysis string, STR_analysis string, "
