@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 D182 = "decimal(18,2)"
 
@@ -34,14 +35,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read nanos as long and convert to a microsecond
-    timestamp (matching DuckDB's TIMESTAMP_NS → µs truncation)."""
+    """events.parquet with `ts` normalized to a microsecond timestamp.
+
+    The generator has shipped two physical types for `ts`: TIMESTAMP(NANOS)
+    (rejected by Spark's vectorized reader — read nanos as long, then
+    integer-divide; `/1000` double division rounds 1µs off DuckDB's ns→µs
+    truncation) and plain µs TIMESTAMP (pass through). Branch on the read
+    schema so both vintages work."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer division (`div`), not `/1000`: double division rounds and
-    # lands 1µs off DuckDB's ns→µs truncation on some values
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -18,31 +18,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (see catalog.load_events)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet with `ts` normalized to TIMESTAMP.
+
+    A file stream needs a declared schema, so take it from a batch footer
+    read of the same file, then normalize `ts` exactly like the batch twin
+    (catalog.load_events): legacy nanos-as-long → µs timestamp; µs
+    TIMESTAMP_NTZ → session-tz timestamp (UTC session ⇒ value-identical)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the lake stores one parquet file per table; a file source needs a
+    # directory, so point at the dir and glob-filter to the events file
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def daily_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream → event-time watermark → tumbling 1-day window per
     event_type. Same aggregates as the batch twin."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the lake stores one parquet file per table; a file source needs a
-    # directory, so point at the dir and glob-filter to the events file
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = events_stream_source(spark, sf_dir)
     return (
         ev.withWatermark("ts", "1 day")
         .groupBy(F.window("ts", "1 day").alias("win"), "event_type")

@@ -64,16 +64,9 @@ def sessionize_stream(
 ) -> DataFrame:
     """applyInPandasWithState sessionization, drained with AvailableNow
     into a memory sink. Kernel defined as a closure (shipped by value)."""
-    from pdcm_etl_spark.streaming.events_stream import EVENTS_RAW_SCHEMA
+    from pdcm_etl_spark.streaming.events_stream import events_stream_source
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = events_stream_source(spark, sf_dir)
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
