@@ -26,7 +26,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from pdcm_etl_spark.sources.registry import module_columns
 from pdcm_etl_spark.sources.tsv import PROVIDER_COL
@@ -103,9 +102,10 @@ def synthesize_provider_modules(
         ),
         customer.c_nationkey == F.col("n_nationkey"),
     ).select("c_custkey", "nation_name", "prov")
-    # shared by patient + the orders spine below; persisting mirrors the
+    # shared by patient + the orders spine below; checkpointing mirrors the
     # reference's materialize-raw-extraction-once step (spark_reader.py:108)
-    cust_prov = cust_prov.persist(StorageLevel.MEMORY_AND_DISK)
+    # and truncates lineage so downstream analysis stays O(node)
+    cust_prov = cust_prov.localCheckpoint(eager=False)
 
     patient = _finish(
         cust_prov.select(
@@ -135,8 +135,8 @@ def synthesize_provider_modules(
         ),
     ).withColumn("sample_id", F.concat(F.lit("S"), "ok"))
     # the model/sample spine feeds 8 modules — compute the o⋈customer
-    # shuffle once
-    o = o.persist(StorageLevel.MEMORY_AND_DISK)
+    # shuffle once (lineage-truncating, see plans/dag.py reuse policy)
+    o = o.localCheckpoint(eager=False)
 
     pdx = o.filter(~is_cell)
     cell = o.filter(is_cell)
@@ -241,7 +241,7 @@ def synthesize_provider_modules(
     )
     # lineitem⋈orders feeds 4 modules (dosing, patient tx, mutation,
     # expression) — one shuffle, reused
-    li_o = li.join(o, "ok").persist(StorageLevel.MEMORY_AND_DISK)
+    li_o = li.join(o, "ok").localCheckpoint(eager=False)
     drug = F.concat(F.lit("drug "), F.col("pk") % N_TREATMENTS)
     # every third protocol is a 2-drug combination ('+'-separated, the
     # reference's posexplode positional-dose shape)
