@@ -55,3 +55,33 @@ def transform_to_fk(
     )
     joined = df.join(dim_small, df[df_natural_key] == dim_small["__dim_key"], "left")
     return joined.drop("__dim_key").drop(df_natural_key)
+
+def salted_join(
+    fact: DataFrame,
+    skewed_dim: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-mitigated equi join: salt the fact side, replicate the other.
+
+    When a handful of join-key values dominate (one provider with 100×
+    the rows), a plain shuffle join sends each hot key to ONE reducer.
+    Salting splits every key into ``salt_buckets`` sub-keys: the fact
+    side gets a deterministic per-row salt (xxhash64 of the whole row —
+    no rand(), so retried tasks and reruns produce identical plans), the
+    other side is exploded ×``salt_buckets`` so every (key, salt)
+    combination still meets its match. Hot keys then spread over
+    ``salt_buckets`` reducers.
+
+    AQE's skew-join split handles moderate skew automatically; explicit
+    salting is for the pathological case (a key too large for one
+    executor even after AQE splitting) and for non-AQE deployments.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
+    salted_fact = fact.withColumn("__salt", salt.cast("int"))
+    replicated = skewed_dim.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<int>")),
+    )
+    return salted_fact.join(replicated, on + ["__salt"], how).drop("__salt")

@@ -87,3 +87,28 @@ def write_entity_parquet(
     if partition_by_provider and PROVIDER_COL in df.columns:
         writer = writer.partitionBy(PROVIDER_COL)
     writer.parquet(path)
+
+def write_entity_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed + sorted table write — the 100 TB design point for the
+    large molecular tables (SURVEY §4: bucket/sort by
+    molecular_characterization_id).
+
+    Two tables bucketed on the same key with the same bucket count join
+    without a shuffle (SortMergeJoin over pre-bucketed scans — no
+    Exchange in the plan), so the fact⋈fact joins the search layer runs
+    repeatedly pay the shuffle once at write time, not once per query.
+    Bucketing requires the session catalog (``saveAsTable``); plain
+    ``.parquet()`` writes cannot carry bucket metadata.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table_name)

@@ -1,0 +1,68 @@
+"""Bucketed-sink and salted-join scale helpers (SURVEY §4 partitioning
+row: bucket large molecular tables; salting for skew)."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+
+def _plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
+    from pdcm_etl_spark.sources.sinks import write_entity_bucketed
+
+    base = tmp_path_factory.mktemp("buckets")
+    left = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    right = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("w")
+    )
+    write_entity_bucketed(left, "bl", ["k"], num_buckets=8, path=str(base / "bl"))
+    write_entity_bucketed(right, "br", ["k"], num_buckets=8, path=str(base / "br"))
+    # force the shuffle-join path (tiny test tables would auto-broadcast;
+    # at the 100 TB design point both sides are fact-scale)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bl").join(spark.table("br"), "k")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bl")
+        spark.sql("DROP TABLE IF EXISTS br")
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pdcm_etl_spark.functions.joins import salted_join
+
+    # skewed fact: 90% of rows share key 0
+    fact = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 10).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(10).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), "id").alias("name")
+    )
+    plain = fact.join(dim, ["k"]).select("k", "payload", "name")
+    salted = salted_join(fact, dim, ["k"]).select("k", "payload", "name")
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from pdcm_etl_spark.functions.joins import salted_join
+
+    fact = spark.range(100).select((F.col("id") % 20).alias("k"), "id")
+    dim = spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("name"))
+    out = salted_join(fact, dim, ["k"], how="left")
+    assert out.count() == 100
+    assert out.filter(F.col("name").isNull()).count() == 75
