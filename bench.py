@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_groups",
     "ann_cosine_topk",
     "text_quality",
     "text_langid",

@@ -73,6 +73,57 @@ WHERE FLOOR(inter * 10000.0 / (sa.sz + sb.sz - inter)) >= 2000
 """
 
 
+def x_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *groups*: connected components over the exact-Jaccard pair
+    graph (pairs ≥ 0.2 Jaccard), singletons included — the clustering step
+    a dedup pipeline runs after pair generation to pick one keeper per
+    group. Distributed min-label propagation (operators/graph.py); the
+    oracle is a recursive-CTE reachability min in DuckDB."""
+    from pdcm_etl_spark.operators.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingles(docs, n=3)
+    pairs = dedup.jaccard_pairs(sh, min_bp=2000, max_shingle_freq=None)
+    return connected_components(
+        pairs, src="id_a", dst="id_b",
+        nodes=docs.select(F.col("doc_id").alias("id")), node_col="id",
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("group_id"))
+
+
+SQL_DEDUP_GROUPS = """
+WITH RECURSIVE ws AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+  FROM (
+    SELECT doc_id, w, unnest(range(greatest(len(w) - 2, 0))) AS i FROM ws
+  )
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE FLOOR(inter * 10000.0 / (sa.sz + sb.sz - inter)) >= 2000
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM documents
+  UNION
+  SELECT e.b AS id, reach.r
+  FROM reach JOIN edges e ON e.a = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id
+"""
+
+
 def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return dedup.minhash_dedup(docs, min_bp=2000)
@@ -449,6 +500,7 @@ FROM events GROUP BY 1, 2
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_groups": (x_dedup_groups, SQL_DEDUP_GROUPS),
     "dedup_minhash_lsh": (x_dedup_minhash_lsh, _sql_dedup_minhash_lsh()),
     "dedup_simhash": (x_dedup_simhash, _sql_dedup_simhash()),
     "dedup_embedding": (x_dedup_embedding, SQL_DEDUP_EMBEDDING),

@@ -66,3 +66,19 @@ def test_salted_join_left_keeps_unmatched(spark):
     out = salted_join(fact, dim, ["k"], how="left")
     assert out.count() == 100
     assert out.filter(F.col("name").isNull()).count() == 75
+
+
+def test_connected_components_shapes(spark):
+    from pdcm_etl_spark.operators.graph import connected_components
+
+    # triangle {1,2,3}, chain {10-11-12-13}, isolated {99}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13)],
+        ["src", "dst"],
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (10,), (11,), (12,), (13,), (99,)], ["id"])
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 99: 99}
