@@ -88,6 +88,40 @@ class EntityDag:
                 df = df.persist(StorageLevel.MEMORY_AND_DISK)
         return df
 
+    def materialized_run(
+        self,
+        materialize_dir: str,
+        targets: list[str] | None = None,
+        parallelism: int = 8,
+    ) -> dict[str, DataFrame]:
+        """Resumable run — the reference's Luigi file-existence memoization
+        (etl/workflow/config.py:4-7 LocalTarget: completed stages skip).
+
+        Every resolved entity is written to ``materialize_dir/<name>`` as
+        parquet; entities whose directory already holds a ``_SUCCESS``
+        marker are loaded from parquet instead of recomputed (and their
+        upstream subtree is never resolved unless another target needs
+        it). Crash mid-run → rerun redoes only the missing entities.
+        """
+        import os
+
+        names = targets or list(self.nodes)
+        done = {}
+        for n in list(self.nodes):
+            path = os.path.join(materialize_dir, n)
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                done[n] = self.spark.read.parquet(path)
+        # pre-seed results so resolution treats finished entities as inputs
+        self._results.update(done)
+        out = self.run(targets=names, parallelism=parallelism)
+        for n, df in out.items():
+            if n in done or n not in self.nodes:
+                continue
+            path = os.path.join(materialize_dir, n)
+            df.write.mode("overwrite").parquet(path)
+            out[n] = self.spark.read.parquet(path)
+        return out
+
     def run(
         self,
         targets: list[str] | None = None,

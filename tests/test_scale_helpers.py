@@ -82,3 +82,25 @@ def test_connected_components_shapes(spark):
         for r in connected_components(edges, nodes=nodes).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 99: 99}
+
+
+def test_materialized_run_resumes_from_parquet(spark, sf_dir, tmp_path_factory):
+    from pdcm_etl_spark.plans.dag import build_metadata_dag
+    from pdcm_etl_spark.plans.synth import synthesize_provider_modules
+
+    out_dir = str(tmp_path_factory.mktemp("lake"))
+    raw = synthesize_provider_modules(spark, sf_dir)
+    dag1 = build_metadata_dag(spark, raw)
+    first = dag1.materialized_run(out_dir, targets=["patient", "model"])
+    n_patient = first["patient"].count()
+
+    # second run must load, not recompute: poison the patient node
+    def boom(*_):
+        raise AssertionError("patient recomputed despite materialization")
+
+    dag2 = build_metadata_dag(spark, raw)
+    dag2.nodes["patient"].fn = boom
+    dag2.nodes["model"].fn = boom
+    second = dag2.materialized_run(out_dir, targets=["patient", "model"])
+    assert second["patient"].count() == n_patient
+    assert sorted(second["patient"].columns) == sorted(first["patient"].columns)
