@@ -84,10 +84,15 @@ def x_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sh = dedup.shingles(docs, n=3)
     pairs = dedup.jaccard_pairs(sh, min_bp=2000, max_shingle_freq=None)
-    return connected_components(
-        pairs, src="id_a", dst="id_b",
-        nodes=docs.select(F.col("doc_id").alias("id")), node_col="id",
-    ).select(F.col("id").alias("doc_id"), F.col("component").alias("group_id"))
+    # propagate only over the dup-graph endpoints (the near-dup sliver —
+    # orders of magnitude smaller than the corpus), then left-join the
+    # corpus so untouched docs come out as their own singleton group
+    comp = connected_components(pairs, src="id_a", dst="id_b", node_col="id")
+    return docs.select("doc_id").join(
+        comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("group_id")
+    )
 
 
 SQL_DEDUP_GROUPS = """
