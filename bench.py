@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_groups",
+    "asof_join",
     "ann_cosine_topk",
     "text_quality",
     "text_langid",

@@ -1,0 +1,72 @@
+"""Temporal join operators: as-of join (point-in-time lookup).
+
+Spark's DataFrame API has no as-of join (pandas-on-Spark ``merge_asof``
+exists but routes through a pandas shim). The distributed form here is
+the canonical union + window technique:
+
+1. tag both inputs and union them (right rows carry their payload in a
+   struct, left rows carry null);
+2. one shuffle: partition by the equality keys, order by (ts, tag) with
+   right rows sorting before left rows at equal timestamps so ``<=``
+   semantics hold;
+3. running ``last(payload, ignorenulls=True)`` over
+   rowsBetween(unboundedPreceding, currentRow) gives every left row the
+   most recent right payload at or before its timestamp.
+
+Cost: ONE shuffle of left+right on the equality keys and a sorted window
+scan — no range explosion, no per-key collect. Skewed keys follow the
+same mitigation as any window (pre-filter hot keys or salt + re-merge).
+
+Oracle: DuckDB's native ``ASOF LEFT JOIN`` (plans/extensions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts: str = "ts",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """For every left row, attach the latest right row with
+    ``right.ts <= left.ts`` matching on the ``on`` keys (backward as-of,
+    left-outer: unmatched left rows keep nulls).
+
+    Right payload columns (everything except keys + ts) come back
+    prefixed with ``right_prefix``; the matched right timestamp as
+    ``<right_prefix><ts>``.
+    """
+    payload_cols = [c for c in right.columns if c not in set(on)]
+    r = right.select(
+        *on,
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.struct(*payload_cols).alias("__payload"),
+    )
+    l = left.select(
+        *on,
+        F.col(ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        F.struct(*[c for c in left.columns]).alias("__left"),
+    )
+    u = l.unionByName(r.select(*on, "__ts", "__tag", "__payload"),
+                      allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    ).filter(F.col("__tag") == 1)
+    out_cols = [F.col(f"__left.{c}").alias(c) for c in left.columns]
+    out_cols += [
+        F.col(f"__match.{c}").alias(f"{right_prefix}{c}") for c in payload_cols
+    ]
+    return matched.select(*out_cols)

@@ -495,6 +495,50 @@ def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_stream(spark, sf_dir)
 
 
+def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: every click event gets the most recent
+    purchase (value + timestamp) by the same user at or before the click.
+    Distributed as union + ordered window — one shuffle on user_id, no
+    range explosion (operators/temporal.py). Oracle: DuckDB native ASOF
+    LEFT JOIN over the same deduped purchase stream."""
+    from pdcm_etl_spark.operators.temporal import asof_join
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # dedupe the right side per (user, ts): as-of tie-break among equal
+    # timestamps is undefined in both engines, so make the key unique
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(clicks, purchases, on=["user_id"], ts="ts").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("r_ts").alias("purchase_ts"),
+        F.col("r_purchase_value").alias("purchase_value"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, c.ts,
+       p.ts AS purchase_ts, p.purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
 SQL_STREAM_EVENTS_DAILY = """
 SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
@@ -520,5 +564,6 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "multimodal_decode": (x_multimodal_decode, None),
     "stream_events_daily": (x_stream_events_daily, SQL_STREAM_EVENTS_DAILY),
     "session_window": (x_session_window, SQL_SESSION_WINDOW),
+    "asof_join": (x_asof_join, SQL_ASOF_JOIN),
     "stream_sessionize": (x_stream_sessionize, None),
 }

@@ -104,3 +104,32 @@ def test_materialized_run_resumes_from_parquet(spark, sf_dir, tmp_path_factory):
     second = dag2.materialized_run(out_dir, targets=["patient", "model"])
     assert second["patient"].count() == n_patient
     assert sorted(second["patient"].columns) == sorted(first["patient"].columns)
+
+
+def test_asof_join_semantics(spark):
+    import datetime
+
+    from pdcm_etl_spark.operators.temporal import asof_join
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(10)), (1, t(20)), (1, t(5)), (2, t(10))],
+        ["user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 100.0), (1, t(15), 150.0)],
+        ["user_id", "ts", "value"],
+    )
+    out = {
+        (r["user_id"], r["ts"].second): (
+            r["r_ts"].second if r["r_ts"] else None,
+            r["r_value"],
+        )
+        for r in asof_join(left, right, on=["user_id"]).collect()
+    }
+    assert out == {
+        (1, 10): (10, 100.0),   # equal ts matches (<=)
+        (1, 20): (15, 150.0),   # latest prior
+        (1, 5): (None, None),   # nothing at or before → null
+        (2, 10): (None, None),  # key never on right → null
+    }
