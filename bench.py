@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_groups",
     "asof_join",
+    "range_join",
     "ann_cosine_topk",
     "text_quality",
     "text_langid",

@@ -70,3 +70,48 @@ def asof_join(
         F.col(f"__match.{c}").alias(f"{right_prefix}{c}") for c in payload_cols
     ]
     return matched.select(*out_cols)
+
+
+def range_join_points_in_intervals(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join without a nested-loop: bucketize time.
+
+    A naive ``p.ts BETWEEN i.start AND i.end`` predicate plans as a
+    broadcast-nested-loop join — O(|points| × |intervals|) per key. Here
+    each interval explodes into the time buckets it covers and each point
+    lands in exactly one bucket, so the match becomes an equi join on
+    (keys…, bucket) followed by the exact BETWEEN filter. Pair space is
+    bounded by bucket occupancy (pick ``bucket_seconds`` near the median
+    interval length); every point hits one bucket, so no dedup is needed.
+    This is the same bucketing strategy engines ship as a "range join
+    hint"; the oracle stays the plain inequality join (exact semantics).
+    """
+    b = F.lit(bucket_seconds)
+    # TIMESTAMP_NTZ has no direct long cast; route via timestamp. Bucket
+    # ids only need to be consistent across both sides — the exact
+    # BETWEEN filter carries the semantics.
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(epoch(start_col) / b), F.floor(epoch(end_col) / b)
+            )
+        ),
+    )
+    pt = points.withColumn("__bucket", F.floor(epoch(point_ts) / b))
+    return (
+        pt.join(iv, on + ["__bucket"])
+        .filter(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) <= F.col(end_col))
+        )
+        .drop("__bucket")
+    )

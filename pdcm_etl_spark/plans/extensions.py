@@ -539,6 +539,41 @@ ASOF LEFT JOIN purchases p
 """
 
 
+def x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment: clicks landing inside the 1-hour attribution
+    window after any purchase by the same user. Bucketed equi join + exact
+    filter (operators/temporal.py) — never a nested-loop plan. Oracle:
+    the plain inequality join (exact same semantics)."""
+    from pdcm_etl_spark.operators.temporal import range_join_points_in_intervals
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    out = range_join_points_in_intervals(
+        clicks, windows, on=["user_id"], bucket_seconds=3600
+    )
+    return out.select("event_id", "user_id", "ts", "start_ts", "end_ts")
+
+
+SQL_RANGE_JOIN = """
+SELECT c.event_id, c.user_id, c.ts, w.start_ts, w.end_ts
+FROM (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+) c
+JOIN (
+  SELECT user_id, ts AS start_ts, ts + INTERVAL 1 HOUR AS end_ts
+  FROM events WHERE event_type = 'purchase'
+) w ON c.user_id = w.user_id AND c.ts >= w.start_ts AND c.ts <= w.end_ts
+"""
+
+
 SQL_STREAM_EVENTS_DAILY = """
 SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
@@ -565,5 +600,6 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "stream_events_daily": (x_stream_events_daily, SQL_STREAM_EVENTS_DAILY),
     "session_window": (x_session_window, SQL_SESSION_WINDOW),
     "asof_join": (x_asof_join, SQL_ASOF_JOIN),
+    "range_join": (x_range_join, SQL_RANGE_JOIN),
     "stream_sessionize": (x_stream_sessionize, None),
 }

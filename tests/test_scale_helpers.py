@@ -133,3 +133,31 @@ def test_asof_join_semantics(spark):
         (1, 5): (None, None),   # nothing at or before → null
         (2, 10): (None, None),  # key never on right → null
     }
+
+
+def test_range_join_matches_inequality_join(spark):
+    import datetime
+
+    from pyspark.sql import functions as F2
+
+    from pdcm_etl_spark.operators.temporal import range_join_points_in_intervals
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m, 0)
+    points = spark.createDataFrame(
+        [(i, 1, t(i)) for i in range(0, 60, 7)], ["pid", "k", "ts"]
+    )
+    intervals = spark.createDataFrame(
+        [(1, t(5), t(20)), (1, t(18), t(25)), (2, t(0), t(59))],
+        ["k", "start_ts", "end_ts"],
+    )
+    fast = range_join_points_in_intervals(
+        points, intervals, on=["k"], bucket_seconds=300
+    ).select("pid", "k", "ts", "start_ts", "end_ts")
+    slow = points.join(
+        intervals,
+        (points.k == intervals.k)
+        & (points.ts >= intervals.start_ts)
+        & (points.ts <= intervals.end_ts),
+    ).select(points.pid, points.k, points.ts, "start_ts", "end_ts")
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+    assert fast.count() > 0
