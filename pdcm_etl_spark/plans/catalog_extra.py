@@ -196,6 +196,60 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() frame navigation (SURVEY §2.6 gap-filler for the analytics
+    surface): per-customer consecutive order price delta. Total order
+    (orderdate, orderkey) makes lag deterministic; decimal arithmetic on
+    both engines."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = F.col("o_totalprice").cast(D182)
+    return (
+        orders.withColumn("prev_price", F.lag(price).over(w))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            price.alias("price"),
+            "prev_price",
+            (price - F.col("prev_price")).cast("decimal(19,2)").alias("delta"),
+        )
+    )
+
+
+SQL_WINDOW_LAG_DELTA = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+       LAG(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS prev_price,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2))
+            - LAG(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+            AS DECIMAL(19,2)) AS delta
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((returnflag), (linestatus)) — the general
+    form behind rollup/cube; per-set subtotals in one aggregation pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast(D182)).cast("decimal(38,2)").alias("sum_qty"),
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
 def q_etl_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship pipeline query: synthesize raw provider modules from
     the TPC tables, run the full metadata DAG, return the search_index
@@ -208,6 +262,8 @@ def q_etl_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRA_CATALOG: dict[str, tuple] = {
     "etl_search_index": (q_etl_search_index, None),
+    "window_lag_delta": (q_window_lag_delta, SQL_WINDOW_LAG_DELTA),
+    "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "rollup_totals": (q_rollup_totals, SQL_ROLLUP_TOTALS),
     "cube_counts": (q_cube_counts, SQL_CUBE_COUNTS),
     "intersect_keys": (q_intersect_keys, SQL_INTERSECT_KEYS),
