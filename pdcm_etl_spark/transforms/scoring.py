@@ -69,19 +69,32 @@ def is_valid(col: Column) -> Column:
     return ~lc.isin("", "not provided", "not collected", "unknown")
 
 
-def _json_attr_score(col_name: str, attr: str, weight: float) -> Column:
+_INVALID_SQL = "('', 'not provided', 'not collected', 'unknown')"
+
+
+def _valid_sql(ref: str) -> str:
+    return f"lower(coalesce({ref}, '')) not in {_INVALID_SQL}"
+
+
+def _json_attr_score_sql(col_name: str, attr: str, weight: float) -> str:
     """weight if every element of the JSON-array column has a valid
     ``attr`` (and the array is non-empty) — the all-rows rule."""
-    arr = F.from_json(F.col(col_name), _MAP_ARRAY)
-    all_valid = F.forall(arr, lambda m: is_valid(m.getItem(attr)))
-    return F.when(
-        arr.isNotNull() & (F.size(arr) > 0) & all_valid, F.lit(float(weight))
-    ).otherwise(F.lit(0.0))
+    arr = f"from_json(`{col_name}`, 'array<map<string,string>>')"
+    return (
+        f"(case when {arr} is not null and size({arr}) > 0 "
+        f"and forall({arr}, m -> {_valid_sql(f'element_at(m, {attr!r})')}) "
+        f"then {float(weight)!r}d else 0.0d end)"
+    )
 
 
 def metadata_score_pct(df: DataFrame, weights: dict[str, float]) -> Column:
-    """Σ earned / Σ possible × 100 as one expression."""
-    earned = F.lit(0.0)
+    """Σ earned / Σ possible × 100, assembled as ONE SQL string parsed in
+    a single ``F.expr`` call. Building it term-by-term from py4j Column
+    objects costs one JVM round trip per operator node (~3s of driver
+    time for the two ~30-term score expressions at flagship scale); one
+    string parse is milliseconds and yields the identical expression
+    tree."""
+    terms = []
     maximum = 0.0
     for key, w in weights.items():
         maximum += float(w or 0)
@@ -90,12 +103,14 @@ def metadata_score_pct(df: DataFrame, weights: dict[str, float]) -> Column:
         if "." in key:
             col_name, attr = key.split(".", 1)
             if col_name in df.columns:
-                earned = earned + _json_attr_score(col_name, attr, w)
+                terms.append(_json_attr_score_sql(col_name, attr, w))
         elif key in df.columns:
-            earned = earned + F.when(is_valid(F.col(key)), F.lit(float(w))).otherwise(
-                F.lit(0.0)
+            terms.append(
+                f"(case when {_valid_sql(f'`{key}`')} "
+                f"then {float(w)!r}d else 0.0d end)"
             )
-    return earned / F.lit(maximum) * 100
+    earned = " + ".join(terms) if terms else "0.0d"
+    return F.expr(f"(({earned}) / {maximum!r}d) * 100")
 
 
 def model_score(
