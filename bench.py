@@ -41,6 +41,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality",
     "text_langid",
+    "text_tfidf",
     "multimodal_meta",
 ]
 

@@ -127,3 +127,54 @@ def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     canonical 'fingerprint clustering' key — order/duplication-insensitive)."""
     canon = F.array_join(F.array_sort(F.array_distinct(words(F.col(text_col)))), " ")
     return df.withColumn("fingerprint", F.md5(canon))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by a tf-idf score.
+
+    Score = tf × N / (df × doclen), scaled to basis points and floored —
+    rational arithmetic over exact integers instead of ln()-based idf, so
+    Spark and DuckDB produce bit-identical scores (libm log rounding is
+    not guaranteed identical across engines; a floor() at the boundary
+    would flip). Ranking ties break on the term string.
+
+    Scale: two hash aggregations (term-per-doc counts, document
+    frequencies) + a broadcast of the global doc count + one window for
+    top-k — no cross joins; df table is |vocabulary|-sized.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = toks.groupBy("id").agg(F.count(F.lit(1)).alias("doclen"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n"))
+    score = F.floor(
+        F.col("tf") * F.lit(10000.0) * F.col("n")
+        / (F.col("df") * F.col("doclen"))
+    ).cast("bigint")
+    w = Window.partitionBy("id").orderBy(
+        F.col("score_bp").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(doclen, "id")
+        # term join co-partitions with the dfreq aggregation's shuffle;
+        # broadcasting a 100 TB corpus's vocabulary would not scale
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score_bp", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("id").alias("doc_id"), "term", "score_bp",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -413,6 +413,43 @@ FROM scored
 """
 
 
+def x_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by rational tf-idf
+    (operators/text.py::tfidf_top_terms) — exact across engines (no
+    libm log at a floor boundary)."""
+    docs = _docs(spark, sf_dir)
+    return text.tfidf_top_terms(docs, k=3)
+
+
+SQL_TEXT_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), doclen AS (
+  SELECT doc_id, COUNT(*) AS doclen FROM toks GROUP BY 1
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(FLOOR(tf.tf * 10000.0 * n.n / (dfreq.df * doclen.doclen)) AS BIGINT)
+           AS score_bp
+  FROM tf JOIN doclen USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, score_bp, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score_bp DESC, term ASC
+  ) AS rnk
+  FROM scored
+)
+WHERE rnk <= 3
+"""
+
+
 def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     return text.add_fingerprint(docs).drop("text")
@@ -595,6 +632,7 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "text_quality": (x_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (x_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (x_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_tfidf": (x_text_tfidf, SQL_TEXT_TFIDF),
     "multimodal_meta": (x_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (x_multimodal_decode, None),
     "stream_events_daily": (x_stream_events_daily, SQL_STREAM_EVENTS_DAILY),
