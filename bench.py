@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_groups",
     "asof_join",
     "range_join",
+    "sample_stratified",
     "ann_cosine_topk",
     "text_quality",
     "text_langid",

@@ -611,6 +611,33 @@ JOIN (
 """
 
 
+def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sample of the events stream: 10% of
+    clicks, 50% of purchases, all errors — membership is a pure function
+    of the event id's portable hash (operators/sampling.py), so the
+    sample is identical across runs, partitionings, and engines."""
+    from pdcm_etl_spark.operators.sampling import hash_stratified_sample
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = hash_stratified_sample(
+        ev, "event_type", "event_id",
+        {"click": 1000, "purchase": 5000, "error": 10000},
+    )
+    return out.select("event_id", "user_id", "event_type", "ts")
+
+
+_H60_EVENT = _DUCK_H60.format(col="CAST(event_id AS VARCHAR)")
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT event_id, user_id, event_type, ts
+FROM events
+WHERE ({_H60_EVENT}) % 10000 <
+      CASE event_type WHEN 'click' THEN 1000 WHEN 'purchase' THEN 5000
+                      WHEN 'error' THEN 10000 ELSE 0 END
+"""
+
+
 SQL_STREAM_EVENTS_DAILY = """
 SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
@@ -639,5 +666,6 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "session_window": (x_session_window, SQL_SESSION_WINDOW),
     "asof_join": (x_asof_join, SQL_ASOF_JOIN),
     "range_join": (x_range_join, SQL_RANGE_JOIN),
+    "sample_stratified": (x_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "stream_sessionize": (x_stream_sessionize, None),
 }
