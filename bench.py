@@ -39,6 +39,7 @@ HEADLINE = [
     "asof_join",
     "range_join",
     "sample_stratified",
+    "corpus_curation",
     "ann_cosine_topk",
     "text_quality",
     "text_langid",

@@ -638,6 +638,49 @@ WHERE ({_H60_EVENT}) % 10000 <
 """
 
 
+def x_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation flow as ONE composed plan:
+    quality gate (length + stopword ratio) → exact-dup keeper filter →
+    deterministic 50% sample. Every stage is an already-oracled operator;
+    the composition itself is the point — one Catalyst plan, no
+    materialization between stages."""
+    from pdcm_etl_spark.operators.sampling import hash_sample
+
+    docs = _docs(spark, sf_dir)
+    q = text.add_quality_scores(docs.select("doc_id", "text"))
+    good = q.filter((F.col("n_words") >= 30) & (F.col("stopword_bp") >= 100))
+    keepers = dedup.exact_dup_groups(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    kept = good.join(keepers, "doc_id", "left_semi")
+    return hash_sample(kept, "doc_id", 5000).select(
+        "doc_id", "n_words", "stopword_bp"
+    )
+
+
+_H60_DOC = _DUCK_H60.format(col="CAST(doc_id AS VARCHAR)")
+
+SQL_CORPUS_CURATION = f"""
+WITH base AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents
+), q AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(FLOOR(len(list_filter(w, x -> x IN ('the','a','of','and','is')))
+              * 10000.0 / len(w)) AS BIGINT) AS stopword_bp
+  FROM base
+), keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents
+  GROUP BY md5(lower(trim(text)))
+)
+SELECT q.doc_id, q.n_words, q.stopword_bp
+FROM q
+JOIN keepers USING (doc_id)
+WHERE q.n_words >= 30 AND q.stopword_bp >= 100
+  AND ({_H60_DOC}) % 10000 < 5000
+"""
+
+
 SQL_STREAM_EVENTS_DAILY = """
 SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
@@ -667,5 +710,6 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "asof_join": (x_asof_join, SQL_ASOF_JOIN),
     "range_join": (x_range_join, SQL_RANGE_JOIN),
     "sample_stratified": (x_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "corpus_curation": (x_corpus_curation, SQL_CORPUS_CURATION),
     "stream_sessionize": (x_stream_sessionize, None),
 }
