@@ -46,15 +46,19 @@ _SITES_OF_ENGRAFTMENT = ["subcutaneous", "orthotopic", "renal capsule"]
 
 def _finish(df: DataFrame, module: str) -> DataFrame:
     """Project onto the module's declared all-string schema (missing
-    declared columns become null strings), provider column last."""
-    cols = []
-    for c in module_columns(module):
-        if c in df.columns:
-            cols.append(F.col(c).cast("string").alias(c))
-        else:
-            cols.append(F.lit(None).cast("string").alias(c))
-    cols.append(F.col(PROVIDER_COL).cast("string").alias(PROVIDER_COL))
-    return df.select(*cols)
+    declared columns become null strings), provider column last.
+
+    Built as selectExpr strings — one py4j call total instead of one per
+    Column object (17 modules × ~15 cols of JVM round trips add up)."""
+    have = set(df.columns)
+    exprs = [
+        f"CAST(`{c}` AS STRING) AS `{c}`"
+        if c in have
+        else f"CAST(NULL AS STRING) AS `{c}`"
+        for c in module_columns(module)
+    ]
+    exprs.append(f"CAST(`{PROVIDER_COL}` AS STRING) AS `{PROVIDER_COL}`")
+    return df.selectExpr(*exprs)
 
 
 def _pick(col, options: list) -> F.Column:
