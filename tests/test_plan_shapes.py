@@ -66,3 +66,22 @@ def test_theta_join_is_equi_rewrite(spark, sf_dir, queries):
     # as BroadcastNestedLoopJoin; our precomputed-key rewrite must not
     plan = _plan(queries["join_theta_rewrite"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir, queries):
+    plan = _plan(queries["asof_join"](spark, sf_dir))
+    # union + ordered window: the only exchange is the hash partition on
+    # the equality keys — no nested loop, no range explosion
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_range_join_plans_as_hash_join(spark, sf_dir, queries):
+    plan = _plan(queries["range_join"](spark, sf_dir))
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_sample_is_scan_side_filter(spark, sf_dir, queries):
+    plan = _plan(queries["sample_stratified"](spark, sf_dir))
+    # membership is a pure row predicate: no shuffle at all
+    assert "Exchange" not in plan, plan
