@@ -41,6 +41,7 @@ HEADLINE = [
     "sample_stratified",
     "corpus_curation",
     "ann_cosine_topk",
+    "kmeans_assign",
     "text_quality",
     "text_langid",
     "text_tfidf",

@@ -234,3 +234,94 @@ def embedding_near_dup_pairs(
         .filter(F.col("score_ppm") >= min_ppm)
         .select("id_a", "id_b", "score_ppm")
     )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic distributed k-means: fixed iteration count, exact
+    cross-engine semantics (DuckDB oracle in plans/extensions.py).
+
+    Two determinism rules make an FP-iterative algorithm hash-stable:
+    - **init**: centroids are the first ``k`` vectors by id — no RNG;
+    - **centroid update in DECIMAL**: float sums depend on accumulation
+      order (partition order in Spark, row order in DuckDB), so means are
+      computed over ``decimal(28,9)`` casts — exact, order-independent —
+      then divided at fixed scale. Distances use the resulting identical
+      doubles, summed in array-index order on both engines.
+
+    Assignment ties break toward the lower centroid id. Scale: each
+    iteration is one broadcast of k×dim centroids + a map-side argmin +
+    one (cid, dim-position) aggregation — no cross join materializes.
+    Returns (id, cid) for the final assignment.
+    """
+    dim_df = embeddings.select(F.size(_dvec(vec_col)).alias("d")).limit(1)
+    dim = dim_df.collect()[0]["d"]
+
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"), _dvec(vec_col).alias("v")
+    )
+    centroids = (
+        vecs.orderBy("id")
+        .limit(k)
+        .select(F.col("id"), "v")
+        .collect()
+    )
+    # cid = rank of the seed vector among the first k, 0-based
+    cents = [(i, [float(x) for x in row["v"]]) for i, row in enumerate(centroids)]
+
+    def assign(cents_local):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(x) for x in cvec]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"d{cid}")
+            for cid, cvec in cents_local
+        ]
+        with_d = vecs.select("id", "v", *dists)
+        best = F.lit(0)
+        best_d = F.col("d0")
+        for cid, _ in cents_local[1:]:
+            better = F.col(f"d{cid}") < best_d
+            best = F.when(better, F.lit(cid)).otherwise(best)
+            best_d = F.when(better, F.col(f"d{cid}")).otherwise(best_d)
+        return with_d.select("id", "v", best.alias("cid"))
+
+    for _ in range(iterations):
+        assigned = assign(cents)
+        # order-independent mean per (cid, dimension): decimal(28,9) sum
+        # (exact, any accumulation order) → nano-unit integer → floor
+        # division via pmod (engine-consistent for negatives; DuckDB's
+        # decimal division would degrade to DOUBLE)
+        s_nano = (
+            F.sum(F.col("x").cast("decimal(28,9)")) * F.lit(1_000_000_000)
+        ).cast("long")
+        n = F.count(F.lit(1))
+        m_nano = ((s_nano - F.pmod(s_nano, n)) / n).cast("long")
+        means = (
+            assigned.select(
+                "cid", F.posexplode(F.col("v")).alias("pos", "x")
+            )
+            .groupBy("cid", "pos")
+            .agg(m_nano.alias("m_nano"))
+            .collect()
+        )
+        by_cid: dict[int, list] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], [None] * dim)[r["pos"]] = (
+                r["m_nano"] / 1e9
+            )
+        cents = [(cid, by_cid[cid]) for cid, _ in cents if cid in by_cid]
+
+    return assign(cents).select(
+        F.col("id").alias(id_col), F.col("cid").cast("int").alias("cid")
+    )

@@ -681,6 +681,55 @@ WHERE q.n_words >= 30 AND q.stopword_bp >= 100
 """
 
 
+def x_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed k-means over the embeddings table: one
+    full Lloyd round (seed-assign -> integer-exact centroid update ->
+    reassign), k=4 — no RNG, decimal/integer centroid means so the
+    FP-iterative algorithm hash-matches the pure-SQL oracle exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_assign(emb, k=4, iterations=1)
+
+
+SQL_KMEANS_ASSIGN = """
+WITH seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)
+), d1 AS (
+  SELECT e.vec_id, e.embedding, s.cid,
+         list_reduce(list_transform(range(64), i -> (CAST(e.embedding[i+1] AS DOUBLE) - s.cv[i+1]) * (CAST(e.embedding[i+1] AS DOUBLE) - s.cv[i+1])), (a,b) -> a + b) AS dist
+  FROM embeddings e CROSS JOIN seeds s
+), a1 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM d1
+  ) WHERE rn = 1
+), m1 AS (
+  SELECT cid, i AS pos,
+         CAST(SUM(CAST(CAST(embedding[i+1] AS DOUBLE) AS DECIMAL(28,9))) * 1000000000 AS BIGINT) AS s_nano,
+         COUNT(*) AS n
+  FROM a1, (SELECT unnest(range(64)) AS i)
+  GROUP BY 1, 2
+), c1 AS (
+  SELECT cid,
+         list((s_nano - ((s_nano % n) + n) % n) // n / 1000000000.0 ORDER BY pos) AS cv
+  FROM m1 GROUP BY cid
+), d2 AS (
+  SELECT e.vec_id, s.cid,
+         list_reduce(list_transform(range(64), i -> (CAST(e.embedding[i+1] AS DOUBLE) - s.cv[i+1]) * (CAST(e.embedding[i+1] AS DOUBLE) - s.cv[i+1])), (a,b) -> a + b) AS dist
+  FROM embeddings e CROSS JOIN c1 s
+), a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM d2
+  ) WHERE rn = 1
+)
+SELECT vec_id, CAST(cid AS INTEGER) AS cid FROM a2
+"""
+
+
 SQL_STREAM_EVENTS_DAILY = """
 SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
@@ -711,5 +760,6 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "range_join": (x_range_join, SQL_RANGE_JOIN),
     "sample_stratified": (x_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "corpus_curation": (x_corpus_curation, SQL_CORPUS_CURATION),
+    "kmeans_assign": (x_kmeans_assign, SQL_KMEANS_ASSIGN),
     "stream_sessionize": (x_stream_sessionize, None),
 }
