@@ -45,6 +45,7 @@ HEADLINE = [
     "text_quality",
     "text_langid",
     "text_tfidf",
+    "pack_sequences",
     "multimodal_meta",
 ]
 

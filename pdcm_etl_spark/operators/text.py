@@ -178,3 +178,50 @@ def tfidf_top_terms(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def pack_documents(
+    df: DataFrame,
+    token_budget: int = 2048,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins (sequence
+    packing): contiguous greedy fill in deterministic id order.
+
+    A global greedy pack is inherently sequential, so packing runs per
+    *shard* (portable hash of the id → ``n_shards``): within each shard a
+    running token cumsum assigns bin = floor(start_offset / budget).
+    Shards pack in parallel — the window is one shuffle partitioned by
+    shard — and determinism is total (no RNG, stable order). At 100 TB
+    raise ``n_shards`` to the write parallelism you want; each bin is a
+    training row, each shard an independent stream of bins.
+    """
+    from pyspark.sql import Window
+
+    from pdcm_etl_spark.operators.dedup import portable_hash60
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.lower(F.col(text_col)), " ")).cast("bigint").alias(
+            "n_tokens"
+        ),
+        (portable_hash60(F.col(id_col).cast("string")) % n_shards).alias(
+            "shard"
+        ),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        "doc_id",
+        F.col("shard").cast("int").alias("shard"),
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(token_budget))
+        .cast("bigint")
+        .alias("bin_id"),
+    )

@@ -730,6 +730,30 @@ SELECT vec_id, CAST(cid AS INTEGER) AS cid FROM a2
 """
 
 
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: shard-parallel contiguous fill
+    of 2048-token bins in deterministic id order."""
+    docs = _docs(spark, sf_dir)
+    return text.pack_documents(docs, token_budget=2048, n_shards=8)
+
+
+_H60_DOCID = _DUCK_H60.format(col="CAST(doc_id AS VARCHAR)")
+
+SQL_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         ({_H60_DOCID}) % 8 AS shard
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS INTEGER) AS shard, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+FROM toks
+WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 SQL_STREAM_EVENTS_DAILY = """
 SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
@@ -761,5 +785,6 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "sample_stratified": (x_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "corpus_curation": (x_corpus_curation, SQL_CORPUS_CURATION),
     "kmeans_assign": (x_kmeans_assign, SQL_KMEANS_ASSIGN),
+    "pack_sequences": (x_pack_sequences, SQL_PACK_SEQUENCES),
     "stream_sessionize": (x_stream_sessionize, None),
 }
