@@ -46,6 +46,7 @@ HEADLINE = [
     "text_langid",
     "text_tfidf",
     "pack_sequences",
+    "quality_percentile",
     "multimodal_meta",
 ]
 

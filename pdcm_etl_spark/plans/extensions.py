@@ -754,6 +754,46 @@ WINDOW w AS (PARTITION BY shard ORDER BY doc_id
 """
 
 
+def x_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based quality filtering: keep the top decile of docs by
+    stopword ratio. percent_rank is rank arithmetic ((rank-1)/(n-1)) —
+    rational, so the floor-bp threshold is exact cross-engine; ties on
+    the metric break by doc_id for a total order.
+
+    Scale note: an unpartitioned window is a single-partition sort — at
+    100 TB compute the decile threshold once (approx_percentile or a
+    two-pass exact count) and filter map-side, or rank per shard."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    q = text.add_quality_scores(docs.select("doc_id", "text"))
+    w = Window.orderBy(F.col("stopword_bp").asc(), F.col("doc_id").asc())
+    pr_bp = F.floor(F.percent_rank().over(w) * 10000).cast("bigint")
+    return (
+        q.select("doc_id", "stopword_bp")
+        .withColumn("pr_bp", pr_bp)
+        .filter(F.col("pr_bp") >= 9000)
+    )
+
+
+SQL_QUALITY_PERCENTILE = """
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), q AS (
+  SELECT doc_id,
+         CAST(FLOOR(len(list_filter(w, x -> x IN ('the','a','of','and','is')))
+              * 10000.0 / len(w)) AS BIGINT) AS stopword_bp
+  FROM base
+)
+SELECT doc_id, stopword_bp, pr_bp FROM (
+  SELECT doc_id, stopword_bp,
+         CAST(FLOOR(PERCENT_RANK() OVER (
+           ORDER BY stopword_bp ASC, doc_id ASC) * 10000) AS BIGINT) AS pr_bp
+  FROM q
+) WHERE pr_bp >= 9000
+"""
+
+
 SQL_STREAM_EVENTS_DAILY = """
 SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
@@ -786,5 +826,6 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "corpus_curation": (x_corpus_curation, SQL_CORPUS_CURATION),
     "kmeans_assign": (x_kmeans_assign, SQL_KMEANS_ASSIGN),
     "pack_sequences": (x_pack_sequences, SQL_PACK_SEQUENCES),
+    "quality_percentile": (x_quality_percentile, SQL_QUALITY_PERCENTILE),
     "stream_sessionize": (x_stream_sessionize, None),
 }
