@@ -95,10 +95,15 @@ def main() -> None:
         # drop refs to the previous query's checkpointed/persisted RDDs so
         # the ContextCleaner can unpersist before the next measurement —
         # otherwise earlier queries' block-store pressure bleeds into
-        # later timings
+        # later timings. The cleaner is asynchronous: run a trivial job
+        # and a short cooldown so block removal drains outside the timed
+        # region (observed 10-20s bleed into the first query after the
+        # flagship without it).
         import gc
 
         gc.collect()
+        spark.range(10).count()
+        time.sleep(0.5)
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
