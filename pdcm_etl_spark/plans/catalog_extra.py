@@ -250,6 +250,36 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """
 
 
+def q_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of l_extendedprice (20 bins) — the column-
+    profiling companion to profile_notnull. Bin ids come from one double
+    subtraction/division/floor per row (identical IEEE ops both engines),
+    clamped to [0, 19]; counts and decimal sums per bin."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("double")
+    raw_bin = F.floor((x - F.lit(900.0)) / F.lit(5205.0))
+    bin_id = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(19)).cast("int")
+    return (
+        li.select(bin_id.alias("bin_id"), "l_extendedprice")
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast(D182))
+            .cast("decimal(38,2)")
+            .alias("sum_price"),
+        )
+    )
+
+
+SQL_PROFILE_HISTOGRAM = """
+SELECT CAST(LEAST(GREATEST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 900.0)
+             / 5205.0), 0), 19) AS INTEGER) AS bin_id,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+FROM lineitem GROUP BY 1
+"""
+
+
 def q_etl_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship pipeline query: synthesize raw provider modules from
     the TPC tables, run the full metadata DAG, return the search_index
@@ -264,6 +294,7 @@ EXTRA_CATALOG: dict[str, tuple] = {
     "etl_search_index": (q_etl_search_index, None),
     "window_lag_delta": (q_window_lag_delta, SQL_WINDOW_LAG_DELTA),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    "profile_histogram": (q_profile_histogram, SQL_PROFILE_HISTOGRAM),
     "rollup_totals": (q_rollup_totals, SQL_ROLLUP_TOTALS),
     "cube_counts": (q_cube_counts, SQL_CUBE_COUNTS),
     "intersect_keys": (q_intersect_keys, SQL_INTERSECT_KEYS),
