@@ -280,6 +280,43 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot of four lineitem measures (the API layer's
+    melt operation). Spark's native unpivot/melt; the oracle is the
+    portable UNION ALL form. Decimal-cast before unpivoting so the value
+    column has one exact type."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast(D182).alias("quantity"),
+        F.col("l_extendedprice").cast(D182).alias("extendedprice"),
+        F.col("l_discount").cast(D182).alias("discount"),
+        F.col("l_tax").cast(D182).alias("tax"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "metric",
+        "value",
+    )
+
+
+SQL_UNPIVOT_METRICS = """
+SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+       CAST(l_quantity AS DECIMAL(18,2)) AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice',
+       CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount',
+       CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax',
+       CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
+"""
+
+
 def q_etl_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship pipeline query: synthesize raw provider modules from
     the TPC tables, run the full metadata DAG, return the search_index
@@ -295,6 +332,7 @@ EXTRA_CATALOG: dict[str, tuple] = {
     "window_lag_delta": (q_window_lag_delta, SQL_WINDOW_LAG_DELTA),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "profile_histogram": (q_profile_histogram, SQL_PROFILE_HISTOGRAM),
+    "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT_METRICS),
     "rollup_totals": (q_rollup_totals, SQL_ROLLUP_TOTALS),
     "cube_counts": (q_cube_counts, SQL_CUBE_COUNTS),
     "intersect_keys": (q_intersect_keys, SQL_INTERSECT_KEYS),
