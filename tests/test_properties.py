@@ -90,3 +90,91 @@ def test_shingles_short_docs_are_empty_not_errors(spark, n):
     text = " ".join(["w"] * n)
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     assert shingles(df, n=3).count() == 0
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 99)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """asof_join == per-row brute force: the latest right row with
+    ts <= left.ts on the same key (backward, left-outer)."""
+    import datetime
+
+    from pdcm_etl_spark.operators.temporal import asof_join
+
+    t = lambda s: datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+    # unique (key, ts) on the right: as-of tie-break among duplicate
+    # timestamps is undefined (same contract as the catalog query)
+    rmap = {}
+    for k, ts, v in rights:
+        rmap[(k, ts)] = v
+    rrows = [(k, t(ts), v) for (k, ts), v in rmap.items()]
+    left = spark.createDataFrame(
+        [(k, t(ts)) for k, ts in lefts], ["k", "ts"]
+    )
+    right = spark.createDataFrame(rrows, ["k", "ts", "v"]) if rrows else (
+        spark.createDataFrame([], "k long, ts timestamp, v long")
+    )
+    got = {
+        (r["k"], r["ts"]): r["r_v"]
+        for r in asof_join(left, right, on=["k"]).collect()
+    }
+    for k, ts in lefts:
+        cands = [
+            (rts, v) for (rk, rts), v in rmap.items() if rk == k and rts <= ts
+        ]
+        want = max(cands)[1] if cands else None
+        assert got[(k, t(ts))] == want, (k, ts, cands)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    from pdcm_etl_spark.operators.graph import connected_components
+
+    nodes = sorted({n for e in edges for n in e} | {0, 99})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in nodes}
+    # canonical label = min member of the component
+    comp_min = {}
+    for n, r in want.items():
+        comp_min.setdefault(r, n)
+        comp_min[r] = min(comp_min[r], n)
+    want = {n: comp_min[find(n)] for n in nodes}
+
+    edf = (
+        spark.createDataFrame(list(edges), ["src", "dst"])
+        if edges
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    ndf = spark.createDataFrame([(n,) for n in nodes], ["id"])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edf, nodes=ndf).collect()
+    }
+    assert got == want
