@@ -28,25 +28,97 @@ def entry(spark: SparkSession) -> DataFrame:
     return run_etl_search_index(spark, SF0001)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+# The driver's correctness gate checks the FIRST 50 queries in registry
+# order. This priority list guarantees at least one representative of
+# every operator family (SURVEY §2.5-§2.12 + the training-data extension
+# set) lands inside that window; everything past position 50 is still
+# declared and stays covered by the pytest oracle-parity suite
+# (tests/test_oracle_parity.py).
+_PRIORITY: list[str] = [
+    # flagship + aggregation / projection spine
+    "etl_search_index",
+    "pricing_summary",
+    "filter_project",
+    # joins (semi/anti also exercised inside harmonisation_cascade)
+    "join_left_fk",
+    "join_full_outer",
+    "correlated_count",
+    "harmonisation_cascade",
+    "array_equality_group",
+    # window / sort / top-k / set ops
+    "sorted_list_per_group",
+    "window_lag_delta",
+    "topk",
+    "grouping_sets",
+    "rollup_totals",
+    "cube_counts",
+    "intersect_keys",
+    "except_keys",
+    # scalar kit / JSON / profiling / pivot
+    "case_buckets",
+    "collect_set_markers",
+    "global_agg",
+    "json_agg_struct",
+    "split_part",
+    "date_arithmetic",
+    "string_kit",
+    "exact_percentile",
+    "profile_histogram",
+    "unpivot_metrics",
+    "pivot_status",
+    "events_daily",
+    "recursive_closure",
+    # training-data: dedup family
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_groups",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding",
+    # similarity search
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    # text analysis
+    "text_quality",
+    "text_tfidf",
+    # multimodal
+    "multimodal_decode",
+    # temporal / streaming / sampling / composed pipelines
+    "asof_join",
+    "range_join",
+    "sample_stratified",
+    "corpus_curation",
+    "kmeans_assign",
+    "pack_sequences",
+    "quality_percentile",
+    "stream_events_daily",
+    "session_window",
+    "stream_sessionize",
+]
+
+
+def _full_catalog() -> dict[str, tuple]:
     from pdcm_etl_spark.plans.catalog import RELATIONAL_CATALOG
 
-    regs: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, (fn, _sql) in RELATIONAL_CATALOG.items():
-        regs[name] = fn
-    for cat in _optional_catalogs():
-        for name, (fn, _sql) in cat.items():
-            regs[name] = fn
-    return regs
+    cat: dict[str, tuple] = dict(RELATIONAL_CATALOG)
+    for extra in _optional_catalogs():
+        cat.update(extra)
+    ordered: dict[str, tuple] = {}
+    for name in _PRIORITY:
+        if name in cat:
+            ordered[name] = cat[name]
+    for name, entry in cat.items():
+        if name not in ordered:
+            ordered[name] = entry
+    return ordered
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _sql) in _full_catalog().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from pdcm_etl_spark.plans.catalog import RELATIONAL_CATALOG
-
-    out = {n: sql for n, (fn, sql) in RELATIONAL_CATALOG.items() if sql}
-    for cat in _optional_catalogs():
-        out.update({n: sql for n, (fn, sql) in cat.items() if sql})
-    return out
+    return {name: sql for name, (_fn, sql) in _full_catalog().items() if sql}
 
 
 def _optional_catalogs() -> list[dict]:

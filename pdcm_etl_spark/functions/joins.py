@@ -77,7 +77,17 @@ def salted_join(
     AQE's skew-join split handles moderate skew automatically; explicit
     salting is for the pathological case (a key too large for one
     executor even after AQE splitting) and for non-AQE deployments.
+
+    Only fact-preserving join types are supported: the dim side is
+    replicated ×``salt_buckets``, so right/full-outer would emit each
+    unmatched dim row ``salt_buckets`` times — a silent duplication trap.
     """
+    if how not in ("inner", "left", "left_semi", "semi", "left_anti", "anti"):
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only "
+            f"(inner/left/left_semi/left_anti), got {how!r}: the replicated "
+            f"dim side would duplicate unmatched dim rows {salt_buckets}x"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
     salted_fact = fact.withColumn("__salt", salt.cast("int"))
     replicated = skewed_dim.withColumn(

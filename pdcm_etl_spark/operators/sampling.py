@@ -41,3 +41,65 @@ def hash_stratified_sample(
         )
     rate = (rate.otherwise(F.lit(0)) if rate is not None else F.lit(0))
     return df.filter(bucket < rate)
+
+
+def top_percentile_filter(
+    df: DataFrame, metric: str, id_col: str, min_pr_bp: int = 9000
+) -> DataFrame:
+    """Keep rows whose global percent_rank over (metric asc, id asc) is
+    ≥ ``min_pr_bp`` basis points, emitting the exact ``pr_bp`` — WITHOUT a
+    single-partition global window sort (the 100 TB killer that
+    ``Window.orderBy()`` with no partition spec plans).
+
+    Two-pass exact plan:
+      1. distributed histogram of the (integer-valued) metric; the
+         per-value counts are collected to the driver — bounded by the
+         metric's value domain (e.g. basis points → ≤ 10001 rows), a
+         scalar-scale collect like the k-means centroid rows;
+      2. driver arithmetic finds the cutoff rank ``rn_min`` (smallest rank
+         with floor((rn-1)*10^4/(n-1)) ≥ min_pr_bp) and the threshold
+         metric value ``t``;
+      3. the ``metric ≥ t`` sliver (≈ (10000-min_pr_bp)/10000 of the data)
+         gets a within-value row_number — the window is PARTITIONED by the
+         metric value, so it parallelizes — and the exact global rank is
+         cum_before(value) + within_rank via a broadcast join of the tiny
+         cumulative-count table. Integer arithmetic end-to-end ⇒ results
+         are bit-identical to the naive global-window form (the DuckDB
+         oracle keeps that form).
+    """
+    from pyspark.sql import Window
+
+    hist = df.groupBy(metric).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    values = sorted((r[metric], r["cnt"]) for r in hist)
+    n = sum(c for _, c in values)
+    if n == 0:
+        return df.withColumn("pr_bp", F.lit(0).cast("bigint")).limit(0)
+    d = max(n - 1, 1)  # percent_rank denominator (single row ⇒ pr = 0)
+    a = min_pr_bp * d
+    rn_min = -(-a // BUCKETS) + 1  # smallest rank with (rn-1)*1e4 ≥ min_pr_bp*(n-1)
+    cum = 0
+    t = None
+    cum_before: list[tuple] = []
+    for v, c in values:
+        if t is None and cum + c >= rn_min:
+            t = v
+        if t is not None:
+            cum_before.append((v, cum))
+        cum += c
+    if t is None:  # min_pr_bp past the end — nothing qualifies
+        return df.withColumn("pr_bp", F.lit(0).cast("bigint")).limit(0)
+
+    spark = df.sparkSession
+    cum_df = spark.createDataFrame(
+        [(int(v), int(cb)) for v, cb in cum_before], f"{metric} bigint, __cumb bigint"
+    )
+    w = Window.partitionBy(metric).orderBy(id_col)
+    return (
+        df.filter(F.col(metric) >= t)
+        .withColumn("__w", F.row_number().over(w))
+        .join(F.broadcast(cum_df), metric)
+        .withColumn("__rn", F.col("__cumb") + F.col("__w"))
+        .filter(F.col("__rn") >= rn_min)
+        .withColumn("pr_bp", F.expr(f"((__rn - 1) * {BUCKETS}) div {d}"))
+        .drop("__w", "__cumb", "__rn")
+    )

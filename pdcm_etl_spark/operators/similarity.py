@@ -288,8 +288,11 @@ def kmeans_assign(
             for cid, cvec in cents_local
         ]
         with_d = vecs.select("id", "v", *dists)
-        best = F.lit(0)
-        best_d = F.col("d0")
+        # init from the first *surviving* centroid — centroid 0 can lose
+        # all its points after an update round and drop out of cents_local
+        first_cid = cents_local[0][0]
+        best = F.lit(first_cid)
+        best_d = F.col(f"d{first_cid}")
         for cid, _ in cents_local[1:]:
             better = F.col(f"d{cid}") < best_d
             best = F.when(better, F.lit(cid)).otherwise(best)
@@ -306,13 +309,20 @@ def kmeans_assign(
             F.sum(F.col("x").cast("decimal(28,9)")) * F.lit(1_000_000_000)
         ).cast("long")
         n = F.count(F.lit(1))
-        m_nano = ((s_nano - F.pmod(s_nano, n)) / n).cast("long")
+        # integer floor division (`div`), not double `/` then cast: the
+        # double path loses exactness once the dividend exceeds 2^53,
+        # silently diverging from the oracle's integer `//`
         means = (
             assigned.select(
                 "cid", F.posexplode(F.col("v")).alias("pos", "x")
             )
             .groupBy("cid", "pos")
-            .agg(m_nano.alias("m_nano"))
+            .agg(s_nano.alias("s_nano"), n.alias("n"))
+            .select(
+                "cid",
+                "pos",
+                F.expr("(s_nano - pmod(s_nano, n)) div n").alias("m_nano"),
+            )
             .collect()
         )
         by_cid: dict[int, list] = {}

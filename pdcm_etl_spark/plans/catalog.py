@@ -65,15 +65,21 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = F.col("l_extendedprice").cast(D182) * (
         F.lit(1).cast(D182) - F.col("l_discount").cast(D182)
     )
+    # Aggregation stays exact DECIMAL; the *final projection* is bigint
+    # fixed-point (cents / 1e-4 units) so the cross-engine canonical form
+    # is an integer on both sides (decimal.Decimal vs float64 textual
+    # scale mismatch was the round-1 hash failure).
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(D182)).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(D182))
-            .cast("decimal(38,2)")
-            .alias("sum_base_price"),
-            F.sum(dec).cast("decimal(38,4)").alias("sum_disc_price"),
+            (F.sum(F.col("l_quantity").cast(D182)) * 100)
+            .cast("bigint")
+            .alias("sum_qty_c"),
+            (F.sum(F.col("l_extendedprice").cast(D182)) * 100)
+            .cast("bigint")
+            .alias("sum_base_price_c"),
+            (F.sum(dec) * 10000).cast("bigint").alias("sum_disc_price_x10k"),
             F.countDistinct("l_orderkey").alias("n_orders"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -82,9 +88,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_c,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_price_c,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS sum_disc_price_x10k,
        COUNT(DISTINCT l_orderkey) AS n_orders,
        COUNT(*) AS count_order
 FROM lineitem
@@ -103,20 +109,22 @@ def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_orderkey",
         "l_linenumber",
-        F.col("l_extendedprice").cast(D182).alias("price"),
+        # bigint fixed-point final projection (canonicalization-safe)
+        (F.col("l_extendedprice").cast(D182) * 100).cast("bigint").alias("price_c"),
         (
             F.col("l_extendedprice").cast(D182)
             * (F.lit(1).cast(D182) - F.col("l_discount").cast(D182))
+            * 10000
         )
-        .cast("decimal(38,4)")
-        .alias("disc_price"),
+        .cast("bigint")
+        .alias("disc_price_x10k"),
     )
 
 
 SQL_FILTER_PROJECT = """
 SELECT l_orderkey, l_linenumber,
-       CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
-       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS disc_price
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS disc_price_x10k
 FROM lineitem
 WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '2000-01-01'
 """
@@ -328,17 +336,24 @@ def q_array_equality_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     Orders grouped by their canonical returnflag basket."""
     li = _t(spark, sf_dir, "lineitem")
     baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_returnflag")).alias("basket")
+        F.array_sort(F.collect_set("l_returnflag")).alias("basket_arr")
     )
-    return baskets.groupBy("basket").agg(F.count(F.lit(1)).alias("n_orders"))
+    # grouping happens on the *array* (the operator under test); the final
+    # projection serializes it so the driver canonicalizer can hash rows
+    return (
+        baskets.groupBy("basket_arr")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(F.array_join("basket_arr", "|").alias("basket"), "n_orders")
+    )
 
 
 SQL_ARRAY_EQUALITY_GROUP = """
 WITH baskets AS (
-  SELECT l_orderkey, list_sort(list_distinct(list(l_returnflag))) AS basket
+  SELECT l_orderkey, list_sort(list_distinct(list(l_returnflag))) AS basket_arr
   FROM lineitem GROUP BY l_orderkey
 )
-SELECT basket, COUNT(*) AS n_orders FROM baskets GROUP BY basket
+SELECT array_to_string(basket_arr, '|') AS basket, COUNT(*) AS n_orders
+FROM baskets GROUP BY basket_arr
 """
 
 
@@ -389,12 +404,17 @@ def q_sorted_list_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_sort(collect_set) — one hash agg, no window sort."""
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities")
+        # serialized in the same expression — the sorted-set semantics are
+        # identical; '|'-joined for driver canonicalizer hashability
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), "|"
+        ).alias("priorities")
     )
 
 
 SQL_SORTED_LIST_PER_GROUP = """
-SELECT o_custkey, list_sort(list_distinct(list(o_orderpriority))) AS priorities
+SELECT o_custkey,
+       array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|') AS priorities
 FROM orders GROUP BY o_custkey
 """
 
@@ -572,15 +592,18 @@ def q_collect_set_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """markers-per-model analog (search_index_molecular_data_transformer_job
     .py:307-309): sorted supplier set + cardinality per part."""
     li = _t(spark, sf_dir, "lineitem")
+    sset = F.array_sort(F.collect_set("l_suppkey"))
     return li.groupBy("l_partkey").agg(
-        F.array_sort(F.collect_set("l_suppkey")).alias("suppliers"),
-        F.size(F.array_sort(F.collect_set("l_suppkey"))).alias("n_suppliers"),
+        # numeric-sorted set, stringified elementwise then '|'-joined so
+        # the driver canonicalizer can hash the row
+        F.array_join(sset.cast("array<string>"), "|").alias("suppliers"),
+        F.size(sset).alias("n_suppliers"),
     )
 
 
 SQL_COLLECT_SET_MARKERS = """
 SELECT l_partkey,
-       list_sort(list_distinct(list(l_suppkey))) AS suppliers,
+       array_to_string(list_sort(list_distinct(list(l_suppkey))), '|') AS suppliers,
        CAST(len(list_distinct(list(l_suppkey))) AS INTEGER) AS n_suppliers
 FROM lineitem GROUP BY l_partkey
 """
@@ -632,13 +655,14 @@ def q_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     lit(0) key (search_facet_transformer_job.py:72-83); df.agg needs none."""
     region = _t(spark, sf_dir, "region")
     return region.agg(
-        F.array_sort(F.collect_set("r_name")).alias("region_names"),
+        F.array_join(F.array_sort(F.collect_set("r_name")), "|").alias("region_names"),
         F.count(F.lit(1)).alias("n_regions"),
     )
 
 
 SQL_GLOBAL_AGG = """
-SELECT list_sort(list_distinct(list(r_name))) AS region_names, COUNT(*) AS n_regions
+SELECT array_to_string(list_sort(list_distinct(list(r_name))), '|') AS region_names,
+       COUNT(*) AS n_regions
 FROM region
 """
 
@@ -711,16 +735,20 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(F.col("l_quantity").cast(D182)).cast("decimal(38,2)"))
-        .withColumnRenamed("O", "qty_open")
-        .withColumnRenamed("F", "qty_filled")
+        .agg(F.sum(F.col("l_quantity").cast(D182)))
+        # bigint centi-units final projection (canonicalization-safe)
+        .select(
+            "l_returnflag",
+            (F.col("O") * 100).cast("bigint").alias("qty_open_c"),
+            (F.col("F") * 100).cast("bigint").alias("qty_filled_c"),
+        )
     )
 
 
 SQL_PIVOT_STATUS = """
 SELECT l_returnflag,
-       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS qty_open,
-       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS qty_filled
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS qty_open_c,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS qty_filled_c
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -738,16 +766,17 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(38,6)")
-            .alias("sum_value"),
+            # exact decimal sum, final-projected to bigint micro-units
+            (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+            .cast("bigint")
+            .alias("sum_value_micro"),
         )
     )
 
 
 SQL_EVENTS_DAILY = """
 SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value_micro
 FROM events GROUP BY 1, 2
 """
 

@@ -21,13 +21,15 @@ def q_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.sum(F.col("l_quantity").cast(D182)).cast("decimal(38,2)").alias("sum_qty"))
+        # exact decimal agg, bigint centi-unit final projection
+        # (driver-canonicalizer-safe)
+        .agg((F.sum(F.col("l_quantity").cast(D182)) * 100).cast("bigint").alias("sum_qty_c"))
     )
 
 
 SQL_ROLLUP_TOTALS = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_c
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -205,27 +207,32 @@ def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    price = F.col("o_totalprice").cast(D182)
+    # bigint cents throughout (driver-canonicalizer-safe): lag over the
+    # integer form is exact and identically typed on both engines
+    price_c = (F.col("o_totalprice").cast(D182) * 100).cast("bigint")
     return (
-        orders.withColumn("prev_price", F.lag(price).over(w))
+        orders.withColumn("price_c", price_c)
+        .withColumn("prev_price_c", F.lag("price_c").over(w))
         .select(
             "o_custkey",
             "o_orderkey",
-            price.alias("price"),
-            "prev_price",
-            (price - F.col("prev_price")).cast("decimal(19,2)").alias("delta"),
+            "price_c",
+            "prev_price_c",
+            (F.col("price_c") - F.col("prev_price_c")).alias("delta_c"),
         )
     )
 
 
 SQL_WINDOW_LAG_DELTA = """
-SELECT o_custkey, o_orderkey,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS price,
-       LAG(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS prev_price,
-       CAST(CAST(o_totalprice AS DECIMAL(18,2))
-            - LAG(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
-            AS DECIMAL(19,2)) AS delta
-FROM orders
+WITH p AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, price_c,
+       LAG(price_c) OVER w AS prev_price_c,
+       price_c - LAG(price_c) OVER w AS delta_c
+FROM p
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
@@ -238,13 +245,13 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast(D182)).cast("decimal(38,2)").alias("sum_qty"),
+        (F.sum(F.col("l_quantity").cast(D182)) * 100).cast("bigint").alias("sum_qty_c"),
     )
 
 
 SQL_GROUPING_SETS = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_c
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """
@@ -264,9 +271,9 @@ def q_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_extendedprice").cast(D182))
-            .cast("decimal(38,2)")
-            .alias("sum_price"),
+            (F.sum(F.col("l_extendedprice").cast(D182)) * 100)
+            .cast("bigint")
+            .alias("sum_price_c"),
         )
     )
 
@@ -275,7 +282,7 @@ SQL_PROFILE_HISTOGRAM = """
 SELECT CAST(LEAST(GREATEST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 900.0)
              / 5205.0), 0), 19) AS INTEGER) AS bin_id,
        COUNT(*) AS n,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_c
 FROM lineitem GROUP BY 1
 """
 
@@ -286,34 +293,39 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable UNION ALL form. Decimal-cast before unpivoting so the value
     column has one exact type."""
     li = _t(spark, sf_dir, "lineitem")
+    # bigint cents before unpivoting: one exact integer value type
+    # (driver-canonicalizer-safe on both engines)
+    def cents(c: str):
+        return (F.col(c).cast(D182) * 100).cast("bigint")
+
     wide = li.select(
         "l_orderkey",
         "l_linenumber",
-        F.col("l_quantity").cast(D182).alias("quantity"),
-        F.col("l_extendedprice").cast(D182).alias("extendedprice"),
-        F.col("l_discount").cast(D182).alias("discount"),
-        F.col("l_tax").cast(D182).alias("tax"),
+        cents("l_quantity").alias("quantity"),
+        cents("l_extendedprice").alias("extendedprice"),
+        cents("l_discount").alias("discount"),
+        cents("l_tax").alias("tax"),
     )
     return wide.unpivot(
         ["l_orderkey", "l_linenumber"],
         ["quantity", "extendedprice", "discount", "tax"],
         "metric",
-        "value",
+        "value_c",
     )
 
 
 SQL_UNPIVOT_METRICS = """
 SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
-       CAST(l_quantity AS DECIMAL(18,2)) AS value FROM lineitem
+       CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_c FROM lineitem
 UNION ALL
 SELECT l_orderkey, l_linenumber, 'extendedprice',
-       CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) FROM lineitem
 UNION ALL
 SELECT l_orderkey, l_linenumber, 'discount',
-       CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+       CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) FROM lineitem
 UNION ALL
 SELECT l_orderkey, l_linenumber, 'tax',
-       CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
+       CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) FROM lineitem
 """
 
 

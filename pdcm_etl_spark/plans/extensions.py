@@ -20,10 +20,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents, spread across the session's cores. The test lake stores
     one parquet file per table → one input split → serial execution of the
     per-row heavy operators; a production lake has many splits. The
-    repartition restores that parallelism locally (cost: one tiny shuffle
-    of raw text)."""
+    repartition restores that parallelism locally — and is GATED on the
+    actual split count so a production lake (splits ≥ cores) never pays a
+    gratuitous shuffle of raw text."""
     df = _t(spark, sf_dir, "documents")
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
 
 # ---------------------------------------------------------------------------
 # dedup family
@@ -43,20 +47,30 @@ FROM documents GROUP BY 1
 
 
 def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guard ON (max_shingle_freq=1000): a shingle shared by k docs yields
+    k² candidate pairs, so ultra-common shingles must be dropped before
+    pairing — the reference behavior users get at scale. The oracle
+    mirrors the frequency filter as a CTE."""
     docs = _docs(spark, sf_dir)
     sh = dedup.shingles(docs, n=3)
-    return dedup.jaccard_pairs(sh, min_bp=2000, max_shingle_freq=None)
+    return dedup.jaccard_pairs(sh, min_bp=2000, max_shingle_freq=1000)
 
 
 SQL_DEDUP_NGRAM_JACCARD = """
 WITH ws AS (
   SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id,
          array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
   FROM (
     SELECT doc_id, w, unnest(range(greatest(len(w) - 2, 0))) AS i FROM ws
   )
+), sh AS (
+  -- stop-shingle guard: drop shingles appearing in > 1000 docs (mirror of
+  -- jaccard_pairs(max_shingle_freq=1000))
+  SELECT sh0.doc_id, sh0.shingle FROM sh0
+  JOIN (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 1000) f
+  USING (shingle)
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
 ), inter AS (
@@ -83,7 +97,8 @@ def x_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     sh = dedup.shingles(docs, n=3)
-    pairs = dedup.jaccard_pairs(sh, min_bp=2000, max_shingle_freq=None)
+    # guard ON — see x_dedup_ngram_jaccard
+    pairs = dedup.jaccard_pairs(sh, min_bp=2000, max_shingle_freq=1000)
     # propagate only over the dup-graph endpoints (the near-dup sliver —
     # orders of magnitude smaller than the corpus), then left-join the
     # corpus so untouched docs come out as their own singleton group
@@ -98,12 +113,16 @@ def x_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_GROUPS = """
 WITH RECURSIVE ws AS (
   SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id,
          array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
   FROM (
     SELECT doc_id, w, unnest(range(greatest(len(w) - 2, 0))) AS i FROM ws
   )
+), sh AS (
+  SELECT sh0.doc_id, sh0.shingle FROM sh0
+  JOIN (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 1000) f
+  USING (shingle)
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
 ), inter AS (
@@ -481,8 +500,15 @@ FROM documents
 
 
 def x_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode path; the array<float> feature vector is
+    serialized (integer milli-units, '|'-joined) in the final projection so
+    the driver's rows-only canonicalizer can hash the output."""
     docs = _t(spark, sf_dir, "documents")
-    return multimodal.decode_features(docs)
+    out = multimodal.decode_features(docs)
+    feature_m = F.transform(
+        "feature", lambda x: F.round(x * 1000).cast("int").cast("string")
+    )
+    return out.withColumn("feature", F.array_join(feature_m, "|"))
 
 
 # ---------------------------------------------------------------------------
@@ -516,7 +542,7 @@ WITH marked AS (
   FROM marked
 )
 SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value_micro
 FROM numbered GROUP BY user_id, session_id
 """
 
@@ -756,24 +782,22 @@ WINDOW w AS (PARTITION BY shard ORDER BY doc_id
 
 def x_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile-based quality filtering: keep the top decile of docs by
-    stopword ratio. percent_rank is rank arithmetic ((rank-1)/(n-1)) —
-    rational, so the floor-bp threshold is exact cross-engine; ties on
-    the metric break by doc_id for a total order.
+    stopword ratio, with the exact percent_rank basis points attached.
 
-    Scale note: an unpartitioned window is a single-partition sort — at
-    100 TB compute the decile threshold once (approx_percentile or a
-    two-pass exact count) and filter map-side, or rank per shard."""
-    from pyspark.sql import Window
+    Planned WITHOUT a global unpartitioned window (the single-partition
+    sort that floods WindowExec warnings and dies at 100 TB): the
+    two-pass histogram + threshold + partitioned-rank operator
+    (operators/sampling.py::top_percentile_filter) produces bit-identical
+    output to the naive PERCENT_RANK() OVER (ORDER BY ...) form the
+    DuckDB oracle keeps."""
+    from pdcm_etl_spark.operators.sampling import top_percentile_filter
 
     docs = _docs(spark, sf_dir)
     q = text.add_quality_scores(docs.select("doc_id", "text"))
-    w = Window.orderBy(F.col("stopword_bp").asc(), F.col("doc_id").asc())
-    pr_bp = F.floor(F.percent_rank().over(w) * 10000).cast("bigint")
-    return (
-        q.select("doc_id", "stopword_bp")
-        .withColumn("pr_bp", pr_bp)
-        .filter(F.col("pr_bp") >= 9000)
+    out = top_percentile_filter(
+        q.select("doc_id", "stopword_bp"), "stopword_bp", "doc_id", min_pr_bp=9000
     )
+    return out.select("doc_id", "stopword_bp", "pr_bp")
 
 
 SQL_QUALITY_PERCENTILE = """
@@ -796,7 +820,7 @@ SELECT doc_id, stopword_bp, pr_bp FROM (
 
 SQL_STREAM_EVENTS_DAILY = """
 SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value_micro
 FROM events GROUP BY 1, 2
 """
 

@@ -459,8 +459,18 @@ def run_etl_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     dag = build_metadata_dag(spark, raw)
     out = dag.run(targets=["search_index"])
     six = out["search_index"]
-    cols = [
-        F.col(c) if c in six.columns else F.lit(None).cast("string").alias(c)
-        for c in SEARCH_INDEX_CORE_COLUMNS
-    ]
+    from pyspark.sql.types import ArrayType
+
+    array_cols = {f.name for f in six.schema.fields if isinstance(f.dataType, ArrayType)}
+    cols = []
+    for c in SEARCH_INDEX_CORE_COLUMNS:
+        if c not in six.columns:
+            cols.append(F.lit(None).cast("string").alias(c))
+        elif c in array_cols:
+            # serialize array columns ('|'-joined, sorted upstream) — the
+            # reference flattens these to `{a,b}` literals at export the
+            # same way; also keeps the driver canonicalizer hash-stable
+            cols.append(F.array_join(F.col(c).cast("array<string>"), "|").alias(c))
+        else:
+            cols.append(F.col(c))
     return six.select(*cols)

@@ -51,15 +51,17 @@ def daily_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(38,6)")
-            .alias("sum_value"),
+            # exact decimal sum, final-projected to bigint micro-units so
+            # the driver's pandas canonicalizer hashes both engines equally
+            (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+            .cast("bigint")
+            .alias("sum_value_micro"),
         )
         .select(
             F.col("win.start").cast("date").alias("day"),
             "event_type",
             "n_events",
-            "sum_value",
+            "sum_value_micro",
         )
     )
 

@@ -46,15 +46,17 @@ def sessionize_batch(events: DataFrame, gap: str = DEFAULT_GAP) -> DataFrame:
         events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(38,6)")
-            .alias("sum_value"),
+            # exact decimal sum, final-projected to bigint micro-units
+            # (driver-canonicalizer-safe cross-engine integer form)
+            (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+            .cast("bigint")
+            .alias("sum_value_micro"),
         )
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
             "n_events",
-            "sum_value",
+            "sum_value_micro",
         )
     )
 

@@ -12,11 +12,11 @@ def test_stream_daily_counts_match_batch(spark, sf_dir):
     from pdcm_etl_spark.streaming.events_stream import run_availablenow
 
     batch = {
-        (r["day"], r["event_type"]): (r["n_events"], r["sum_value"])
+        (r["day"], r["event_type"]): (r["n_events"], r["sum_value_micro"])
         for r in q_events_daily(spark, sf_dir).collect()
     }
     stream = {
-        (r["day"], r["event_type"]): (r["n_events"], r["sum_value"])
+        (r["day"], r["event_type"]): (r["n_events"], r["sum_value_micro"])
         for r in run_availablenow(spark, sf_dir, "t_stream_daily").collect()
     }
     assert stream == batch
@@ -46,7 +46,7 @@ def test_stream_sessionize_closed_sessions_match_batch(spark, sf_dir):
     for user, rows in batch_by_user.items():
         rows.sort(key=lambda r: r["session_start"])
         for r in rows[:-1]:
-            expected[key(r)] = (r["n_events"], float(r["sum_value"]))
+            expected[key(r)] = (r["n_events"], r["sum_value_micro"] / 1e6)
     got = {key(r): (r["n_events"], r["sum_value"]) for r in stream}
     assert got.keys() == expected.keys()
     for k, (n, total) in expected.items():

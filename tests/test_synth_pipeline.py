@@ -42,9 +42,11 @@ def test_patient_sample_slice_populated(six_rows):
 
 
 def test_molecular_aggregates(six_rows):
+    # arrays are '|'-serialized in the flagship's final projection
+    # (driver-canonicalizer-safe; mirrors the reference's {a,b} export)
     with_mut = [r for r in six_rows if r["markers_with_mutation_data"]]
     assert with_mut, "no model got a mutation marker list"
-    sample = with_mut[0]["markers_with_mutation_data"]
+    sample = with_mut[0]["markers_with_mutation_data"].split("|")
     assert sample == sorted(set(sample))
     assert all(m.startswith("GENE") for m in sample)
     assert all("mutation" in r["dataset_available"] for r in with_mut)
@@ -53,7 +55,7 @@ def test_molecular_aggregates(six_rows):
 def test_treatments_harmonised(six_rows):
     treated = [r for r in six_rows if r["model_treatments"]]
     assert treated, "no model carries model_treatments"
-    names = {t for r in treated for t in r["model_treatments"]}
+    names = {t for r in treated for t in r["model_treatments"].split("|")}
     assert any(n.startswith("drug ") for n in names)
 
 
