@@ -35,8 +35,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # declared and stays covered by the pytest oracle-parity suite
 # (tests/test_oracle_parity.py).
 _PRIORITY: list[str] = [
-    # flagship + aggregation / projection spine
+    # flagship + its hash-checked spine twin + aggregation / projection
     "etl_search_index",
+    "etl_search_index_spine",
     "pricing_summary",
     "filter_project",
     # joins (semi/anti also exercised inside harmonisation_cascade)
@@ -51,7 +52,6 @@ _PRIORITY: list[str] = [
     "topk",
     "grouping_sets",
     "rollup_totals",
-    "cube_counts",
     "intersect_keys",
     "except_keys",
     # scalar kit / JSON / profiling / pivot

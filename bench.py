@@ -87,27 +87,35 @@ def main() -> None:
     for t in ("lineitem", "orders", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
+    # Per-query timing is the MEDIAN of REPS runs: single-run wall clock
+    # at this scale has ±30% noise (GC, async block cleanup, codegen
+    # cache effects), which can mask a real regression round-over-round.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
-        # drop refs to the previous query's checkpointed/persisted RDDs so
-        # the ContextCleaner can unpersist before the next measurement —
-        # otherwise earlier queries' block-store pressure bleeds into
-        # later timings. The cleaner is asynchronous: run a trivial job
-        # and a short cooldown so block removal drains outside the timed
-        # region (observed 10-20s bleed into the first query after the
-        # flagship without it).
-        import gc
+        runs: list[float] = []
+        for _ in range(reps):
+            # drop refs to the previous run's checkpointed/persisted RDDs
+            # so the ContextCleaner can unpersist before the next
+            # measurement — otherwise earlier queries' block-store
+            # pressure bleeds into later timings. The cleaner is
+            # asynchronous: run a trivial job and a short cooldown so
+            # block removal drains outside the timed region (observed
+            # 10-20s bleed into the first query after the flagship
+            # without it).
+            import gc
 
-        gc.collect()
-        spark.range(10).count()
-        time.sleep(0.5)
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+            gc.collect()
+            spark.range(10).count()
+            time.sleep(0.5)
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(

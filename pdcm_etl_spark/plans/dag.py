@@ -442,6 +442,23 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
                 _breast_biomarkers_adapter,
                 ["biomarker_measurement_data", "model_molchar"],
             )
+        # raw-data archive names per model (ENA/EGA/GEO from raw_data_url;
+        # ref model_metadata_transformer_job.py:88-89)
+        dag.add(
+            "raw_data_resources",
+            _raw_data_resources_adapter,
+            ["molecular_characterization", "model_molchar"],
+        )
+        # annotation resources matching the model's molecular data
+        # (ref search_index_molecular_data_transformer_job.py:83-90)
+        annot_mods = [m for m in meas_mods if m in harmonisable]
+        if "resource" in raw and annot_mods:
+            dag.add(
+                "cancer_annotation_resources",
+                _annotation_resources_adapter(len(annot_mods)),
+                [f"{m}_measurement_data" for m in annot_mods]
+                + ["model_molchar", "raw/resource"],
+            )
 
     # imaging cluster (image_study/model_image modules)
     if "image_study" in raw:
@@ -522,7 +539,8 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
             for agg in ("markers_with_mutation_data", "markers_with_cna_data",
                         "markers_with_expression_data",
                         "markers_with_biomarker_data", "msi_status",
-                        "hla_types", "breast_cancer_biomarkers"):
+                        "hla_types", "breast_cancer_biomarkers",
+                        "raw_data_resources", "cancer_annotation_resources"):
                 if agg in dag.nodes:
                     six_deps.append(agg)
             # treatment-type list per model over harmonised ontology terms
@@ -636,6 +654,25 @@ def _breast_biomarkers_adapter(bio_md, model_molchar):
     from pdcm_etl_spark.transforms import molecular_data as md_t
 
     return md_t.breast_cancer_biomarkers_per_model(bio_md, model_molchar)
+
+
+def _raw_data_resources_adapter(molchar, model_molchar):
+    from pdcm_etl_spark.transforms import links as links_t
+
+    return links_t.raw_data_resources_per_model(molchar, model_molchar)
+
+
+def _annotation_resources_adapter(n_measurements: int):
+    def build(*dfs):
+        from pdcm_etl_spark.transforms import links as links_t
+
+        measurement_frames = list(dfs[:n_measurements])
+        model_molchar, resources = dfs[n_measurements], dfs[n_measurements + 1]
+        return links_t.cancer_annotation_resources_per_model(
+            measurement_frames, model_molchar, resources
+        )
+
+    return build
 
 
 def _qa_json_adapter(qa):

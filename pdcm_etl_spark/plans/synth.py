@@ -160,6 +160,16 @@ def synthesize_provider_modules(
             (F.col("ok") % 9 + 1).alias("passage_number"),
             F.when(F.col("ok") % 5 == 0, F.concat(F.lit("PMID: "), F.col("ok") % 1000))
             .alias("publications"),
+            # supplier block (reference model module columns) on every
+            # 4th model so the search_index supplier columns populate
+            F.when(F.col("ok") % 4 == 0, F.concat(F.lit("Vendor"), F.col("ok") % 7))
+            .alias("supplier"),
+            F.when(F.col("ok") % 4 == 0, F.lit("commercial")).alias("supplier_type"),
+            F.when(F.col("ok") % 4 == 0, F.concat(F.lit("CAT-"), F.col("ok") % 500))
+            .alias("catalog_number"),
+            F.when(F.col("ok") % 4 == 0,
+                   F.concat(F.lit("https://vendor.example.org/"), F.col("ok") % 500))
+            .alias("vendor_link"),
             F.col("prov").alias(PROVIDER_COL),
         ),
         "model",
@@ -279,12 +289,15 @@ def synthesize_provider_modules(
     )
 
     # molecular metadata: every sample sequenced for mutation; every third
-    # also has expression
+    # also has expression; every 4th/5th/6th cna / immunemarker / biomarker
     platforms = source.select(F.col(PROVIDER_COL).alias("prov")).crossJoin(
         spark.createDataFrame(
             [
                 ("pl_mut", "mutation", "Illumina NovaSeq", "WGS"),
                 ("pl_expr", "expression", "Illumina NovaSeq", "RNA-Seq"),
+                ("pl_cna", "copy number alteration", "Affymetrix SNP6", "arrays"),
+                ("pl_imm", "immunemarker", "IHC", "targeted"),
+                ("pl_bio", "bio markers", "IHC", "targeted"),
             ],
             ["platform_id", "molecular_characterisation_type",
              "instrument_model", "library_strategy"],
@@ -298,10 +311,19 @@ def synthesize_provider_modules(
         ),
         "molchar_platform",
     )
+    # raw_data_url: alternate archive accessions so raw_data_resources has
+    # a deterministic per-model set ('ENA'/'EGA'/none)
+    raw_url = (
+        F.when(F.col("ok") % 3 == 0,
+               F.concat(F.lit("ENA:ERP"), F.col("ok") % 900))
+        .when(F.col("ok") % 3 == 1,
+              F.concat(F.lit("EGA:EGAS"), F.col("ok") % 900))
+    )
     mc_base = o.select(
         "model_id", "sample_id", "ok",
         F.lit("patient").alias("sample_origin"),
         F.lit("0").alias("passage"),
+        raw_url.alias("raw_data_url"),
         F.col("prov").alias(PROVIDER_COL),
     )
     molchar_sample = _finish(
@@ -309,6 +331,18 @@ def synthesize_provider_modules(
         .unionByName(
             mc_base.filter(F.col("ok") % 3 == 0)
             .withColumn("platform_id", F.lit("pl_expr"))
+        )
+        .unionByName(
+            mc_base.filter(F.col("ok") % 4 == 0)
+            .withColumn("platform_id", F.lit("pl_cna"))
+        )
+        .unionByName(
+            mc_base.filter(F.col("ok") % 5 == 0)
+            .withColumn("platform_id", F.lit("pl_imm"))
+        )
+        .unionByName(
+            mc_base.filter(F.col("ok") % 6 == 0)
+            .withColumn("platform_id", F.lit("pl_bio"))
         )
         .drop("ok"),
         "molchar_sample",
@@ -342,6 +376,98 @@ def synthesize_provider_modules(
         ),
         "expression",
     )
+    cna = _finish(
+        li_o.filter(F.col("ok") % 4 == 0).select(
+            "sample_id",
+            gene.alias("symbol"),
+            (F.col("pk") % 23 + 1).alias("chromosome"),
+            (F.col("pk") % 1000).alias("seq_start_position"),
+            (F.col("pk") % 1000 + 500).alias("seq_end_position"),
+            _pick(F.col("pk"), ["gain", "loss", "neutral"])
+            .alias("copy_number_status"),
+            (F.col("qty") % 5 - 2).alias("gistic_value"),
+            F.lit("pl_cna").alias("platform_id"),
+            F.col("prov").alias(PROVIDER_COL),
+        ),
+        "cna",
+    )
+    # biomarker: line 1 of every 6th order carries a breast-cancer IHC
+    # panel gene; other lines carry plain GENE symbols
+    bc_gene = _pick(F.col("pk"), ["ERBB2", "ESR1", "PGR"])
+    biomarker = _finish(
+        li_o.filter(F.col("ok") % 6 == 0).select(
+            "sample_id",
+            F.when(F.col("ln") == 1, bc_gene).otherwise(gene).alias("biomarker"),
+            _pick(F.col("pk") + 1, ["Positive", "Negative", "Undetermined"])
+            .alias("biomarker_status"),
+            F.lit("essential").alias("essential_or_additional_marker"),
+            F.lit("pl_bio").alias("platform_id"),
+            F.col("prov").alias(PROVIDER_COL),
+        ),
+        "biomarker",
+    )
+    # immunemarker: every 5th order gets an MSI call; every 10th also HLA
+    imm_base = o.filter(F.col("ok") % 5 == 0)
+    immunemarker = _finish(
+        imm_base.select(
+            "sample_id",
+            F.lit("Model Genomics").alias("marker_type"),
+            F.lit("MSI").alias("marker_name"),
+            _pick(F.col("ok"), ["Stable", "Instable high", "Instable low"])
+            .alias("marker_value"),
+            F.lit("pl_imm").alias("platform_id"),
+            F.col("prov").alias(PROVIDER_COL),
+        )
+        .unionByName(
+            imm_base.filter(F.col("ok") % 10 == 0).select(
+                "sample_id",
+                F.lit("HLA type").alias("marker_type"),
+                F.concat(F.lit("HLA-A*"), F.col("ok") % 30).alias("marker_name"),
+                F.lit("present").alias("marker_value"),
+                F.lit("pl_imm").alias("platform_id"),
+                F.col("prov").alias(PROVIDER_COL),
+            )
+        ),
+        "immunemarker",
+    )
+    model_image = _finish(
+        pdx.filter(F.col("ok") % 8 == 0).select(
+            "model_id",
+            F.concat(F.lit("https://images.example.org/"), "model_id",
+                     F.lit(".png")).alias("url"),
+            F.lit("tumour section").alias("description"),
+            _pick(F.col("ok"), ["tumour", "xenograft"]).alias("sample_type"),
+            (F.col("ok") % 5).alias("passage"),
+            F.lit("20x").alias("magnification"),
+            F.lit("H&E").alias("staining"),
+            F.col("prov").alias(PROVIDER_COL),
+        ),
+        "model_image",
+    )
+    # downloaded annotation-resource entries: fixed gene slices per
+    # resource so cancer_annotation_resources is key arithmetic too
+    resource_defs = spark.createDataFrame(
+        [("CIViC", 0, 400), ("OncoMX", 200, 700), ("ClinGen", 600, 1200),
+         ("CancerMine", 1000, 1800)],
+        ["resource_name", "lo", "hi"],
+    )
+    resource = _finish(
+        spark.range(N_GENES).alias("g")
+        .join(
+            F.broadcast(resource_defs),
+            (F.col("id") >= F.col("lo")) & (F.col("id") < F.col("hi")),
+        )
+        .select(
+            F.concat(F.lit("GENE"), F.col("id")).alias("entry"),
+            F.col("resource_name").alias("resource"),
+            F.lit("Gene").alias("type"),
+            F.concat(F.lit("https://resources.example.org/"),
+                     F.col("resource_name"), F.lit("/"), F.col("id"))
+            .alias("link"),
+            F.lit("SYNTH").alias(PROVIDER_COL),
+        ),
+        "resource",
+    )
 
     # HGNC stand-in: the first N_MARKERS genes are approved symbols
     markers = _finish(
@@ -365,12 +491,21 @@ def synthesize_provider_modules(
         .alias("term_url"),
         F.lit("NCIT:C9305").alias("is_a"),
     )
+    # drugs hang off typed intermediate classes so the treatment-type
+    # keyword classifier (transforms/links.py KEYWORDS_BY_TYPE) finds
+    # matches in the ancestor closure: 1/3 cytotoxic, 1/3 immuno, 1/3
+    # unclassified (direct child of the root)
+    trt_parent = (
+        F.when(F.col("id") % 3 == 0, F.lit("NCIT:TCHEMO"))
+        .when(F.col("id") % 3 == 1, F.lit("NCIT:TIMMUNO"))
+        .otherwise(F.lit("NCIT:C1932"))
+    )
     trt_terms = spark.range(N_TREATMENTS).select(
         F.concat(F.lit("NCIT:T"), "id").alias("term_id"),
         F.concat(F.lit("drug "), F.col("id")).alias("term_name"),
         F.concat(F.lit("http://purl.obolibrary.org/obo/NCIT_T"), "id")
         .alias("term_url"),
-        F.lit("NCIT:C1932").alias("is_a"),
+        trt_parent.alias("is_a"),
     )
     roots = spark.createDataFrame(
         [
@@ -378,6 +513,10 @@ def synthesize_provider_modules(
              "http://purl.obolibrary.org/obo/NCIT_C9305", ""),
             ("NCIT:C1932", "Chemical Modifier",
              "http://purl.obolibrary.org/obo/NCIT_C1932", ""),
+            ("NCIT:TCHEMO", "Cytotoxic Chemotherapy Agent",
+             "http://purl.obolibrary.org/obo/NCIT_TCHEMO", "NCIT:C1932"),
+            ("NCIT:TIMMUNO", "Immunotherapy Agent",
+             "http://purl.obolibrary.org/obo/NCIT_TIMMUNO", "NCIT:C1932"),
             ("NCIT:C12218", "Treatment Regimen",
              "http://purl.obolibrary.org/obo/NCIT_C12218", ""),
         ],
@@ -431,6 +570,11 @@ def synthesize_provider_modules(
         "molchar_platform": molchar_platform,
         "mutation": mutation,
         "expression": expression,
+        "cna": cna,
+        "biomarker": biomarker,
+        "immunemarker": immunemarker,
+        "model_image": model_image,
+        "resource": resource,
         "markers": markers,
         "obo": obo,
         "diagnosis_mapping": diagnosis_mapping,
@@ -439,8 +583,43 @@ def synthesize_provider_modules(
 
 
 # stable search_index projection for the flagship entry/bench query —
-# fixed column list so the result schema never depends on which optional
-# aggregates a module set produces
+# the REFERENCE's full declared column list, in registry order
+# (entities_registry.py:621-692 SEARCH_INDEX_ENTITY
+# expected_database_columns). Fixed so the result schema never depends on
+# which optional aggregates a module set produces; columns a workload
+# doesn't populate surface as null strings (exactly like the reference's
+# left-join chain).
+SEARCH_INDEX_COLUMNS = [
+    "pdcm_model_id", "external_model_id", "data_source", "project_name",
+    "provider_name", "model_type", "supplier", "supplier_type",
+    "catalog_number", "vendor_link", "rrid", "external_ids", "histology",
+    "search_terms", "cancer_system", "dataset_available", "license_name",
+    "license_url", "primary_site", "collection_site", "tumour_type",
+    "cancer_grade", "cancer_grading_system", "cancer_stage",
+    "cancer_staging_system", "patient_id", "patient_age",
+    "patient_age_category", "patient_sex", "patient_history",
+    "patient_ethnicity", "patient_ethnicity_assessment_method",
+    "patient_initial_diagnosis", "patient_age_at_initial_diagnosis",
+    "patient_sample_id", "patient_sample_collection_date",
+    "patient_sample_collection_event", "patient_sample_collection_method",
+    "patient_sample_months_since_collection_1",
+    "patient_sample_gene_mutation_status", "patient_sample_virology_status",
+    "patient_sample_sharable", "patient_sample_treatment_naive_at_collection",
+    "patient_sample_treated_at_collection",
+    "patient_sample_treated_prior_to_collection",
+    "patient_sample_response_to_treatment", "pdx_model_publications",
+    "quality_assurance", "xenograft_model_specimens", "model_images",
+    "markers_with_cna_data", "markers_with_mutation_data",
+    "markers_with_expression_data", "markers_with_biomarker_data",
+    "breast_cancer_biomarkers", "msi_status", "hla_types",
+    "patient_treatments", "patient_treatments_responses", "model_treatments",
+    "model_treatments_responses", "custom_treatment_type_list",
+    "raw_data_resources", "cancer_annotation_resources",
+    "model_availability", "date_submitted", "scores",
+]
+
+# the 17-column spine (hash-checked against a pure-SQL DuckDB oracle via
+# the etl_search_index_spine catalog query)
 SEARCH_INDEX_CORE_COLUMNS = [
     "pdcm_model_id", "external_model_id", "data_source", "model_type",
     "provider_name", "project_name", "histology", "cancer_system",
@@ -450,27 +629,35 @@ SEARCH_INDEX_CORE_COLUMNS = [
 ]
 
 
-def run_etl_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _project_columns(six: DataFrame, columns: list[str]) -> DataFrame:
+    """Fixed-list projection with array serialization: arrays are
+    '|'-joined (sorted upstream) — the reference flattens these to
+    `{a,b}` literals at export the same way; the string form also keeps
+    the driver canonicalizer hash-stable. Missing columns → null strings
+    (the reference's left-join chain yields NULL there too)."""
+    from pyspark.sql.types import ArrayType
+
+    array_cols = {f.name for f in six.schema.fields if isinstance(f.dataType, ArrayType)}
+    cols = []
+    for c in columns:
+        if c not in six.columns:
+            cols.append(F.lit(None).cast("string").alias(c))
+        elif c in array_cols:
+            cols.append(F.array_join(F.col(c).cast("array<string>"), "|").alias(c))
+        else:
+            cols.append(F.col(c).cast("string").alias(c))
+    return six.select(*cols)
+
+
+def run_etl_search_index(
+    spark: SparkSession, sf_dir: str, columns: list[str] | None = None
+) -> DataFrame:
     """The flagship query: full metadata DAG over the synthetic provider
-    workload, returning the denormalized search_index spine."""
+    workload, returning the denormalized search_index with the
+    reference's full declared column list."""
     from pdcm_etl_spark.plans.dag import build_metadata_dag
 
     raw = synthesize_provider_modules(spark, sf_dir)
     dag = build_metadata_dag(spark, raw)
     out = dag.run(targets=["search_index"])
-    six = out["search_index"]
-    from pyspark.sql.types import ArrayType
-
-    array_cols = {f.name for f in six.schema.fields if isinstance(f.dataType, ArrayType)}
-    cols = []
-    for c in SEARCH_INDEX_CORE_COLUMNS:
-        if c not in six.columns:
-            cols.append(F.lit(None).cast("string").alias(c))
-        elif c in array_cols:
-            # serialize array columns ('|'-joined, sorted upstream) — the
-            # reference flattens these to `{a,b}` literals at export the
-            # same way; also keeps the driver canonicalizer hash-stable
-            cols.append(F.array_join(F.col(c).cast("array<string>"), "|").alias(c))
-        else:
-            cols.append(F.col(c))
-    return six.select(*cols)
+    return _project_columns(out["search_index"], columns or SEARCH_INDEX_COLUMNS)

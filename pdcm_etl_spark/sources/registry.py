@@ -236,6 +236,15 @@ MODULES: dict[str, Module] = {
              "refseq_ids", "alias_names", "ensembl_gene_id", "ncbi_gene_id"],
             group="auxiliary",
         ),
+        # downloaded annotation-resource entries (Civic/OncoMx/ClinGen/
+        # CancerMine gene & variant lists — SURVEY §2.1 row 9,
+        # external_resources_reader.py:62-104): one row per (resource,
+        # entry); feeds links + the cancer_annotation_resources aggregate
+        Module(
+            "resource",
+            ["entry", "resource", "type", "link"],
+            group="auxiliary",
+        ),
     ]
 }
 

@@ -7,7 +7,7 @@ invariants here guard the flagship `entry()` / `etl_search_index` path."""
 import pytest
 
 from pdcm_etl_spark.plans.synth import (
-    SEARCH_INDEX_CORE_COLUMNS,
+    SEARCH_INDEX_COLUMNS,
     run_etl_search_index,
     synthesize_provider_modules,
 )
@@ -18,7 +18,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def six_rows(spark):
     df = run_etl_search_index(spark, SF)
-    assert df.columns == SEARCH_INDEX_CORE_COLUMNS
+    assert df.columns == SEARCH_INDEX_COLUMNS
     return df.collect()
 
 
@@ -57,6 +57,23 @@ def test_treatments_harmonised(six_rows):
     assert treated, "no model carries model_treatments"
     names = {t for r in treated for t in r["model_treatments"].split("|")}
     assert any(n.startswith("drug ") for n in names)
+
+
+def test_full_column_list_matches_reference_registry(six_rows, spark):
+    # the flagship carries the reference's full declared search_index
+    # column list (entities_registry.py:621-692), 67 columns, in order
+    assert len(SEARCH_INDEX_COLUMNS) == 67
+    # every aggregate family actually populates under the synth workload
+    populated = {
+        c for c in SEARCH_INDEX_COLUMNS
+        if any(r[c] not in (None, "") for r in six_rows)
+    }
+    for col in ("supplier", "custom_treatment_type_list", "model_images",
+                "breast_cancer_biomarkers", "msi_status", "hla_types",
+                "raw_data_resources", "cancer_annotation_resources",
+                "markers_with_cna_data", "markers_with_biomarker_data",
+                "quality_assurance", "xenograft_model_specimens", "scores"):
+        assert col in populated, col
 
 
 def test_raw_modules_all_string(spark):
