@@ -11,6 +11,19 @@ Operator parity with views.sql:
 - cardinality(array)           → size()                 (:818-842)
 - IN (SELECT DISTINCT …)       → semi join              (:1055-1064)
 - SPLIT_PART(x,'/',1)          → split(x,'/')[0]        (:1113-1126)
+
+Name-set reconciliation vs the reference's pdcm_api schema: the ~20
+`CREATE VIEW pdcm_api.X AS SELECT * FROM X` passthroughs (cell_model,
+quality_assurance, host_strain, contact_people/form, engraftment_*,
+provider/project/publication_group, source_database, search_facet,
+search_index [base], release_info, available_molecular_data_columns,
+molecular_data_restriction, xenograft_model_specimen — views.sql
+passim) need no definition here: register_entities() exposes each
+entity under exactly that name in the single-schema catalog, so the
+entity temp view IS the API view. Views with computed columns or
+different names are defined below. The reports surface
+(reports.sql VW_STATS_TABLES / records_by_table) is `stats_tables` /
+`records_report`.
 """
 
 from __future__ import annotations
@@ -87,23 +100,51 @@ VIEW_DEFINITIONS: dict[str, str] = {
           FROM search_index
         ) GROUP BY dataset_availability
     """,
-    # search_index_enriched (views.sql:818-842): derived columns —
+    # full derived-column set of pdcm_api.search_index (views.sql:816-851):
     # cardinality() → size(), ANY(array) → array_contains(), array ||
-    # append → concat(array(...)). paediatric uses the columns our
-    # search slice carries (histology/patient_age heuristics).
+    # append → array(...), and the correlated model_relationships /
+    # has_relations subselects → one aggregated left join (Catalyst would
+    # decorrelate to the same plan; the explicit join also dedups work)
     "search_index_enriched": """
+        WITH rel AS (
+          SELECT id, to_json(sort_array(collect_set(rel_id))) AS model_relationships,
+                 true AS has_relations
+          FROM (
+            SELECT model_id AS id, ancestor_model_id AS rel_id
+            FROM model_relationships
+            UNION ALL
+            SELECT ancestor_model_id, model_id FROM model_relationships
+          ) GROUP BY id
+        )
         SELECT si.*,
                CASE WHEN array_contains(dataset_available, 'publication')
                     THEN size(dataset_available) - 1
                     ELSE size(dataset_available)
                END AS model_dataset_type_count,
-               CASE WHEN lower(histology) LIKE '%childhood%'
+               CASE WHEN project_name = 'PIVOT'
+                    OR lower(histology) LIKE '%childhood%'
                     OR patient_age LIKE '%19'
                     OR patient_age = '2 - 9'
                     OR patient_age LIKE '%months'
+                    OR data_source = 'CCC'
                     THEN true ELSE false
-               END AS paediatric
+               END AS paediatric,
+               CASE WHEN lower(model_availability) IN ('available', 'unknown')
+                    OR COALESCE(lower(vendor_link), '') LIKE 'http%'
+                    THEN true ELSE false
+               END AS model_availability_boolean,
+               array(
+                 CASE WHEN model_availability = 'available'
+                      THEN 'Available' ELSE 'Not available' END,
+                 CASE WHEN vendor_link IS NULL
+                      OR lower(vendor_link) = 'not provided'
+                      THEN 'Commercially Not Available'
+                      ELSE 'Commercially Available' END
+               ) AS model_availability_plus_commercial_availability,
+               rel.model_relationships,
+               COALESCE(rel.has_relations, false) AS has_relations
         FROM search_index si
+        LEFT JOIN rel ON rel.id = si.pdcm_model_id
     """,
     # matview dosing_studies (views.sql:1147-1162): per-protocol JSON of
     # component rows — jsonb_agg(sub) → to_json(collect_list(struct(...)))
@@ -592,3 +633,40 @@ def create_views(spark: SparkSession, only: list[str] | None = None) -> list[str
             del pending[name]
             progressed = True
     return created
+
+
+def stats_tables(spark: SparkSession, entities: dict[str, DataFrame]) -> DataFrame:
+    """(table_name, row_estimate) over the registered entities — the
+    reference's VW_STATS_TABLES (reports.sql:13-26, pg_class reltuples).
+    Spark has no free cardinality estimate for in-memory lineage, so the
+    counts are exact — computed as ONE job via a unioned count plan
+    (grouped counts of 1-column projections), not a driver loop of
+    .count() actions."""
+    from pyspark.sql import functions as F
+
+    frames = []
+    for name, df in entities.items():
+        if name.startswith("raw/"):
+            continue
+        frames.append(
+            df.select(F.lit(name).alias("table_name")).groupBy("table_name").agg(
+                F.count(F.lit(1)).alias("row_estimate")
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def records_report(spark: SparkSession, entities: dict[str, DataFrame]) -> DataFrame:
+    """The REPORT table rows (reports.sql calculate_num_records_by_table):
+    (report_type, report_key, report_value) per entity."""
+    from pyspark.sql import functions as F
+
+    stats = stats_tables(spark, entities)
+    return stats.select(
+        F.lit("records_by_table").alias("report_type"),
+        F.col("table_name").alias("report_key"),
+        F.col("row_estimate").cast("string").alias("report_value"),
+    )

@@ -112,3 +112,33 @@ def write_entity_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table_name)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    driver: str | None = None,
+    properties: dict | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """DB load path — the engine-side form of the reference's
+    truncate + COPY loader (database_manager.py:16-30,122-136). Rows go
+    through the same export normalization (arrays → '{a,b}' literals,
+    null → '', newline escape) and then partition-parallel JDBC batch
+    inserts; the COPY-from-CSV fast path stays available via write_tsv +
+    an external COPY for engines where bulk-load beats INSERT."""
+    out = to_export_frame(df)
+    props = {"batchsize": str(batchsize), **(properties or {})}
+    if driver:
+        props["driver"] = driver
+    out.write.jdbc(url=url, table=table, mode=mode, properties=props)
+
+
+def read_jdbc(spark, url: str, table: str, driver: str | None = None,
+              properties: dict | None = None) -> DataFrame:
+    props = dict(properties or {})
+    if driver:
+        props["driver"] = driver
+    return spark.read.jdbc(url=url, table=table, properties=props)

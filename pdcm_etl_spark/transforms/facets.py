@@ -43,32 +43,86 @@ FACET_SCHEMA = T.StructType(
     ]
 )
 
-# representative facet config (same shape as etl/facets.py:1-371)
+def _facet(index, section, name, column, *, desc="", example='""',
+           any_op="in", all_op="", boolean=False, ftype="check",
+           dynamic=True, options=None, remove_invalid=False) -> dict:
+    return dict(index=index, facet_section=section, facet_name=name,
+                facet_description=desc, facet_column=column,
+                facet_example=example, any_operator=any_op,
+                all_operator=all_op, is_boolean=boolean, facet_type=ftype,
+                dynamic_values=dynamic, facet_options=options,
+                remove_invalid_values=remove_invalid)
+
+
+# the reference's full facet registry — 28 rows, same sections / columns /
+# operator wiring (etl/facets.py:1-371); descriptions re-stated tersely
 FACET_DEFINITIONS: list[dict] = [
-    dict(index=0, facet_section="search", facet_name="Search",
-         facet_description="", facet_column="search_terms",
-         facet_example="Melanoma", any_operator="ov", all_operator="",
-         is_boolean=False, facet_type="", dynamic_values=True,
-         remove_invalid_values=True),
-    dict(index=1, facet_section="model", facet_name="Type",
-         facet_description="", facet_column="model_type", facet_example='""',
-         any_operator="in", all_operator="", is_boolean=False,
-         facet_type="check", dynamic_values=True),
-    dict(index=2, facet_section="molecular_data", facet_name="Cancer System",
-         facet_description="", facet_column="cancer_system",
-         facet_example="Breast Cancer", any_operator="in", all_operator="",
-         is_boolean=False, facet_type="check", dynamic_values=True,
-         remove_invalid_values=True),
-    dict(index=3, facet_section="patient", facet_name="Patient Age",
-         facet_description="", facet_column="patient_age",
-         facet_example="2 - 9", any_operator="in", all_operator="",
-         is_boolean=False, facet_type="check", dynamic_values=True,
-         remove_invalid_values=True),
-    dict(index=4, facet_section="model", facet_name="Has Publications",
-         facet_description="", facet_column="has_publications",
-         facet_example="", any_operator="in", all_operator="",
-         is_boolean=True, facet_type="check", dynamic_values=False,
-         facet_options=["true", "false"]),
+    _facet(0, "search", "Search", "search_terms", example="Melanoma",
+           any_op="ov", ftype=""),
+    _facet(1, "model", "Type", "model_type"),
+    _facet(2, "model", "Model ID", "external_model_id", example="TM00015",
+           ftype="autocomplete", desc="unique cancer-model identifier"),
+    _facet(3, "model", "Datasource", "data_source",
+           desc="originating laboratory / biobank / CRO"),
+    _facet(4, "model", "Dataset available", "dataset_available", any_op="ov",
+           desc="datasets associated with the model"),
+    _facet(5, "model", "Model Availability", "model_availability_boolean",
+           boolean=True, dynamic=False,
+           options=["Available for distribution=true"],
+           desc="filters out currently unavailable models"),
+    _facet(6, "model", "Related Models", "has_relations", boolean=True,
+           dynamic=False, options=["related models=true"],
+           desc="models sharing a patient or parent model"),
+    _facet(7, "model", "Project", "project_name",
+           desc="consortium or project"),
+    _facet(8, "model", "Paediatric Models", "paediatric", boolean=True,
+           dynamic=False, options=["paediatric=true"]),
+    _facet(9, "patient_tumour", "Collection Site", "collection_site",
+           desc="site of the sampled tissue"),
+    _facet(10, "patient_tumour", "Primary Site", "primary_site",
+           desc="site of the primary tumour"),
+    _facet(11, "patient_tumour", "Patient Ethnicity", "patient_ethnicity",
+           desc="patient ethnic group"),
+    _facet(12, "patient_tumour", "Cancer system", "cancer_system"),
+    _facet(13, "patient_tumour", "Patient age", "patient_age"),
+    _facet(14, "patient_tumour", "Tumour type", "tumour_type",
+           remove_invalid=True),
+    _facet(15, "patient_tumour", "Patient sex", "patient_sex"),
+    _facet(16, "molecular_data", "Gene mutation",
+           "markers_with_mutation_data", example="RTP3", any_op="ov",
+           all_op="cs", ftype="multivalued", desc="models with a mutation"),
+    _facet(17, "molecular_data", "Gene Expression",
+           "markers_with_expression_data", example="BEST1", any_op="ov",
+           all_op="cs", ftype="multivalued", desc="models with mRNA data"),
+    _facet(18, "molecular_data", "Copy Number Alteration",
+           "markers_with_cna_data", example="RTP3", any_op="ov",
+           all_op="cs", ftype="multivalued", desc="models with CNA data"),
+    _facet(19, "molecular_data", "Breast cancer biomarkers",
+           "breast_cancer_biomarkers", any_op="ov", all_op="cs",
+           desc="ER/PR/HER2 biomarker status"),
+    _facet(20, "molecular_data", "Bio markers", "markers_with_biomarker_data",
+           example="ESR1", any_op="ov", all_op="cs", ftype="multivalued",
+           desc="models with biomarker calls"),
+    _facet(21, "molecular_data", "HLA types", "hla_types", example="HLA-A",
+           any_op="ov", desc="HLA alleles present"),
+    _facet(22, "molecular_data", "MSI Status", "msi_status", example="Stable",
+           any_op="ov", desc="microsatellite instability status"),
+    _facet(23, "patient_treatment", "Patient treatment", "patient_treatments",
+           example="radiation therapy", any_op="ov", all_op="cs",
+           ftype="multivalued", desc="treatments the patient received"),
+    _facet(24, "patient_treatment", "Responses",
+           "patient_treatments_responses", example="Partial Response",
+           any_op="ov", all_op="cs", ftype="multivalued",
+           desc="responses to patient treatments"),
+    _facet(25, "patient_treatment", "Treatment type",
+           "custom_treatment_type_list", any_op="ov", all_op="cs",
+           ftype="multivalued", desc="treatment categories"),
+    _facet(26, "model_treatment", "Model treatment", "model_treatments",
+           example="cyclophosphamide", any_op="ov", all_op="cs",
+           ftype="multivalued", desc="dosing regimens used on the model"),
+    _facet(27, "model_treatment", "Responses", "model_treatments_responses",
+           example="Partial Response", any_op="ov", all_op="cs",
+           ftype="multivalued", desc="responses to dosing regimens"),
 ]
 
 

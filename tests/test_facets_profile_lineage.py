@@ -14,9 +14,43 @@ def test_search_facets(spark, full_dag):  # noqa: F811
     out = facets.search_facets(spark, df)
     rows = {r["facet_name"]: r for r in out.collect()}
     assert rows["Search"]["facet_options"]  # collected from search_terms
-    assert rows["Has Publications"]["facet_options"] == ["true", "false"]
-    assert rows["Patient Age"]["facet_options"]  # invalid values removed
-    assert "Not Provided" not in rows["Patient Age"]["facet_options"]
+    assert rows["Model Availability"]["facet_options"] == [
+        "Available for distribution=true"
+    ]
+    assert rows["Patient age"]["facet_options"]  # dynamic column present
+
+
+def test_facet_registry_matches_reference():
+    # the full 28-facet registry of the reference (etl/facets.py:1-371):
+    # same (section, name, column, operators, type) per index
+    defs = facets.FACET_DEFINITIONS
+    assert len(defs) == 28
+    assert [d["index"] for d in defs] == list(range(28))
+    by_name = {d["facet_name"]: d for d in defs}
+    assert by_name["Search"]["any_operator"] == "ov"
+    assert by_name["Gene mutation"]["facet_column"] == "markers_with_mutation_data"
+    assert by_name["Gene mutation"]["all_operator"] == "cs"
+    assert by_name["MSI Status"]["facet_section"] == "molecular_data"
+    assert by_name["Paediatric Models"]["is_boolean"] is True
+    sections = {d["facet_section"] for d in defs}
+    assert sections == {"search", "model", "patient_tumour", "molecular_data",
+                        "patient_treatment", "model_treatment"}
+
+
+def test_search_facets_on_full_search_index(spark):
+    from pdcm_etl_spark.plans.dag import build_metadata_dag
+    from pdcm_etl_spark.plans.synth import synthesize_provider_modules
+
+    raw = synthesize_provider_modules(spark, "/root/testdata/sf0.001")
+    dag = build_metadata_dag(spark, raw)
+    out = dag.run(targets=["search_facet"])
+    rows = {r["facet_name"]: r for r in out["search_facet"].collect()}
+    # every dynamic facet whose column the synth workload populates has
+    # a non-empty option set
+    for name in ("Type", "Datasource", "Dataset available", "Patient sex",
+                 "Gene mutation", "MSI Status", "HLA types",
+                 "Model treatment", "Treatment type", "Responses"):
+        assert rows[name]["facet_options"], name
 
 
 def test_available_columns_profile(spark):

@@ -51,3 +51,29 @@ def test_parquet_partitioned_by_provider(spark, tmp_path):
     assert parts == {"TRACE", "PDMR"}
     back = spark.read.parquet(path)
     assert back.count() == 2
+
+
+def test_jdbc_round_trip(spark, tmp_path):
+    """DB load path (SURVEY §2.2 Postgres COPY row): write an entity via
+    df.write.jdbc into an embedded Derby database and read it back —
+    values survive the export normalization + JDBC type mapping."""
+    from pyspark.sql import functions as F
+
+    from pdcm_etl_spark.sources import sinks
+
+    df = spark.createDataFrame(
+        [(1, "model A", ["x", "y"]), (2, "line\nbreak", []), (3, None, None)],
+        "id bigint, name string, tags array<string>",
+    )
+    url = f"jdbc:derby:{tmp_path}/testdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    sinks.write_jdbc(df, url, "entity_rt", driver=driver)
+    back = sinks.read_jdbc(spark, url, "entity_rt", driver=driver)
+    rows = {r["ID"] if "ID" in r.__fields__ else r["id"]: r for r in back.collect()}
+    assert len(rows) == 3
+    get = lambda r, c: r[c] if c in r.__fields__ else r[c.upper()]
+    assert get(rows[1], "name") == "model A"
+    assert get(rows[1], "tags") == '{"x","y"}'
+    assert get(rows[2], "name") == "line\\nbreak"
+    # null/empty normalization: null name -> '', empty array -> null -> ''
+    assert get(rows[3], "name") == ""

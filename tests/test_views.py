@@ -39,12 +39,25 @@ def test_views_create_and_answer(spark, full_dag):  # noqa: F811
     entries = [e for r in dosing for e in json.loads(r["entries"])]
     assert any(e["name"] for e in entries)
 
-    # views.sql:818-842 — derived columns over search_index; only created
-    # when this run's search_index carries dataset_available
+    # views.sql:816-851 — full derived-column set over search_index; only
+    # created when this run's search_index carries dataset_available
     if "search_index_enriched" in created:
         enr = spark.table("search_index_enriched").collect()
-        assert all("paediatric" in r.asDict() for r in enr)
+        for col in ("paediatric", "model_dataset_type_count",
+                    "model_availability_boolean",
+                    "model_availability_plus_commercial_availability",
+                    "model_relationships", "has_relations"):
+            assert col in enr[0].asDict(), col
+        assert all(r["has_relations"] in (True, False) for r in enr)
         assert "models_by_dataset_availability" in created
+
+    # reports.sql VW_STATS_TABLES / records_by_table analogs
+    stats = {r["table_name"]: r["row_estimate"]
+             for r in views.stats_tables(spark, out).collect()}
+    assert stats.get("model", 0) >= 1
+    report = views.records_report(spark, out).collect()
+    assert all(r["report_type"] == "records_by_table" for r in report)
+    assert len(report) == len(stats)
 
     # views.sql:1113-1126 — SPLIT_PART(unnest(...)) over the marker lists
     assert "models_by_mutated_gene" in created
