@@ -41,7 +41,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[32] = 32 concurrent tasks sharing one unified pool, plus
+        # the DAG's localCheckpoint blocks live in the same heap — 8g
+        # starves execution memory at sf0.1 (UNABLE_TO_ACQUIRE_MEMORY)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
