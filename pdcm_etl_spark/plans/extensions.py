@@ -261,8 +261,12 @@ FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
 
 
 def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks. The synthetic
+    embeddings' top in-block cosine is ~0.47, so the declared threshold
+    sits at 0.40 to yield a non-empty, hash-verified result (production
+    near-dup runs use ~0.9); the operator and oracle are unchanged."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, min_ppm=900000)
+    return similarity.embedding_near_dup_pairs(emb, min_ppm=400000)
 
 
 SQL_DEDUP_EMBEDDING = """
@@ -274,7 +278,7 @@ WITH v AS (
 SELECT a.id AS id_a, b.id AS id_b,
        CAST(FLOOR(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS score_ppm
 FROM v a JOIN v b ON a.blk = b.blk AND a.id < b.id
-WHERE FLOOR(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1000000.0) >= 900000
+WHERE FLOOR(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1000000.0) >= 400000
 """
 
 
