@@ -91,6 +91,17 @@ def main() -> None:
     # at this scale has ±30% noise (GC, async block cleanup, codegen
     # cache effects), which can mask a real regression round-over-round.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    def release_persistent_rdds() -> None:
+        # every DAG-bearing query leaves its localCheckpoint blocks in the
+        # block store; waiting on the async ContextCleaner lets them pile
+        # up across reps (measured: flagship reps oscillate 34-132s with
+        # accumulation vs a stable ~24s with explicit release)
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
@@ -109,6 +120,7 @@ def main() -> None:
             import gc
 
             gc.collect()
+            release_persistent_rdds()
             spark.range(10).count()
             time.sleep(0.5)
             t0 = time.time()

@@ -82,3 +82,32 @@ def run_availablenow(
     )
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def run_to_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Production-shaped sink: drain the source with Trigger.AvailableNow
+    into a parquet file sink with a checkpoint location — the
+    exactly-once path (file sink + WAL commit log). Append mode requires
+    the watermark to close windows; AvailableNow advances the watermark
+    to max(event time) at drain end, so every window whose end precedes
+    it emits exactly once. Restarting with the same checkpoint_dir
+    re-emits nothing (offsets + commits replayed) — that idempotence is
+    what the test pins.
+
+    Returns the batch DataFrame read back from the sink."""
+    agg = daily_counts_stream(spark, sf_dir)
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

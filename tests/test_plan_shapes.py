@@ -85,3 +85,44 @@ def test_sample_is_scan_side_filter(spark, sf_dir, queries):
     plan = _plan(queries["sample_stratified"](spark, sf_dir))
     # membership is a pure row predicate: no shuffle at all
     assert "Exchange" not in plan, plan
+
+
+def test_annotation_resources_single_join_any_resource_count(spark):
+    """cancer_annotation_resources joins the broadcast resource lookup
+    ONCE regardless of how many resources are registered — the rewrite of
+    the reference's per-resource groupBy loop (resources_per_model_util
+    .py:94-112, O(#resources) passes). Join-operator count in the
+    optimized plan must not grow with the resource count."""
+    from pdcm_etl_spark.transforms.links import cancer_annotation_resources_per_model
+
+    md = spark.createDataFrame(
+        [(1, "GENE1"), (1, "GENE2"), (2, "GENE3")],
+        "molecular_characterization_id bigint, symbol string",
+    )
+    mm = spark.createDataFrame(
+        [(1, 10, "mutation"), (2, 20, "mutation")],
+        "mol_char_id bigint, model_id bigint, molchar_type string",
+    )
+
+    def resources(n):
+        rows = [(f"GENE{g}", f"R{i}", "Gene", "") for i in range(n) for g in (1, 2, 3)]
+        return spark.createDataFrame(rows, "entry string, resource string, type string, link string")
+
+    def n_joins(res_df):
+        out = cancer_annotation_resources_per_model([md], mm, res_df)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count("Join ")
+
+    assert n_joins(resources(2)) == n_joins(resources(10))
+
+
+def test_quality_percentile_has_no_unpartitioned_window(spark, sf_dir, queries):
+    """The top-decile filter must not plan a single-partition global
+    window sort (the round-1 scale-killer): no 'Window' operator with an
+    empty partition spec; the rank window partitions by the metric."""
+    df = queries["quality_percentile"](spark, sf_dir)
+    plan = _plan(df)
+    import re
+
+    for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
+        assert m.group(1).strip() != "", "unpartitioned window in plan"

@@ -146,3 +146,47 @@ def test_harmonise_treatment_names(spark):
     assert out[" FOLFOX "]["term_name"] == "FOLFOX Regimen"
     assert out[" FOLFOX "]["class"] == "regimen"
     assert out["Unmapped"]["term_id"] is None
+
+
+def test_kmeans_survives_degenerate_clusters(spark):
+    """k-means with duplicate seed vectors: a cluster that never wins a
+    point (ties break toward the lower cid) drops out of the centroid
+    update; later assign rounds must re-initialize from the first
+    SURVIVING centroid instead of a hardcoded d0 (regression guard for
+    the dropped-centroid AnalysisException)."""
+    from pdcm_etl_spark.operators.similarity import kmeans_assign
+
+    rows = [
+        (0, [0.0, 0.0]), (1, [0.0, 0.0]),  # identical seeds: cid 1 starves
+        (2, [10.0, 0.0]), (3, [10.5, 0.0]), (4, [0.2, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = kmeans_assign(emb, k=3, iterations=3)
+    got = {r["vec_id"]: r["cid"] for r in out.collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert all(0 <= c < 3 for c in got.values())
+    # the duplicate seed pair stays together; the far pair clusters apart
+    assert got[0] == got[1] == got[4]
+    assert got[2] == got[3] != got[0]
+
+
+def test_top_percentile_filter_matches_naive_rank(spark):
+    """Exactness of the two-pass percentile filter against a literal
+    percent_rank computation, on a tie-heavy fixture where the threshold
+    value straddles the cutoff (partial tie-group inclusion)."""
+    from pdcm_etl_spark.operators.sampling import top_percentile_filter
+
+    rows = [(i, (i * 7) % 5) for i in range(101)]  # values 0..4, many ties
+    df = spark.createDataFrame(rows, "doc_id bigint, metric bigint")
+    got = {
+        r["doc_id"]: (r["metric"], r["pr_bp"])
+        for r in top_percentile_filter(df, "metric", "doc_id", min_pr_bp=9000).collect()
+    }
+    ordered = sorted(rows, key=lambda t: (t[1], t[0]))
+    n = len(ordered)
+    expect = {}
+    for rank, (doc_id, metric) in enumerate(ordered, start=1):
+        pr_bp = (rank - 1) * 10000 // (n - 1)
+        if pr_bp >= 9000:
+            expect[doc_id] = (metric, pr_bp)
+    assert got == expect and len(got) > 0

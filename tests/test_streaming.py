@@ -55,3 +55,31 @@ def test_stream_sessionize_closed_sessions_match_batch(spark, sf_dir):
         # identical up to float addition reordering
         assert gn == n and abs(gtotal - total) < 1e-6, (k, got[k], (n, total))
     assert len(got) > 0
+
+
+def test_stream_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
+    """File sink + checkpoint: one AvailableNow drain lands every closed
+    window once; a second drain from the same checkpoint is a no-op (the
+    exactly-once guarantee a restart relies on)."""
+    from pdcm_etl_spark.plans.catalog import q_events_daily
+    from pdcm_etl_spark.streaming.events_stream import run_to_parquet
+
+    out_dir, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    first = run_to_parquet(spark, sf_dir, out_dir, ckpt)
+    n_first = first.count()
+    assert n_first > 0
+    # append mode emits only watermark-closed windows; the final in-flight
+    # window may stay open, so the file sink holds a prefix of the batch
+    batch = q_events_daily(spark, sf_dir)
+    assert n_first <= batch.count()
+    batch_vals = {
+        (r["day"], r["event_type"]): (r["n_events"], r["sum_value_micro"])
+        for r in batch.collect()
+    }
+    for r in first.collect():
+        assert batch_vals[(r["day"], r["event_type"])] == (
+            r["n_events"], r["sum_value_micro"]
+        ), r
+    # idempotent restart: same checkpoint → no duplicate emission
+    second = run_to_parquet(spark, sf_dir, out_dir, ckpt)
+    assert second.count() == n_first
