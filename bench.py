@@ -45,6 +45,8 @@ HEADLINE = [
     "text_quality",
     "text_langid",
     "text_tfidf",
+    "text_contamination",
+    "text_repetition",
     "pack_sequences",
     "quality_percentile",
     "multimodal_meta",

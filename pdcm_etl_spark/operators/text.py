@@ -225,3 +225,101 @@ def pack_documents(
         .cast("bigint")
         .alias("bin_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing / benchmark contamination / repetition quality signals
+# (training-data curation companions to the quality scores above)
+# --------------------------------------------------------------------------
+
+# regex dialect constraint: patterns must mean the same thing under Java
+# regex (Spark) and RE2 (the DuckDB oracle) — \b, (?:), {m,n} only
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def scrub_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Redact emails / phone numbers / IPv4s, with per-class match counts
+    and a digest of the redacted text (auditable without shipping it).
+
+    Pure column expressions — one codegen'd pass over the text, no UDF;
+    at corpus scale this is a map-side scan."""
+    counts = [
+        # F.regexp_extract_all with a lit pattern — dodges SQL string-
+        # literal escape handling for the backslashes
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        .cast("bigint")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, token)
+    return df.select(
+        F.col(id_col), *counts, F.md5(clean).alias("clean_text_md5")
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination detection: for every corpus document, the
+    number of distinct word n-grams it shares with ANY benchmark (eval
+    set) document. The benchmark shingle set is tiny relative to the
+    corpus → broadcast, so the check is one map-side semi-ish join plus
+    a per-doc count — no corpus×benchmark pair space.
+
+    Returns (doc_id, n_shared_shingles, contaminated)."""
+    from pdcm_etl_spark.operators.dedup import shingles
+
+    corpus_sh = shingles(docs, id_col, text_col, n)
+    bench_sh = F.broadcast(
+        shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
+    )
+    hits = (
+        corpus_sh.join(bench_sh, "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_shared_shingles", F.lit(0)).alias("n_shared_shingles"),
+            (F.coalesce("n_shared_shingles", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def add_repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition quality signals (the duplicate-fraction family of
+    corpus filters): duplicate-word fraction and top-word fraction, in
+    basis points. dup_word_bp is a pure column expression; top_word_bp
+    takes one explode + two-level aggregation (map-side combine on
+    (doc, word))."""
+    ws = words(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(ws)).cast("bigint").alias("n_distinct_words"),
+        F.explode(ws).alias("word"),
+    )
+    per_word = base.groupBy("doc_id", "n_words", "n_distinct_words", "word").agg(
+        F.count(F.lit(1)).alias("wc")
+    )
+    return per_word.groupBy("doc_id", "n_words", "n_distinct_words").agg(
+        floor_bp(F.max("wc"), F.col("n_words")).alias("top_word_bp"),
+        floor_bp(
+            F.col("n_words") - F.col("n_distinct_words"), F.col("n_words")
+        ).alias("dup_word_bp"),
+    ).select("doc_id", "n_words", "n_distinct_words", "dup_word_bp", "top_word_bp")

@@ -473,6 +473,110 @@ WHERE rnk <= 3
 """
 
 
+def x_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction demo: the synthetic corpus carries no PII, so the
+    query deterministically injects an email / phone / IPv4 per document
+    (pure key arithmetic, mirrored in the oracle), then runs the generic
+    scrubber (operators/text.py::scrub_pii)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did, F.lit("@example.com tel 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ),
+    )
+    return text.scrub_pii(injected)
+
+
+SQL_TEXT_PII_SCRUB = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com tel 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' ip 10.0.' || (doc_id % 256) || '.1' AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\b\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  md5(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')
+  ) AS clean_text_md5
+FROM injected
+"""
+
+
+def x_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep: docs 0-19 stand in for the eval
+    set; every other document reports how many distinct 8-gram shingles
+    it shares with that set (operators/text.py::contamination_check —
+    broadcast benchmark shingles, no corpus×benchmark pair space)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") < 20)
+    rest = docs.filter(F.col("doc_id") >= 20)
+    return text.contamination_check(rest, bench, n=8)
+
+
+SQL_TEXT_CONTAMINATION = """
+WITH ws AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i + 1, i + 8), ' ') AS shingle
+  FROM (
+    SELECT doc_id, w, unnest(range(greatest(len(w) - 7, 0))) AS i FROM ws
+  )
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id < 20
+), hits AS (
+  SELECT s.doc_id, COUNT(*) AS n
+  FROM sh s JOIN bench USING (shingle)
+  WHERE s.doc_id >= 20 GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(n, 0) AS n_shared_shingles,
+       COALESCE(n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+LEFT JOIN hits USING (doc_id)
+"""
+
+
+def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals per document (duplicate-word and
+    top-word fractions, basis points)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return text.add_repetition_metrics(docs)
+
+
+SQL_TEXT_REPETITION = """
+WITH ws AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+         unnest(w) AS word
+  FROM ws
+), pw AS (
+  SELECT doc_id, n_words, n_distinct_words, word, COUNT(*) AS wc
+  FROM base GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id, n_words, n_distinct_words,
+       CAST(FLOOR((n_words - n_distinct_words) * 10000.0 / n_words) AS BIGINT) AS dup_word_bp,
+       CAST(FLOOR(MAX(wc) * 10000.0 / n_words) AS BIGINT) AS top_word_bp
+FROM pw GROUP BY 1, 2, 3
+"""
+
+
 def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     return text.add_fingerprint(docs).drop("text")
@@ -844,6 +948,9 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "text_langid": (x_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (x_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_tfidf": (x_text_tfidf, SQL_TEXT_TFIDF),
+    "text_pii_scrub": (x_text_pii_scrub, SQL_TEXT_PII_SCRUB),
+    "text_contamination": (x_text_contamination, SQL_TEXT_CONTAMINATION),
+    "text_repetition": (x_text_repetition, SQL_TEXT_REPETITION),
     "multimodal_meta": (x_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (x_multimodal_decode, None),
     "stream_events_daily": (x_stream_events_daily, SQL_STREAM_EVENTS_DAILY),
