@@ -77,10 +77,22 @@ class EntityDag:
         self._results[name] = df
         return df
 
-    def _share_if_reused(self, name: str, df: DataFrame) -> DataFrame:
+    def _share_if_reused(
+        self, name: str, df: DataFrame, scope: set[str] | None = None
+    ) -> DataFrame:
         """Nodes consumed by >1 downstream node are computed once and
-        reused — replaces the reference's parquet round-trip barriers."""
-        consumers = sum(1 for n in self.nodes.values() if name in n.deps)
+        reused — replaces the reference's parquet round-trip barriers.
+
+        ``scope`` restricts the consumer count to the nodes a targeted
+        run actually resolves: a node whose second consumer lives outside
+        the requested subgraph must NOT be materialized — the checkpoint
+        barrier would block Catalyst's column pruning / filter pushdown
+        through it for zero reuse benefit (e.g. a measurement table's
+        profile consumer when only search_index is asked for)."""
+        nodes = self.nodes.values() if scope is None else (
+            self.nodes[n] for n in scope
+        )
+        consumers = sum(1 for n in nodes if name in n.deps)
         if consumers > 1:
             if self.reuse == "checkpoint":
                 df = df.localCheckpoint(eager=False)
@@ -172,7 +184,7 @@ class EntityDag:
                 if node.needs_spark
                 else node.fn(*args)
             )
-            df = self._share_if_reused(name, df)
+            df = self._share_if_reused(name, df, scope=needed)
             with lock:
                 self._results[name] = df
             return df
