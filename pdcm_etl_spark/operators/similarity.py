@@ -236,13 +236,13 @@ def embedding_near_dup_pairs(
     )
 
 
-def kmeans_assign(
+def kmeans_fit(
     embeddings: DataFrame,
     k: int = 4,
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
     """Deterministic distributed k-means: fixed iteration count, exact
     cross-engine semantics (DuckDB oracle in plans/extensions.py).
 
@@ -257,7 +257,8 @@ def kmeans_assign(
     Assignment ties break toward the lower centroid id. Scale: each
     iteration is one broadcast of k×dim centroids + a map-side argmin +
     one (cid, dim-position) aggregation — no cross join materializes.
-    Returns (id, cid) for the final assignment.
+    Returns (final centroids as a driver-side [(cid, vector)] list —
+    k×dim scalar-scale — and the final (id_col, cid) assignment frame).
     """
     dim_df = embeddings.select(F.size(_dvec(vec_col)).alias("d")).limit(1)
     dim = dim_df.collect()[0]["d"]
@@ -332,6 +333,110 @@ def kmeans_assign(
             )
         cents = [(cid, by_cid[cid]) for cid, _ in cents if cid in by_cid]
 
-    return assign(cents).select(
+    assigned = assign(cents).select(
         F.col("id").alias(id_col), F.col("cid").cast("int").alias("cid")
+    )
+    return cents, assigned
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Final (id, cid) assignment of the deterministic Lloyd loop
+    (see kmeans_fit)."""
+    _, assigned = kmeans_fit(embeddings, k, iterations, id_col, vec_col)
+    return assigned
+
+
+def ivf_trained_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 4,
+    n_probe: int = 2,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with TRAINED cells: coarse-quantize the index with the
+    deterministic k-means (kmeans_fit), then each query probes its
+    ``n_probe`` nearest centroids and re-ranks exactly inside those cells
+    only.
+
+    This is the full IVF recipe (train → assign → multi-probe) rather
+    than ivf_topk's precomputed-partition shortcut. Scale: centroids are
+    k×dim driver-side literals (broadcast by value into the plan); the
+    index carries its cell id — written partitioned by cell, a probe is a
+    partition-pruned scan; the query side explodes ×n_probe only.
+
+    Returns (query_id, neighbor_id, score_ppm, rank) — same contract as
+    the other top-k operators.
+    """
+    cents, assigned = kmeans_fit(index, n_cells, iterations, id_col, vec_col)
+
+    def sqdist(vec: Column, cvec: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in cvec]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # nearest n_probe centroids via array_sort over (distance, cid)
+    # structs — lexicographic struct order = d asc, cid asc tiebreak
+    cand_cells = F.slice(
+        F.array_sort(
+            F.array(*[
+                F.struct(
+                    sqdist(F.col("qv"), cvec).alias("d"),
+                    F.lit(cid).cast("int").alias("cid"),
+                )
+                for cid, cvec in cents
+            ])
+        ),
+        1,
+        n_probe,
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv"))
+        .withColumn("qn", norm(F.col("qv")))
+        .withColumn("probe", F.explode(cand_cells))
+        .select("query_id", "qv", "qn", F.col("probe.cid").alias("cell"))
+    )
+    ix = (
+        index.select(F.col(id_col).alias("neighbor_id"), _dvec(vec_col).alias("iv"))
+        .join(
+            assigned.select(
+                F.col(id_col).alias("neighbor_id"), F.col("cid").alias("cell")
+            ),
+            "neighbor_id",
+        )
+        .withColumn("inorm", norm(F.col("iv")))
+    )
+    scored = (
+        ix.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score_ppm",
+            F.floor(
+                dot(F.col("qv"), F.col("iv"))
+                / (F.col("qn") * F.col("inorm"))
+                * F.lit(1000000.0)
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score_ppm", "rank")
     )

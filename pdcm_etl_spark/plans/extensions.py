@@ -864,6 +864,86 @@ SELECT vec_id, CAST(cid AS INTEGER) AS cid FROM a2
 """
 
 
+def x_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF recipe: k-means-trained cells + 2-probe search + exact
+    in-cell re-rank (operators/similarity.py::ivf_trained_topk). The
+    oracle recomputes the identical deterministic Lloyd round in SQL and
+    probes the same cells."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_trained_topk(
+        emb, queries, k=10, n_cells=4, n_probe=2, iterations=1
+    )
+
+
+SQL_ANN_IVF_TRAINED_TOPK = """
+WITH seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)
+), d1 AS (
+  SELECT e.vec_id, e.embedding, s.cid,
+         list_reduce(list_transform(range(64), i -> (CAST(e.embedding[i+1] AS DOUBLE) - s.cv[i+1]) * (CAST(e.embedding[i+1] AS DOUBLE) - s.cv[i+1])), (a,b) -> a + b) AS dist
+  FROM embeddings e CROSS JOIN seeds s
+), a1 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM d1
+  ) WHERE rn = 1
+), m1 AS (
+  SELECT cid, i AS pos,
+         CAST(SUM(CAST(CAST(embedding[i+1] AS DOUBLE) AS DECIMAL(28,9))) * 1000000000 AS BIGINT) AS s_nano,
+         COUNT(*) AS n
+  FROM a1, (SELECT unnest(range(64)) AS i)
+  GROUP BY 1, 2
+), c1 AS (
+  SELECT cid,
+         list((s_nano - ((s_nano % n) + n) % n) // n / 1000000000.0 ORDER BY pos) AS cv
+  FROM m1 GROUP BY cid
+), d2 AS (
+  SELECT e.vec_id, s.cid,
+         list_reduce(list_transform(range(64), i -> (CAST(e.embedding[i+1] AS DOUBLE) - s.cv[i+1]) * (CAST(e.embedding[i+1] AS DOUBLE) - s.cv[i+1])), (a,b) -> a + b) AS dist
+  FROM embeddings e CROSS JOIN c1 s
+), a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM d2
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 5
+), qd AS (
+  SELECT q.query_id, s.cid,
+         list_reduce(list_transform(range(64), i -> (q.qv[i+1] - s.cv[i+1]) * (q.qv[i+1] - s.cv[i+1])), (a,b) -> a + b) AS dist
+  FROM q CROSS JOIN c1 s
+), probes AS (
+  SELECT query_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM qd
+  ) WHERE rn <= 2
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT p.query_id, a2.vec_id AS neighbor_id,
+         CAST(FLOOR(list_dot_product(qv.v, iv.v) / (qv.nrm * iv.nrm) * 1000000.0) AS BIGINT) AS score_ppm
+  FROM probes p
+  JOIN a2 ON a2.cid = p.cid AND a2.vec_id <> p.query_id
+  JOIN v qv ON qv.vec_id = p.query_id
+  JOIN v iv ON iv.vec_id = a2.vec_id
+)
+SELECT query_id, neighbor_id, score_ppm, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LLM training: shard-parallel contiguous fill
     of 2048-token bins in deterministic id order."""
@@ -943,6 +1023,7 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "ann_cosine_topk": (x_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_ivf_topk": (x_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "ann_lsh_topk": (x_ann_lsh_topk, _sql_ann_lsh_topk()),
+    "ann_ivf_trained_topk": (x_ann_ivf_trained_topk, SQL_ANN_IVF_TRAINED_TOPK),
     "text_tokens": (x_text_tokens, SQL_TEXT_TOKENS),
     "text_quality": (x_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (x_text_langid, SQL_TEXT_LANGID),
