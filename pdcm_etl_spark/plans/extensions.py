@@ -666,6 +666,26 @@ def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_stream(spark, sf_dir)
 
 
+def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream range join (click→purchase attribution);
+    see streaming/events_stream.py::attribution_stream_join."""
+    from pdcm_etl_spark.streaming.events_stream import attribution_stream_join
+
+    return attribution_stream_join(spark, sf_dir)
+
+
+SQL_STREAM_STREAM_JOIN = """
+SELECT c.event_id, c.user_id, c.ts AS click_ts, w.ts AS purchase_ts
+FROM (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+) c
+JOIN (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+) w ON c.user_id = w.user_id
+   AND c.ts >= w.ts AND c.ts <= w.ts + INTERVAL 1 HOUR
+"""
+
+
 def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time enrichment: every click event gets the most recent
     purchase (value + timestamp) by the same user at or before the click.
@@ -1044,4 +1064,5 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "pack_sequences": (x_pack_sequences, SQL_PACK_SEQUENCES),
     "quality_percentile": (x_quality_percentile, SQL_QUALITY_PERCENTILE),
     "stream_sessionize": (x_stream_sessionize, None),
+    "stream_stream_join": (x_stream_stream_join, SQL_STREAM_STREAM_JOIN),
 }

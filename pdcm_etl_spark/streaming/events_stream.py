@@ -111,3 +111,55 @@ def run_to_parquet(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def attribution_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range condition: each
+    click joins purchases by the same user within the preceding hour —
+    the streaming twin of the batch bucketed range join
+    (operators/temporal.py::range_join_points_in_intervals).
+
+    Both sides carry watermarks; the range condition bounds each side's
+    state retention (Spark evicts purchase state once the watermark
+    passes purchase_ts + 1h — unbounded state is the stream-stream join
+    failure mode at scale). Drained with AvailableNow into a memory sink;
+    deterministic, so the batch inequality-join SQL is an exact oracle."""
+    clicks = (
+        events_stream_source(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 day")
+    )
+    purchases = (
+        events_stream_source(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 day")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user_id = p_user_id AND "
+            "click_ts >= purchase_ts AND "
+            "click_ts <= purchase_ts + INTERVAL 1 HOUR"
+        ),
+        "inner",
+    ).select(
+        "event_id",
+        F.col("c_user_id").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attribution_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("attribution_stream")
