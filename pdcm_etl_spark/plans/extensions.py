@@ -218,6 +218,77 @@ WHERE FLOOR(inter * 10000.0 / (sa.sz + sb.sz - inter)) >= {min_bp}
 """
 
 
+def x_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup demo: docs with doc_id < 250 play the
+    already-indexed corpus; the rest are the new ingest batch. Pairs
+    between two indexed docs are pruned before verification
+    (operators/dedup.py::minhash_dedup_incremental)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.minhash_dedup_incremental(
+        docs, F.col("doc_id") < 250, min_bp=2000
+    )
+
+
+def _sql_dedup_minhash_incremental(
+    boundary: int = 250, num_perm: int = 32, bands: int = 8, min_bp: int = 2000
+) -> str:
+    """Oracle for the incremental pipeline: the plain MinHash-LSH oracle
+    with existing×existing candidate pairs excluded and the is_new_pair
+    flag attached."""
+    p = dedup.MINHASH_PRIME
+    coeffs = dedup.minhash_perm_coeffs(num_perm)
+    mins = ",\n         ".join(
+        f"MIN(({a}*h + {b}) % {p}) AS s{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_perm // bands
+    folds = []
+    for band in range(bands):
+        expr = f"s{band * rpb}"
+        for j in range(1, rpb):
+            expr = f"({expr}*31 + s{band * rpb + j})"
+        folds.append(f"SELECT doc_id, {band} AS band, {expr} AS bh FROM sigs")
+    banded = "\n  UNION ALL ".join(folds)
+    h60 = _DUCK_H60.format(col="shingle")
+    return f"""
+WITH ws AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+  FROM (
+    SELECT doc_id, w, unnest(range(greatest(len(w) - 2, 0))) AS i FROM ws
+  )
+), hashed AS (
+  SELECT doc_id, shingle, ({h60}) % {p} AS h FROM sh
+), sigs AS (
+  SELECT doc_id, {mins}
+  FROM hashed GROUP BY doc_id
+), banded AS (
+  {banded}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+    AND NOT (a.doc_id < {boundary} AND b.doc_id < {boundary})
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, inter,
+       CAST(FLOOR(inter * 10000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) AS jaccard_bp,
+       (id_a >= {boundary} AND id_b >= {boundary}) AS is_new_pair
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE FLOOR(inter * 10000.0 / (sa.sz + sb.sz - inter)) >= {min_bp}
+"""
+
+
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sims = dedup.simhash(docs)
@@ -1038,6 +1109,8 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_groups": (x_dedup_groups, SQL_DEDUP_GROUPS),
     "dedup_minhash_lsh": (x_dedup_minhash_lsh, _sql_dedup_minhash_lsh()),
+    "dedup_minhash_incremental": (
+        x_dedup_minhash_incremental, _sql_dedup_minhash_incremental()),
     "dedup_simhash": (x_dedup_simhash, _sql_dedup_simhash()),
     "dedup_embedding": (x_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_cosine_topk": (x_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
