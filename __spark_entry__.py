@@ -93,7 +93,10 @@ _PRIORITY: list[str] = [
     "quality_percentile",
     "stream_events_daily",
     "session_window",
-    "stream_sessionize",
+    # hash-checked stream-stream join takes the window slot; the
+    # applyInPandasWithState sessionizer (rows-only by design) stays
+    # declared and is pinned against its batch twin in pytest
+    "stream_stream_join",
 ]
 
 
