@@ -759,10 +759,10 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     return (
         events.groupBy(
-            # DATE, not the timestamp date_trunc returns — DuckDB's
-            # date_trunc('day', ts) yields DATE, and the oracle compares
-            # stringified values
-            F.to_date(F.col("ts")).alias("day"), "event_type"
+            # TIMESTAMP day bucket, not DATE: Spark DATE reaches pandas as
+            # object-dtype datetime.date while DuckDB DATE arrives as
+            # datetime64, so the driver canonicalizer hashes them apart
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -775,7 +775,7 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENTS_DAILY = """
-SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value_micro
 FROM events GROUP BY 1, 2
 """

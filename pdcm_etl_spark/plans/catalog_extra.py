@@ -129,7 +129,9 @@ def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month"),
-        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        # TIMESTAMP, not DATE: Spark DATE → pandas object datetime.date,
+        # DuckDB DATE → datetime64; the driver hashes them differently
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
         F.add_months(F.date_trunc("month", F.col("o_orderdate")), 1)
         .cast("timestamp")
         .alias("next_month"),
@@ -140,7 +142,7 @@ SQL_DATE_ARITHMETIC = """
 SELECT o_orderkey,
        CAST(date_part('year', o_orderdate) AS INTEGER) AS order_year,
        CAST(date_part('month', o_orderdate) AS INTEGER) AS order_month,
-       date_trunc('month', o_orderdate) AS month_start,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
        CAST(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH AS TIMESTAMP) AS next_month
 FROM orders
 """

@@ -1098,7 +1098,7 @@ SELECT doc_id, stopword_bp, pr_bp FROM (
 
 
 SQL_STREAM_EVENTS_DAILY = """
-SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value_micro
 FROM events GROUP BY 1, 2
 """

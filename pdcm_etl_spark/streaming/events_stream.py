@@ -58,7 +58,10 @@ def daily_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value_micro"),
         )
         .select(
-            F.col("win.start").cast("date").alias("day"),
+            # keep TIMESTAMP (not DATE): Spark DATE becomes object-dtype
+            # datetime.date in pandas while DuckDB DATE becomes
+            # datetime64 — the driver canonicalizer hashes them apart
+            F.col("win.start").alias("day"),
             "event_type",
             "n_events",
             "sum_value_micro",
