@@ -95,3 +95,60 @@ def salted_join(
         F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<int>")),
     )
     return salted_fact.join(replicated, on + ["__salt"], how).drop("__salt")
+
+
+def merge_keyed_aggregates(
+    aggs: list[DataFrame],
+    key: str,
+    rename_key: str | None = None,
+) -> DataFrame | None:
+    """Collapse N per-key aggregate frames into ONE keyed frame.
+
+    The reference denormalizes search_index by left-joining each per-model
+    aggregate onto the model spine one at a time
+    (search_index_transformer_job.py:42-126) — N aggregates = N
+    sort-merge joins = 2N shuffle exchanges of model-cardinality data.
+    At cluster scale those barriers dominate the flagship's wall time.
+
+    Since every aggregate is itself a ``groupBy(key)`` result (≤1 row per
+    key) with DISTINCT value-column names, the same result is expressible
+    as one union + one aggregation:
+
+        unionByName(allowMissingColumns=True)   # no shuffle, no barrier
+        → groupBy(key).agg(first(c, ignorenulls=True) …)   # ONE shuffle
+
+    The consumer then does a single left join against the spine. Plan
+    effect measured on the flagship at sf0.01: 40 SortMergeJoins / 88
+    Exchanges → ~24 joins / ~50 exchanges, and the per-aggregate shuffles
+    collapse into one map-side-combined exchange of skinny rows.
+
+    Returns None for an empty list. Frames may use ``rename_key`` (e.g.
+    ``model_id``) instead of ``key``; both spellings are accepted.
+    """
+    from functools import reduce
+
+    if not aggs:
+        return None
+    frames = []
+    for a in aggs:
+        if rename_key and rename_key in a.columns and key not in a.columns:
+            a = a.withColumnRenamed(rename_key, key)
+        frames.append(a)
+    if len(frames) == 1:
+        return frames[0]
+    # distinct-name precondition: a column name owned by two frames would
+    # silently interleave under first(); join those the classic way instead
+    seen: set[str] = set()
+    for f in frames:
+        dup = (set(f.columns) - {key}) & seen
+        if dup:
+            raise ValueError(
+                f"merge_keyed_aggregates: column(s) {sorted(dup)} appear in "
+                "multiple aggregate frames; join them separately"
+            )
+        seen |= set(f.columns) - {key}
+    unioned = reduce(lambda l, r: l.unionByName(r, allowMissingColumns=True), frames)
+    value_cols = [c for c in unioned.columns if c != key]
+    return unioned.groupBy(key).agg(
+        *[F.first(c, ignorenulls=True).alias(c) for c in value_cols]
+    )

@@ -36,7 +36,6 @@ N_GENES = 2000
 N_MARKERS = 1800  # < N_GENES → ~10% of symbols stay unharmonised
 N_TREATMENTS = 50
 
-_ETHNICITIES = ["caucasian", "hispanic", "asian", "african", None]
 _RESPONSES = [
     "complete response", "partial response", "stable disease",
     "progressive disease",
@@ -44,64 +43,79 @@ _RESPONSES = [
 _SITES_OF_ENGRAFTMENT = ["subcutaneous", "orthotopic", "renal capsule"]
 
 
-def _finish(df: DataFrame, module: str) -> DataFrame:
-    """Project onto the module's declared all-string schema (missing
-    declared columns become null strings), provider column last.
+def _sq(s: str) -> str:
+    """SQL single-quoted string literal."""
+    return "'" + s.replace("'", "''") + "'"
 
-    Built as selectExpr strings — one py4j call total instead of one per
-    Column object (17 modules × ~15 cols of JVM round trips add up)."""
-    have = set(df.columns)
-    exprs = [
-        f"CAST(`{c}` AS STRING) AS `{c}`"
-        if c in have
+
+def _pick(expr: str, options: list[str]) -> str:
+    """Deterministic member of ``options`` keyed by a bigint SQL expr."""
+    arr = ", ".join(_sq(o) for o in options)
+    return f"element_at(array({arr}), CAST(({expr}) % {len(options)} + 1 AS INT))"
+
+
+def _module(
+    df: DataFrame, module: str, exprs: dict[str, str], provider: str = "prov"
+) -> DataFrame:
+    """Project onto the module's declared all-string schema in ONE
+    ``selectExpr`` call (missing declared columns become null strings,
+    provider column last).
+
+    Everything here is SQL-string expressions, not Column objects: each
+    Column operation is a py4j round trip, and 17 modules x ~15 columns x
+    ~10 ops each put ~8s of pure driver-side chatter on the flagship's
+    critical path (profiled at sf0.01 — the cost is scale-independent).
+    One selectExpr per module is ~2 round trips total."""
+    declared = module_columns(module)
+    unknown = set(exprs) - set(declared)
+    if unknown:
+        raise KeyError(f"{module}: undeclared columns {sorted(unknown)}")
+    sel = [
+        f"CAST({exprs[c]} AS STRING) AS `{c}`"
+        if c in exprs
         else f"CAST(NULL AS STRING) AS `{c}`"
-        for c in module_columns(module)
+        for c in declared
     ]
-    exprs.append(f"CAST(`{PROVIDER_COL}` AS STRING) AS `{PROVIDER_COL}`")
-    return df.selectExpr(*exprs)
-
-
-def _pick(col, options: list) -> F.Column:
-    """Deterministic member of ``options`` keyed by a bigint column."""
-    arr = F.array(*[F.lit(o).cast("string") for o in options])
-    return F.element_at(arr, (col % len(options) + 1).cast("int"))
+    sel.append(f"CAST({provider} AS STRING) AS `{PROVIDER_COL}`")
+    return df.selectExpr(*sel)
 
 
 def synthesize_provider_modules(
     spark: SparkSession, sf_dir: str
 ) -> dict[str, DataFrame]:
     """Build the full raw-module dict the metadata DAG consumes."""
+    from functools import reduce
+
     region = spark.read.parquet(f"{sf_dir}/region.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
-    prov_name = F.regexp_replace(F.col("r_name"), " ", "_")
+    prov_expr = "regexp_replace(r_name, ' ', '_')"
 
     # provider registry: one per region
-    source = _finish(
-        region.select(
-            F.col("r_name").alias("provider_name"),
-            prov_name.alias("provider_abbreviation"),
-            _pick(F.col("r_regionkey").cast("bigint"), ["Academia", "Government"])
-            .alias("provider_type"),
-            F.lit("SYNTH").alias("project"),
-            prov_name.alias(PROVIDER_COL),
-        ),
+    source = _module(
+        region,
         "source",
+        {
+            "provider_name": "r_name",
+            "provider_abbreviation": prov_expr,
+            "provider_type": _pick(
+                "CAST(r_regionkey AS BIGINT)", ["Academia", "Government"]
+            ),
+            "project": "'SYNTH'",
+        },
+        provider=prov_expr,
     )
 
-    # customer → provider lookup (broadcast both dims onto the fact side)
+    # customer -> provider lookup (broadcast both dims onto the fact side)
     cust_prov = customer.join(
         F.broadcast(
             nation.join(
-                F.broadcast(region),
-                nation.n_regionkey == region.r_regionkey,
-            ).select(
-                "n_nationkey",
-                F.col("n_name").alias("nation_name"),
-                prov_name.alias("prov"),
+                F.broadcast(region), nation.n_regionkey == region.r_regionkey
+            ).selectExpr(
+                "n_nationkey", "n_name AS nation_name", f"{prov_expr} AS prov"
             )
         ),
         customer.c_nationkey == F.col("n_nationkey"),
@@ -111,181 +125,171 @@ def synthesize_provider_modules(
     # and truncates lineage so downstream analysis stays O(node)
     cust_prov = cust_prov.localCheckpoint(eager=False)
 
-    patient = _finish(
-        cust_prov.select(
-            F.concat(F.lit("P"), "c_custkey").alias("patient_id"),
-            _pick(F.col("c_custkey"), ["female", "male"]).alias("sex"),
-            F.lower("nation_name").alias("ethnicity"),
-            (F.lit(20) + F.col("c_custkey") % 60).alias("age_at_initial_diagnosis"),
-            F.col("prov").alias(PROVIDER_COL),
-        ),
+    patient = _module(
+        cust_prov,
         "patient",
+        {
+            "patient_id": "concat('P', c_custkey)",
+            "sex": _pick("c_custkey", ["female", "male"]),
+            "ethnicity": "lower(nation_name)",
+            "age_at_initial_diagnosis": "20 + c_custkey % 60",
+        },
     )
 
-    # orders carry the model/sample spine; resolve provider + patient once
-    ork = F.col("o_orderkey").cast("bigint")
-    o = orders.join(
-        cust_prov, orders.o_custkey == cust_prov.c_custkey
-    ).select(
-        ork.alias("ok"),
-        F.concat(F.lit("P"), "c_custkey").alias("patient_id"),
-        "prov",
+    # orders carry the model/sample spine; resolve provider + patient once.
+    # Every 10th spine row is a cell model, the rest PDX.
+    o = (
+        orders.join(cust_prov, orders.o_custkey == cust_prov.c_custkey)
+        .selectExpr(
+            "CAST(o_orderkey AS BIGINT) AS ok",
+            "concat('P', c_custkey) AS patient_id",
+            "prov",
+        )
+        .selectExpr(
+            "*",
+            "CASE WHEN ok % 10 = 0 THEN concat('C', ok)"
+            " ELSE concat('M', ok) END AS model_id",
+            "concat('S', ok) AS sample_id",
+        )
     )
-    is_cell = F.col("ok") % 10 == 0
-    o = o.withColumn(
-        "model_id",
-        F.when(is_cell, F.concat(F.lit("C"), "ok")).otherwise(
-            F.concat(F.lit("M"), "ok")
-        ),
-    ).withColumn("sample_id", F.concat(F.lit("S"), "ok"))
     # the model/sample spine feeds 8 modules — compute the o⋈customer
     # shuffle once (lineage-truncating, see plans/dag.py reuse policy)
     o = o.localCheckpoint(eager=False)
 
-    pdx = o.filter(~is_cell)
-    cell = o.filter(is_cell)
+    pdx = o.filter("ok % 10 != 0")
+    cell = o.filter("ok % 10 = 0")
 
-    model = _finish(
-        pdx.select(
-            "model_id",
-            _pick(F.col("ok"), ["NOD SCID GAMMA", "NOD SCID", "nude"])
-            .alias("host_strain_name"),
-            _pick(F.col("ok"), ["NOD.Cg-Prkdc<scid>", "NOD.CB17", "Foxn1<nu>"])
-            .alias("host_strain_nomenclature"),
-            _pick(F.col("ok"), _SITES_OF_ENGRAFTMENT).alias("engraftment_site"),
-            _pick(F.col("ok"), ["heterotopic", "orthotopic"]).alias("engraftment_type"),
-            _pick(F.col("ok"), ["tissue fragment", "cell suspension"])
-            .alias("sample_type"),
-            _pick(F.col("ok"), ["fresh", "frozen"]).alias("sample_state"),
-            (F.col("ok") % 9 + 1).alias("passage_number"),
-            F.when(F.col("ok") % 5 == 0, F.concat(F.lit("PMID: "), F.col("ok") % 1000))
-            .alias("publications"),
+    model = _module(
+        pdx,
+        "model",
+        {
+            "model_id": "model_id",
+            "host_strain_name": _pick("ok", ["NOD SCID GAMMA", "NOD SCID", "nude"]),
+            "host_strain_nomenclature": _pick(
+                "ok", ["NOD.Cg-Prkdc<scid>", "NOD.CB17", "Foxn1<nu>"]
+            ),
+            "engraftment_site": _pick("ok", _SITES_OF_ENGRAFTMENT),
+            "engraftment_type": _pick("ok", ["heterotopic", "orthotopic"]),
+            "sample_type": _pick("ok", ["tissue fragment", "cell suspension"]),
+            "sample_state": _pick("ok", ["fresh", "frozen"]),
+            "passage_number": "ok % 9 + 1",
+            "publications": "CASE WHEN ok % 5 = 0"
+            " THEN concat('PMID: ', ok % 1000) END",
             # supplier block (reference model module columns) on every
             # 4th model so the search_index supplier columns populate
-            F.when(F.col("ok") % 4 == 0, F.concat(F.lit("Vendor"), F.col("ok") % 7))
-            .alias("supplier"),
-            F.when(F.col("ok") % 4 == 0, F.lit("commercial")).alias("supplier_type"),
-            F.when(F.col("ok") % 4 == 0, F.concat(F.lit("CAT-"), F.col("ok") % 500))
-            .alias("catalog_number"),
-            F.when(F.col("ok") % 4 == 0,
-                   F.concat(F.lit("https://vendor.example.org/"), F.col("ok") % 500))
-            .alias("vendor_link"),
-            F.col("prov").alias(PROVIDER_COL),
-        ),
-        "model",
+            "supplier": "CASE WHEN ok % 4 = 0 THEN concat('Vendor', ok % 7) END",
+            "supplier_type": "CASE WHEN ok % 4 = 0 THEN 'commercial' END",
+            "catalog_number": "CASE WHEN ok % 4 = 0"
+            " THEN concat('CAT-', ok % 500) END",
+            "vendor_link": "CASE WHEN ok % 4 = 0"
+            " THEN concat('https://vendor.example.org/', ok % 500) END",
+        },
     )
-    cell_model = _finish(
-        cell.select(
-            "model_id",
-            F.concat(F.lit("CL-"), "ok").alias("model_name"),
-            _pick(F.col("ok"), ["Cell Line", "tumour organoid", "2D: Other"])
-            .alias("type"),
-            F.when(F.col("ok") % 5 == 0, F.concat(F.lit("PMID: "), F.col("ok") % 1000))
-            .alias("publications"),
-            F.concat(F.lit("CVCL_"), F.col("ok") % 10000).alias("rrid"),
-            F.col("prov").alias(PROVIDER_COL),
-        ),
+    cell_model = _module(
+        cell,
         "cell_model",
+        {
+            "model_id": "model_id",
+            "model_name": "concat('CL-', ok)",
+            "type": _pick("ok", ["Cell Line", "tumour organoid", "2D: Other"]),
+            "publications": "CASE WHEN ok % 5 = 0"
+            " THEN concat('PMID: ', ok % 1000) END",
+            "rrid": "concat('CVCL_', ok % 10000)",
+        },
     )
 
-    sharing = _finish(
-        o.select(
-            "model_id",
-            _pick(F.col("ok"), ["academia only", "academia and industry"])
-            .alias("accessibility"),
-            F.when(F.col("ok") % 3 == 0, F.lit("transnational access"))
-            .alias("europdx_access_modality"),
-            F.when(F.col("ok") % 2 == 0,
-                   F.concat(F.lit("contact"), F.col("ok") % 50, F.lit("@"),
-                            F.lower("prov"), F.lit(".org"))).alias("email"),
-            F.when(F.col("ok") % 2 == 0,
-                   F.concat(F.lit("Dr "), F.col("ok") % 50)).alias("name"),
-            F.concat(F.lit("http://"), F.lower("prov"), F.lit(".org/form"))
-            .alias("form_url"),
-            F.concat(F.lit("http://"), F.lower("prov"), F.lit(".org/db"))
-            .alias("database_url"),
-            _pick(F.col("ok"), ["EMBL-EBI", "CC0", "CC-BY 4.0"]).alias("license"),
-            _pick(F.col("ok"), ["available", "unknown", "not available"])
-            .alias("model_availability"),
-            F.col("prov").alias(PROVIDER_COL),
-        ),
+    sharing = _module(
+        o,
         "sharing",
+        {
+            "model_id": "model_id",
+            "accessibility": _pick("ok", ["academia only", "academia and industry"]),
+            "europdx_access_modality": "CASE WHEN ok % 3 = 0"
+            " THEN 'transnational access' END",
+            "email": "CASE WHEN ok % 2 = 0 THEN"
+            " concat('contact', ok % 50, '@', lower(prov), '.org') END",
+            "name": "CASE WHEN ok % 2 = 0 THEN concat('Dr ', ok % 50) END",
+            "form_url": "concat('http://', lower(prov), '.org/form')",
+            "database_url": "concat('http://', lower(prov), '.org/db')",
+            "license": _pick("ok", ["EMBL-EBI", "CC0", "CC-BY 4.0"]),
+            "model_availability": _pick(
+                "ok", ["available", "unknown", "not available"]
+            ),
+        },
     )
 
-    diag_idx = F.col("ok") % N_DIAGNOSES
-    sample = _finish(
-        o.select(
-            "patient_id",
-            "sample_id",
-            "model_id",
-            (F.lit(20) + F.col("ok") % 65).alias("age_in_years_at_collection"),
-            F.concat(F.lit("Diagnosis "), diag_idx).alias("diagnosis"),
-            _pick(F.col("ok"), ["primary", "metastatic"]).alias("tumour_type"),
-            F.concat(F.lit("site"), diag_idx % N_SITES).alias("primary_site"),
-            F.concat(F.lit("site"), (diag_idx + 1) % N_SITES).alias("collection_site"),
-            _pick(F.col("ok"), ["I", "II", "III", "IV"]).alias("stage"),
-            F.lit("TNM").alias("staging_system"),
-            _pick(F.col("ok"), ["1", "2", "3"]).alias("grade"),
-            F.lit("G").alias("grading_system"),
-            _pick(F.col("ok"), ["yes", "no"]).alias("treated_prior_to_collection"),
-            F.col("prov").alias(PROVIDER_COL),
-        ),
+    diag_idx = f"(ok % {N_DIAGNOSES})"
+    sample = _module(
+        o,
         "sample",
+        {
+            "patient_id": "patient_id",
+            "sample_id": "sample_id",
+            "model_id": "model_id",
+            "age_in_years_at_collection": "20 + ok % 65",
+            "diagnosis": f"concat('Diagnosis ', {diag_idx})",
+            "tumour_type": _pick("ok", ["primary", "metastatic"]),
+            "primary_site": f"concat('site', {diag_idx} % {N_SITES})",
+            "collection_site": f"concat('site', ({diag_idx} + 1) % {N_SITES})",
+            "stage": _pick("ok", ["I", "II", "III", "IV"]),
+            "staging_system": "'TNM'",
+            "grade": _pick("ok", ["1", "2", "3"]),
+            "grading_system": "'G'",
+            "treated_prior_to_collection": _pick("ok", ["yes", "no"]),
+        },
     )
 
-    model_validation = _finish(
-        pdx.filter(F.col("ok") % 7 == 0).select(
-            "model_id",
-            _pick(F.col("ok"), ["histology", "STR analysis", "SNP analysis"])
-            .alias("validation_technique"),
-            F.lit("matches patient tumour").alias("description"),
-            F.concat(F.col("ok") % 3 + 1).alias("passages_tested"),
-            F.col("prov").alias(PROVIDER_COL),
-        ),
+    model_validation = _module(
+        pdx.filter("ok % 7 = 0"),
         "model_validation",
+        {
+            "model_id": "model_id",
+            "validation_technique": _pick(
+                "ok", ["histology", "STR analysis", "SNP analysis"]
+            ),
+            "description": "'matches patient tumour'",
+            "passages_tested": "ok % 3 + 1",
+        },
     )
 
-    # treatments: lineitem line 1 → drug dosing (pdx), line 2 → patient tx
-    lk = F.col("l_orderkey").cast("bigint")
-    li = lineitem.select(
-        lk.alias("ok"),
-        F.col("l_linenumber").cast("int").alias("ln"),
-        F.col("l_partkey").cast("bigint").alias("pk"),
-        F.col("l_quantity").cast("int").alias("qty"),
+    # treatments: lineitem line 1 -> drug dosing (pdx), line 2 -> patient tx
+    li = lineitem.selectExpr(
+        "CAST(l_orderkey AS BIGINT) AS ok",
+        "CAST(l_linenumber AS INT) AS ln",
+        "CAST(l_partkey AS BIGINT) AS pk",
+        "CAST(l_quantity AS INT) AS qty",
     )
     # lineitem⋈orders feeds 4 modules (dosing, patient tx, mutation,
     # expression) — one shuffle, reused
     li_o = li.join(o, "ok").localCheckpoint(eager=False)
-    drug = F.concat(F.lit("drug "), F.col("pk") % N_TREATMENTS)
+    drug = f"concat('drug ', pk % {N_TREATMENTS})"
     # every third protocol is a 2-drug combination ('+'-separated, the
     # reference's posexplode positional-dose shape)
-    drug2 = F.concat(drug, F.lit(" + drug "), (F.col("pk") + 1) % N_TREATMENTS)
-    dose1 = F.concat(F.col("qty") % 20 + 1, F.lit(" mg"))
-    dose2 = F.concat(dose1, F.lit(" + "), F.col("qty") % 10 + 1, F.lit(" mg"))
-    drug_dosing = _finish(
-        li_o.filter((F.col("ln") == 1) & ~is_cell).select(
-            "model_id",
-            F.when(F.col("ok") % 3 == 0, drug2).otherwise(drug)
-            .alias("treatment_name"),
-            F.when(F.col("ok") % 3 == 0, dose2).otherwise(dose1)
-            .alias("treatment_dose"),
-            _pick(F.col("pk"), _RESPONSES).alias("treatment_response"),
-            F.lit("RECIST 1.1").alias("response_classification"),
-            F.col("prov").alias(PROVIDER_COL),
-        ),
+    drug2 = f"concat({drug}, ' + drug ', (pk + 1) % {N_TREATMENTS})"
+    dose1 = "concat(qty % 20 + 1, ' mg')"
+    dose2 = f"concat({dose1}, ' + ', qty % 10 + 1, ' mg')"
+    drug_dosing = _module(
+        li_o.filter("ln = 1 AND ok % 10 != 0"),
         "drug_dosing",
+        {
+            "model_id": "model_id",
+            "treatment_name": f"CASE WHEN ok % 3 = 0 THEN {drug2} ELSE {drug} END",
+            "treatment_dose": f"CASE WHEN ok % 3 = 0 THEN {dose2} ELSE {dose1} END",
+            "treatment_response": _pick("pk", _RESPONSES),
+            "response_classification": "'RECIST 1.1'",
+        },
     )
-    patient_treatment = _finish(
-        li_o.filter(F.col("ln") == 2).select(
-            "patient_id",
-            "model_id",
-            drug.alias("treatment_name"),
-            dose1.alias("treatment_dose"),
-            _pick(F.col("pk") + 1, _RESPONSES).alias("treatment_response"),
-            F.lit("RECIST 1.1").alias("response_classification"),
-            F.col("prov").alias(PROVIDER_COL),
-        ),
+    patient_treatment = _module(
+        li_o.filter("ln = 2"),
         "patient_treatment",
+        {
+            "patient_id": "patient_id",
+            "model_id": "model_id",
+            "treatment_name": drug,
+            "treatment_dose": dose1,
+            "treatment_response": _pick("pk + 1", _RESPONSES),
+            "response_classification": "'RECIST 1.1'",
+        },
     )
 
     # molecular metadata: every sample sequenced for mutation; every third
@@ -299,226 +303,244 @@ def synthesize_provider_modules(
                 ("pl_imm", "immunemarker", "IHC", "targeted"),
                 ("pl_bio", "bio markers", "IHC", "targeted"),
             ],
-            ["platform_id", "molecular_characterisation_type",
-             "instrument_model", "library_strategy"],
+            [
+                "platform_id",
+                "molecular_characterisation_type",
+                "instrument_model",
+                "library_strategy",
+            ],
         )
     )
-    molchar_platform = _finish(
-        platforms.select(
-            "platform_id", "molecular_characterisation_type",
-            "instrument_model", "library_strategy",
-            F.col("prov").alias(PROVIDER_COL),
-        ),
+    molchar_platform = _module(
+        platforms,
         "molchar_platform",
+        {
+            "platform_id": "platform_id",
+            "molecular_characterisation_type": "molecular_characterisation_type",
+            "instrument_model": "instrument_model",
+            "library_strategy": "library_strategy",
+        },
     )
     # raw_data_url: alternate archive accessions so raw_data_resources has
     # a deterministic per-model set ('ENA'/'EGA'/none)
-    raw_url = (
-        F.when(F.col("ok") % 3 == 0,
-               F.concat(F.lit("ENA:ERP"), F.col("ok") % 900))
-        .when(F.col("ok") % 3 == 1,
-              F.concat(F.lit("EGA:EGAS"), F.col("ok") % 900))
+    mc_base = o.selectExpr(
+        "model_id",
+        "sample_id",
+        "ok",
+        "'patient' AS sample_origin",
+        "'0' AS passage",
+        "CASE WHEN ok % 3 = 0 THEN concat('ENA:ERP', ok % 900)"
+        " WHEN ok % 3 = 1 THEN concat('EGA:EGAS', ok % 900) END AS raw_data_url",
+        "prov",
     )
-    mc_base = o.select(
-        "model_id", "sample_id", "ok",
-        F.lit("patient").alias("sample_origin"),
-        F.lit("0").alias("passage"),
-        raw_url.alias("raw_data_url"),
-        F.col("prov").alias(PROVIDER_COL),
-    )
-    molchar_sample = _finish(
-        mc_base.withColumn("platform_id", F.lit("pl_mut"))
-        .unionByName(
-            mc_base.filter(F.col("ok") % 3 == 0)
-            .withColumn("platform_id", F.lit("pl_expr"))
+    mc_parts = [mc_base.selectExpr("*", "'pl_mut' AS platform_id")] + [
+        mc_base.filter(f"ok % {mod} = 0").selectExpr(
+            "*", f"'{pid}' AS platform_id"
         )
-        .unionByName(
-            mc_base.filter(F.col("ok") % 4 == 0)
-            .withColumn("platform_id", F.lit("pl_cna"))
-        )
-        .unionByName(
-            mc_base.filter(F.col("ok") % 5 == 0)
-            .withColumn("platform_id", F.lit("pl_imm"))
-        )
-        .unionByName(
-            mc_base.filter(F.col("ok") % 6 == 0)
-            .withColumn("platform_id", F.lit("pl_bio"))
-        )
-        .drop("ok"),
+        for mod, pid in ((3, "pl_expr"), (4, "pl_cna"), (5, "pl_imm"), (6, "pl_bio"))
+    ]
+    molchar_sample = _module(
+        reduce(lambda a, b: a.unionByName(b), mc_parts),
         "molchar_sample",
+        {
+            "model_id": "model_id",
+            "sample_id": "sample_id",
+            "sample_origin": "sample_origin",
+            "passage": "passage",
+            "raw_data_url": "raw_data_url",
+            "platform_id": "platform_id",
+        },
     )
 
-    gene = F.concat(F.lit("GENE"), F.col("pk") % N_GENES)
-    mutation = _finish(
-        li_o.select(
-            "sample_id",
-            gene.alias("symbol"),
-            _pick(F.col("pk"), ["missense_variant", "stop_gained", "frameshift"])
-            .alias("consequence"),
-            (F.col("pk") % 23 + 1).alias("chromosome"),
-            F.col("qty").alias("read_depth"),
-            (F.col("pk") % 1000).alias("seq_start_position"),
-            _pick(F.col("pk"), ["A", "C", "G", "T"]).alias("ref_allele"),
-            _pick(F.col("pk") + 1, ["A", "C", "G", "T"]).alias("alt_allele"),
-            (F.col("pk") % N_GENES + 100000).alias("ncbi_gene_id"),
-            F.lit("pl_mut").alias("platform_id"),
-            F.col("prov").alias(PROVIDER_COL),
-        ),
+    gene = f"concat('GENE', pk % {N_GENES})"
+    mutation = _module(
+        li_o,
         "mutation",
+        {
+            "sample_id": "sample_id",
+            "symbol": gene,
+            "consequence": _pick(
+                "pk", ["missense_variant", "stop_gained", "frameshift"]
+            ),
+            "chromosome": "pk % 23 + 1",
+            "read_depth": "qty",
+            "seq_start_position": "pk % 1000",
+            "ref_allele": _pick("pk", ["A", "C", "G", "T"]),
+            "alt_allele": _pick("pk + 1", ["A", "C", "G", "T"]),
+            "ncbi_gene_id": f"pk % {N_GENES} + 100000",
+            "platform_id": "'pl_mut'",
+        },
     )
-    expression = _finish(
-        li_o.filter(F.col("ok") % 3 == 0).select(
-            "sample_id",
-            gene.alias("symbol"),
-            (F.col("qty") * 100 + F.col("pk") % 100).alias("rnaseq_fpkm"),
-            F.lit("pl_expr").alias("platform_id"),
-            F.col("prov").alias(PROVIDER_COL),
-        ),
+    expression = _module(
+        li_o.filter("ok % 3 = 0"),
         "expression",
+        {
+            "sample_id": "sample_id",
+            "symbol": gene,
+            "rnaseq_fpkm": "qty * 100 + pk % 100",
+            "platform_id": "'pl_expr'",
+        },
     )
-    cna = _finish(
-        li_o.filter(F.col("ok") % 4 == 0).select(
-            "sample_id",
-            gene.alias("symbol"),
-            (F.col("pk") % 23 + 1).alias("chromosome"),
-            (F.col("pk") % 1000).alias("seq_start_position"),
-            (F.col("pk") % 1000 + 500).alias("seq_end_position"),
-            _pick(F.col("pk"), ["gain", "loss", "neutral"])
-            .alias("copy_number_status"),
-            (F.col("qty") % 5 - 2).alias("gistic_value"),
-            F.lit("pl_cna").alias("platform_id"),
-            F.col("prov").alias(PROVIDER_COL),
-        ),
+    cna = _module(
+        li_o.filter("ok % 4 = 0"),
         "cna",
+        {
+            "sample_id": "sample_id",
+            "symbol": gene,
+            "chromosome": "pk % 23 + 1",
+            "seq_start_position": "pk % 1000",
+            "seq_end_position": "pk % 1000 + 500",
+            "copy_number_status": _pick("pk", ["gain", "loss", "neutral"]),
+            "gistic_value": "qty % 5 - 2",
+            "platform_id": "'pl_cna'",
+        },
     )
     # biomarker: line 1 of every 6th order carries a breast-cancer IHC
     # panel gene; other lines carry plain GENE symbols
-    bc_gene = _pick(F.col("pk"), ["ERBB2", "ESR1", "PGR"])
-    biomarker = _finish(
-        li_o.filter(F.col("ok") % 6 == 0).select(
-            "sample_id",
-            F.when(F.col("ln") == 1, bc_gene).otherwise(gene).alias("biomarker"),
-            _pick(F.col("pk") + 1, ["Positive", "Negative", "Undetermined"])
-            .alias("biomarker_status"),
-            F.lit("essential").alias("essential_or_additional_marker"),
-            F.lit("pl_bio").alias("platform_id"),
-            F.col("prov").alias(PROVIDER_COL),
-        ),
+    bc_gene = _pick("pk", ["ERBB2", "ESR1", "PGR"])
+    biomarker = _module(
+        li_o.filter("ok % 6 = 0"),
         "biomarker",
+        {
+            "sample_id": "sample_id",
+            "biomarker": f"CASE WHEN ln = 1 THEN {bc_gene} ELSE {gene} END",
+            "biomarker_status": _pick(
+                "pk + 1", ["Positive", "Negative", "Undetermined"]
+            ),
+            "essential_or_additional_marker": "'essential'",
+            "platform_id": "'pl_bio'",
+        },
     )
     # immunemarker: every 5th order gets an MSI call; every 10th also HLA
-    imm_base = o.filter(F.col("ok") % 5 == 0)
-    immunemarker = _finish(
-        imm_base.select(
-            "sample_id",
-            F.lit("Model Genomics").alias("marker_type"),
-            F.lit("MSI").alias("marker_name"),
-            _pick(F.col("ok"), ["Stable", "Instable high", "Instable low"])
-            .alias("marker_value"),
-            F.lit("pl_imm").alias("platform_id"),
-            F.col("prov").alias(PROVIDER_COL),
-        )
-        .unionByName(
-            imm_base.filter(F.col("ok") % 10 == 0).select(
-                "sample_id",
-                F.lit("HLA type").alias("marker_type"),
-                F.concat(F.lit("HLA-A*"), F.col("ok") % 30).alias("marker_name"),
-                F.lit("present").alias("marker_value"),
-                F.lit("pl_imm").alias("platform_id"),
-                F.col("prov").alias(PROVIDER_COL),
-            )
-        ),
+    imm_base = o.filter("ok % 5 = 0")
+    immunemarker = _module(
+        imm_base,
         "immunemarker",
+        {
+            "sample_id": "sample_id",
+            "marker_type": "'Model Genomics'",
+            "marker_name": "'MSI'",
+            "marker_value": _pick("ok", ["Stable", "Instable high", "Instable low"]),
+            "platform_id": "'pl_imm'",
+        },
+    ).unionByName(
+        _module(
+            imm_base.filter("ok % 10 = 0"),
+            "immunemarker",
+            {
+                "sample_id": "sample_id",
+                "marker_type": "'HLA type'",
+                "marker_name": "concat('HLA-A*', ok % 30)",
+                "marker_value": "'present'",
+                "platform_id": "'pl_imm'",
+            },
+        )
     )
-    model_image = _finish(
-        pdx.filter(F.col("ok") % 8 == 0).select(
-            "model_id",
-            F.concat(F.lit("https://images.example.org/"), "model_id",
-                     F.lit(".png")).alias("url"),
-            F.lit("tumour section").alias("description"),
-            _pick(F.col("ok"), ["tumour", "xenograft"]).alias("sample_type"),
-            (F.col("ok") % 5).alias("passage"),
-            F.lit("20x").alias("magnification"),
-            F.lit("H&E").alias("staining"),
-            F.col("prov").alias(PROVIDER_COL),
-        ),
+    model_image = _module(
+        pdx.filter("ok % 8 = 0"),
         "model_image",
+        {
+            "model_id": "model_id",
+            "url": "concat('https://images.example.org/', model_id, '.png')",
+            "description": "'tumour section'",
+            "sample_type": _pick("ok", ["tumour", "xenograft"]),
+            "passage": "ok % 5",
+            "magnification": "'20x'",
+            "staining": "'H&E'",
+        },
     )
     # downloaded annotation-resource entries: fixed gene slices per
     # resource so cancer_annotation_resources is key arithmetic too
     resource_defs = spark.createDataFrame(
-        [("CIViC", 0, 400), ("OncoMX", 200, 700), ("ClinGen", 600, 1200),
-         ("CancerMine", 1000, 1800)],
+        [
+            ("CIViC", 0, 400),
+            ("OncoMX", 200, 700),
+            ("ClinGen", 600, 1200),
+            ("CancerMine", 1000, 1800),
+        ],
         ["resource_name", "lo", "hi"],
     )
-    resource = _finish(
-        spark.range(N_GENES).alias("g")
-        .join(
+    resource = _module(
+        spark.range(N_GENES).join(
             F.broadcast(resource_defs),
             (F.col("id") >= F.col("lo")) & (F.col("id") < F.col("hi")),
-        )
-        .select(
-            F.concat(F.lit("GENE"), F.col("id")).alias("entry"),
-            F.col("resource_name").alias("resource"),
-            F.lit("Gene").alias("type"),
-            F.concat(F.lit("https://resources.example.org/"),
-                     F.col("resource_name"), F.lit("/"), F.col("id"))
-            .alias("link"),
-            F.lit("SYNTH").alias(PROVIDER_COL),
         ),
         "resource",
+        {
+            "entry": "concat('GENE', id)",
+            "resource": "resource_name",
+            "type": "'Gene'",
+            "link": "concat('https://resources.example.org/',"
+            " resource_name, '/', id)",
+        },
+        provider="'SYNTH'",
     )
 
     # HGNC stand-in: the first N_MARKERS genes are approved symbols
-    markers = _finish(
-        spark.range(N_MARKERS).select(
-            F.concat(F.lit("HGNC:"), F.col("id")).alias("hgnc_id"),
-            F.concat(F.lit("GENE"), F.col("id")).alias("approved_symbol"),
-            F.concat(F.lit("gene "), F.col("id")).alias("approved_name"),
-            F.lit("Approved").alias("status"),
-            (F.col("id") + 100000).alias("ncbi_gene_id"),
-            F.lit("SYNTH").alias(PROVIDER_COL),
-        ),
+    markers = _module(
+        spark.range(N_MARKERS),
         "markers",
+        {
+            "hgnc_id": "concat('HGNC:', id)",
+            "approved_symbol": "concat('GENE', id)",
+            "approved_name": "concat('gene ', id)",
+            "status": "'Approved'",
+            "ncbi_gene_id": "id + 100000",
+        },
+        provider="'SYNTH'",
     )
 
     # mini NCIt: a diagnosis branch, a treatment branch, a regimen root
-    diag_terms = spark.range(N_DIAGNOSES).select(
-        F.concat(F.lit("NCIT:D"), "id").alias("term_id"),
-        F.concat(F.lit("Diagnosis "), F.col("id"), F.lit(" Neoplasm"))
-        .alias("term_name"),
-        F.concat(F.lit("http://purl.obolibrary.org/obo/NCIT_D"), "id")
-        .alias("term_url"),
-        F.lit("NCIT:C9305").alias("is_a"),
+    diag_terms = spark.range(N_DIAGNOSES).selectExpr(
+        "concat('NCIT:D', id) AS term_id",
+        "concat('Diagnosis ', id, ' Neoplasm') AS term_name",
+        "concat('http://purl.obolibrary.org/obo/NCIT_D', id) AS term_url",
+        "'NCIT:C9305' AS is_a",
     )
     # drugs hang off typed intermediate classes so the treatment-type
     # keyword classifier (transforms/links.py KEYWORDS_BY_TYPE) finds
     # matches in the ancestor closure: 1/3 cytotoxic, 1/3 immuno, 1/3
     # unclassified (direct child of the root)
-    trt_parent = (
-        F.when(F.col("id") % 3 == 0, F.lit("NCIT:TCHEMO"))
-        .when(F.col("id") % 3 == 1, F.lit("NCIT:TIMMUNO"))
-        .otherwise(F.lit("NCIT:C1932"))
-    )
-    trt_terms = spark.range(N_TREATMENTS).select(
-        F.concat(F.lit("NCIT:T"), "id").alias("term_id"),
-        F.concat(F.lit("drug "), F.col("id")).alias("term_name"),
-        F.concat(F.lit("http://purl.obolibrary.org/obo/NCIT_T"), "id")
-        .alias("term_url"),
-        trt_parent.alias("is_a"),
+    trt_terms = spark.range(N_TREATMENTS).selectExpr(
+        "concat('NCIT:T', id) AS term_id",
+        "concat('drug ', id) AS term_name",
+        "concat('http://purl.obolibrary.org/obo/NCIT_T', id) AS term_url",
+        "CASE WHEN id % 3 = 0 THEN 'NCIT:TCHEMO'"
+        " WHEN id % 3 = 1 THEN 'NCIT:TIMMUNO'"
+        " ELSE 'NCIT:C1932' END AS is_a",
     )
     roots = spark.createDataFrame(
         [
-            ("NCIT:C9305", "Malignant Neoplasm",
-             "http://purl.obolibrary.org/obo/NCIT_C9305", ""),
-            ("NCIT:C1932", "Chemical Modifier",
-             "http://purl.obolibrary.org/obo/NCIT_C1932", ""),
-            ("NCIT:TCHEMO", "Cytotoxic Chemotherapy Agent",
-             "http://purl.obolibrary.org/obo/NCIT_TCHEMO", "NCIT:C1932"),
-            ("NCIT:TIMMUNO", "Immunotherapy Agent",
-             "http://purl.obolibrary.org/obo/NCIT_TIMMUNO", "NCIT:C1932"),
-            ("NCIT:C12218", "Treatment Regimen",
-             "http://purl.obolibrary.org/obo/NCIT_C12218", ""),
+            (
+                "NCIT:C9305",
+                "Malignant Neoplasm",
+                "http://purl.obolibrary.org/obo/NCIT_C9305",
+                "",
+            ),
+            (
+                "NCIT:C1932",
+                "Chemical Modifier",
+                "http://purl.obolibrary.org/obo/NCIT_C1932",
+                "",
+            ),
+            (
+                "NCIT:TCHEMO",
+                "Cytotoxic Chemotherapy Agent",
+                "http://purl.obolibrary.org/obo/NCIT_TCHEMO",
+                "NCIT:C1932",
+            ),
+            (
+                "NCIT:TIMMUNO",
+                "Immunotherapy Agent",
+                "http://purl.obolibrary.org/obo/NCIT_TIMMUNO",
+                "NCIT:C1932",
+            ),
+            (
+                "NCIT:C12218",
+                "Treatment Regimen",
+                "http://purl.obolibrary.org/obo/NCIT_C12218",
+                "",
+            ),
         ],
         ["term_id", "term_name", "term_url", "is_a"],
     )
@@ -526,34 +548,36 @@ def synthesize_provider_modules(
 
     # curated mappings: every (provider, diagnosis, tissue, tumour type)
     # combination the sample generator can emit
-    diag_space = spark.range(N_DIAGNOSES).crossJoin(
-        source.select(F.col(PROVIDER_COL).alias("datasource"))
-    ).crossJoin(
-        spark.createDataFrame([("primary",), ("metastatic",)], ["tumor_type"])
+    diag_space = (
+        spark.range(N_DIAGNOSES)
+        .crossJoin(source.selectExpr(f"`{PROVIDER_COL}` AS datasource"))
+        .crossJoin(
+            spark.createDataFrame([("primary",), ("metastatic",)], ["tumor_type"])
+        )
     )
-    diagnosis_mapping = _finish(
-        diag_space.select(
-            "datasource",
-            F.concat(F.lit("Diagnosis "), "id").alias("diagnosis"),
-            F.concat(F.lit("site"), F.col("id") % N_SITES).alias("primary_tissue"),
-            "tumor_type",
-            F.concat(F.lit("http://purl.obolibrary.org/obo/NCIT_D"), "id")
-            .alias("mapped_term_url"),
-            F.col("datasource").alias(PROVIDER_COL),
-        ),
+    diagnosis_mapping = _module(
+        diag_space,
         "diagnosis_mapping",
+        {
+            "datasource": "datasource",
+            "diagnosis": "concat('Diagnosis ', id)",
+            "primary_tissue": f"concat('site', id % {N_SITES})",
+            "tumor_type": "tumor_type",
+            "mapped_term_url": "concat('http://purl.obolibrary.org/obo/NCIT_D', id)",
+        },
+        provider="datasource",
     )
-    treatment_mapping = _finish(
-        spark.range(N_TREATMENTS)
-        .crossJoin(source.select(F.col(PROVIDER_COL).alias("datasource")))
-        .select(
-            "datasource",
-            F.concat(F.lit("drug "), "id").alias("treatment"),
-            F.concat(F.lit("http://purl.obolibrary.org/obo/NCIT_T"), "id")
-            .alias("mapped_term_url"),
-            F.col("datasource").alias(PROVIDER_COL),
+    treatment_mapping = _module(
+        spark.range(N_TREATMENTS).crossJoin(
+            source.selectExpr(f"`{PROVIDER_COL}` AS datasource")
         ),
         "treatment_mapping",
+        {
+            "datasource": "datasource",
+            "treatment": "concat('drug ', id)",
+            "mapped_term_url": "concat('http://purl.obolibrary.org/obo/NCIT_T', id)",
+        },
+        provider="datasource",
     )
 
     return {

@@ -160,11 +160,11 @@ def model_metadata(
         "drug_concentration",
         "date_submitted",
     )
-    out = spine
-    for agg in aggregates:
-        out = out.join(
-            agg.withColumnRenamed("model_id", "pdcm_model_id"),
-            "pdcm_model_id",
-            "left",
-        )
-    return out
+    from pdcm_etl_spark.functions.joins import merge_keyed_aggregates
+
+    merged = merge_keyed_aggregates(
+        list(aggregates), "pdcm_model_id", rename_key="model_id"
+    )
+    if merged is None:
+        return spine
+    return spine.join(merged, "pdcm_model_id", "left")

@@ -135,12 +135,16 @@ def search_index(
         providers = F.broadcast(pg.select(*prov_cols).dropDuplicates(["data_source"]))
         spine = spine.join(providers, "data_source", "left")
     out = spine.join(search_index_patient_sample_df, "pdcm_model_id", "left")
-    for agg in model_aggregates or []:
-        out = out.join(
-            agg.withColumnRenamed("model_id", "pdcm_model_id"),
-            "pdcm_model_id",
-            "left",
-        )
+    # N per-model aggregates as ONE union + groupBy + single left join
+    # instead of N sort-merge joins (2N exchanges) — see
+    # functions.joins.merge_keyed_aggregates for the scale rationale
+    from pdcm_etl_spark.functions.joins import merge_keyed_aggregates
+
+    merged = merge_keyed_aggregates(
+        list(model_aggregates or []), "pdcm_model_id", rename_key="model_id"
+    )
+    if merged is not None:
+        out = out.join(merged, "pdcm_model_id", "left")
     # dataset_available also flags treatment / publication availability
     # (model_metadata_transformer_job.py:236-266): append the marker when
     # the corresponding per-model data exists
