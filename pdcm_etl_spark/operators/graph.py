@@ -131,17 +131,17 @@ def connected_components(
 
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_iterations):
-        neigh = (
-            sym.join(labels, sym.a == F.col(node_col))
-            .groupBy(F.col("b").alias(node_col))
-            .agg(F.min("component").alias("neigh_min"))
+        # new label = min over self + neighbor labels. Folding the self
+        # label in via union (instead of a second left join back onto
+        # labels) makes each round one join + one groupBy — 2 shuffles,
+        # not 3; at diameter-many rounds the saved barrier compounds.
+        contrib = sym.join(labels, sym.a == F.col(node_col)).select(
+            F.col("b").alias(node_col), "component"
         )
         labels = (
-            labels.join(neigh, node_col, "left")
-            .select(
-                node_col,
-                F.least("component", "neigh_min").alias("component"),
-            )
+            labels.unionByName(contrib)
+            .groupBy(node_col)
+            .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
