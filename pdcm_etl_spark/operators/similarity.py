@@ -440,3 +440,38 @@ def ivf_trained_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score_ppm", "rank")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_ppm: int = 950000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, compare
+    cosine similarity ONLY within clusters, and mark every vector that
+    has a smaller-id in-cluster neighbor above the threshold as removed.
+
+    The clustering is the blocking structure: pair candidates are
+    O(sum of cluster sizes squared), not O(N^2) — at corpus scale k is
+    chosen so clusters stay bounded (SemDeDup uses k in the tens of
+    thousands for billions of docs). Determinism: the k-means is the
+    exact-arithmetic Lloyd loop from kmeans_fit (no RNG, decimal means),
+    removal is "any smaller-id neighbor" — order-free, oracle-checkable.
+
+    Returns (``id_col``, cid, removed).
+    """
+    _, assigned = kmeans_fit(embeddings, k, iterations, id_col, vec_col)
+    labeled = embeddings.select(id_col, vec_col).join(assigned, id_col)
+    pairs = embedding_near_dup_pairs(
+        labeled, id_col=id_col, vec_col=vec_col, block_col="cid", min_ppm=min_ppm
+    )
+    removed = pairs.select(F.col("id_b").alias(id_col)).distinct().withColumn(
+        "__rm", F.lit(True)
+    )
+    return assigned.join(removed, id_col, "left").select(
+        id_col, "cid", F.coalesce("__rm", F.lit(False)).alias("removed")
+    )

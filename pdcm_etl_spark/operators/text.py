@@ -323,3 +323,54 @@ def add_repetition_metrics(
             F.col("n_words") - F.col("n_distinct_words"), F.col("n_words")
         ).alias("dup_word_bp"),
     ).select("doc_id", "n_words", "n_distinct_words", "dup_word_bp", "top_word_bp")
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Fixed-window document chunking with overlap — the standard LLM
+    context-window preprocessing step (split long documents into
+    ``chunk_size``-token windows that share ``overlap`` tokens with their
+    predecessor so no span is cut mid-context).
+
+    Pure column expressions: tokenize once, build the start offsets with
+    ``sequence`` (1-based, stride ``chunk_size - overlap``, last window
+    truncated at the document end), slice + re-join per window, and
+    ``posexplode`` into one row per chunk. Per-row independent → single
+    Project over the scan, no shuffle, chunk counts scale with document
+    length not corpus size.
+
+    Output: (``id_col``, chunk_index, chunk_text, chunk_tokens).
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
+    step = chunk_size - overlap
+    base = df.withColumn("__toks", words(F.col(text_col))).withColumn(
+        "__n", F.size(F.col("__toks"))
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("__n") - overlap, F.lit(1)), F.lit(step)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.array_join(F.slice(F.col("__toks"), s, chunk_size), " "),
+    )
+    return (
+        base.select(
+            id_col,
+            "__n",
+            F.posexplode(chunks).alias("chunk_index", "chunk_text"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_index").cast("bigint").alias("chunk_index"),
+            "chunk_text",
+            F.least(
+                F.lit(chunk_size), F.col("__n") - F.col("chunk_index") * step
+            ).cast("bigint").alias("chunk_tokens"),
+        )
+    )

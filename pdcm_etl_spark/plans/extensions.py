@@ -1104,6 +1104,62 @@ FROM events GROUP BY 1, 2
 """
 
 
+def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: deterministic k-means clusters as
+    the blocking structure, within-cluster cosine, remove any vector with
+    a smaller-id neighbor >= threshold (0.40 here — the synthetic
+    embeddings' top in-cluster cosine is ~0.47; production uses ~0.9)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, k=4, iterations=1, min_ppm=400000)
+
+
+# composed oracle: the exact k-means assignment CTE chain (same as
+# SQL_KMEANS_ASSIGN) + within-cluster pair scan + smaller-id-neighbor rule
+def _sql_dedup_semantic() -> str:
+    kmeans_body = SQL_KMEANS_ASSIGN.strip().rstrip('"').strip()
+    # reuse the kmeans oracle verbatim as a subquery
+    return f"""
+WITH assign AS (
+{kmeans_body}
+), v AS (
+  SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v, a.cid,
+         sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+), removed AS (
+  SELECT DISTINCT b.id
+  FROM v a JOIN v b ON a.cid = b.cid AND a.id < b.id
+  WHERE FLOOR(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1000000.0) >= 400000
+)
+SELECT a.vec_id, a.cid, (r.id IS NOT NULL) AS removed
+FROM assign a LEFT JOIN removed r ON r.id = a.vec_id
+"""
+
+
+def x_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking with overlap (128-token windows, 32-token
+    overlap) — the LLM context-window preprocessing step. One output row
+    per chunk; no shuffle (chunk starts via sequence + posexplode)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return text.chunk_documents(docs, chunk_size=128, overlap=32)
+
+
+SQL_TEXT_CHUNK = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(generate_series(1, greatest(len(toks) - 32, 1), 96)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) // 96 AS BIGINT) AS chunk_index,
+       array_to_string(list_slice(toks, start, start + 127), ' ') AS chunk_text,
+       CAST(least(128, n - start + 1) AS BIGINT) AS chunk_tokens
+FROM s
+"""
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -1113,6 +1169,7 @@ EXTENSION_CATALOG: dict[str, tuple] = {
         x_dedup_minhash_incremental, _sql_dedup_minhash_incremental()),
     "dedup_simhash": (x_dedup_simhash, _sql_dedup_simhash()),
     "dedup_embedding": (x_dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "dedup_semantic": (x_dedup_semantic, _sql_dedup_semantic()),
     "ann_cosine_topk": (x_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_ivf_topk": (x_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "ann_lsh_topk": (x_ann_lsh_topk, _sql_ann_lsh_topk()),
@@ -1125,6 +1182,7 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "text_pii_scrub": (x_text_pii_scrub, SQL_TEXT_PII_SCRUB),
     "text_contamination": (x_text_contamination, SQL_TEXT_CONTAMINATION),
     "text_repetition": (x_text_repetition, SQL_TEXT_REPETITION),
+    "text_chunk": (x_text_chunk, SQL_TEXT_CHUNK),
     "multimodal_meta": (x_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (x_multimodal_decode, None),
     "stream_events_daily": (x_stream_events_daily, SQL_STREAM_EVENTS_DAILY),
