@@ -18,7 +18,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
-    "etl_search_index",  # the flagship: full entity DAG -> search_index
+    "etl_search_index",  # the flagship: full entity DAG -> 67-col search_index
+    # (round-1 comparison note: r01's flagship projected only the 17-col
+    # spine; the full-width index adds the 5 measurement modules + 16
+    # per-model aggregates, so flagship seconds are not like-for-like)
     "pricing_summary",
     "filter_project",
     "join_left_fk",

@@ -28,6 +28,10 @@ class Node:
     deps: list[str] = field(default_factory=list)
     # pass the SparkSession as first arg (for source/static nodes)
     needs_spark: bool = False
+    # cheap projection of an already-materialized input: never checkpoint
+    # it, even when multiply consumed — each consumer's column pruning
+    # through the thin plan beats re-serializing the wide frame
+    cheap: bool = False
 
 
 class EntityDag:
@@ -53,8 +57,9 @@ class EntityDag:
         self.nodes: dict[str, Node] = {}
         self._results: dict[str, DataFrame] = {}
 
-    def add(self, name, fn, deps=None, needs_spark=False) -> "EntityDag":
-        self.nodes[name] = Node(name, fn, list(deps or []), needs_spark)
+    def add(self, name, fn, deps=None, needs_spark=False,
+            cheap=False) -> "EntityDag":
+        self.nodes[name] = Node(name, fn, list(deps or []), needs_spark, cheap)
         return self
 
     def add_input(self, name: str, df: DataFrame) -> "EntityDag":
@@ -89,6 +94,8 @@ class EntityDag:
         barrier would block Catalyst's column pruning / filter pushdown
         through it for zero reuse benefit (e.g. a measurement table's
         profile consumer when only search_index is asked for)."""
+        if self.nodes[name].cheap:
+            return df
         nodes = self.nodes.values() if scope is None else (
             self.nodes[n] for n in scope
         )
@@ -438,6 +445,12 @@ def build_metadata_dag(spark: SparkSession, raw: dict[str, DataFrame]) -> Entity
                     _measurement_slice_adapter(mod),
                     ["harmonised_measurements", f"raw/{mod}",
                      "molecular_characterization"],
+                    # thin slice of the checkpointed cascade union: let
+                    # each consumer prune columns through it (the marker
+                    # aggregates read 2 of ~30 columns and skip the row
+                    # hash entirely) instead of re-materializing the
+                    # wide frame
+                    cheap=True,
                 )
                 continue
             deps = [f"raw/{mod}", "molecular_characterization"]
