@@ -1,0 +1,106 @@
+"""Change-data-capture / slowly-changing-dimension operators.
+
+The reference pipeline rebuilds every entity from scratch each release
+(full Luigi re-run); an incremental deployment instead merges a batch of
+changed rows into the standing dimension. ``scd2_merge`` is that merge as
+one declarative plan — the Type-2 history pattern (close the old row,
+insert the new one, keep full validity intervals) without requiring a
+transactional table format: the output is the next version of the
+dimension, writable as a plain parquet snapshot.
+
+Scale: one full-outer shuffle join on the business key + map-side unions.
+No driver loops, no per-row comparisons outside codegen'd expressions —
+at 100 TB the cost is the same one shuffle an aggregation over the
+dimension would pay.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Merge an update batch into a Type-2 dimension.
+
+    ``dim`` rows carry ``keys + tracked + valid_from + valid_to +
+    is_current`` (open rows: valid_to IS NULL, is_current true).
+    ``updates`` rows carry ``keys + tracked + ts_col``. Within the batch
+    only the latest update per key applies (earlier ones are superseded
+    before they ever become visible — standard batch-CDC compaction).
+
+    For each key: no open row → insert; open row and every tracked value
+    null-safe-equal → keep; otherwise close the open row at the update's
+    timestamp and insert the new open row. Closed history rows pass
+    through untouched.
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(), *[F.col(c).desc() for c in tracked]
+    )
+    upd = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *[F.col(k).alias(f"__u_{k}") for k in keys],
+            *[F.col(c).alias(f"__u_{c}") for c in tracked],
+            F.col(ts_col).alias("__u_ts"),
+        )
+    )
+
+    open_rows = dim.filter(F.col(current_col))
+    closed_rows = dim.filter(~F.col(current_col))
+    cond = reduce(
+        lambda a, b: a & b, [open_rows[k] == upd[f"__u_{k}"] for k in keys]
+    )
+    j = open_rows.join(upd, cond, "full_outer")
+
+    has_open = F.col(keys[0]).isNotNull()
+    has_upd = F.col(f"__u_{keys[0]}").isNotNull()
+    same = reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"__u_{c}")) for c in tracked],
+    )
+
+    out_cols = keys + tracked + [valid_from, valid_to, current_col]
+
+    # open rows that survive unchanged (no update, or update equal)
+    keep_open = j.filter(has_open & (~has_upd | same)).select(*out_cols)
+    # open rows closed by a differing update
+    close_old = (
+        j.filter(has_open & has_upd & ~same)
+        .select(
+            *keys,
+            *tracked,
+            F.col(valid_from),
+            F.col("__u_ts").alias(valid_to),
+            F.lit(False).alias(current_col),
+        )
+    )
+    # the new open version (changed key or brand-new key)
+    insert_new = (
+        j.filter(has_upd & (~has_open | ~same))
+        .select(
+            *[F.col(f"__u_{k}").alias(k) for k in keys],
+            *[F.col(f"__u_{c}").alias(c) for c in tracked],
+            F.col("__u_ts").alias(valid_from),
+            F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+            F.lit(True).alias(current_col),
+        )
+    )
+    return (
+        closed_rows.select(*out_cols)
+        .unionByName(keep_open)
+        .unionByName(close_old)
+        .unionByName(insert_new)
+    )

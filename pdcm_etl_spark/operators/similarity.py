@@ -475,3 +475,34 @@ def semantic_dedup(
     return assigned.join(removed, id_col, "left").select(
         id_col, "cid", F.coalesce("__rm", F.lit(False)).alias("removed")
     )
+
+
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall of an approximate top-k result against the exact baseline:
+    per query, |approx ∩ exact| / |exact| in basis points. The measure-
+    don't-guess harness for the ANN family — run it whenever an index
+    parameter (cells, probes, planes) changes.
+
+    Semi join + two counts; both inputs are top-k-sized (k × #queries),
+    so this costs nothing next to the searches themselves."""
+    hits = approx.join(
+        exact.select(query_col, neighbor_col), [query_col, neighbor_col], "left_semi"
+    )
+    n_exact = exact.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = hits.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        n_exact.join(n_hit, query_col, "left")
+        .select(
+            query_col,
+            "n_exact",
+            F.coalesce("n_found", F.lit(0)).alias("n_found"),
+            F.floor(
+                F.coalesce("n_found", F.lit(0)) * F.lit(10000.0) / F.col("n_exact")
+            ).cast("bigint").alias("recall_bp"),
+        )
+    )

@@ -1104,6 +1104,116 @@ FROM events GROUP BY 1, 2
 """
 
 
+def x_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension merge (operators/cdc.py): seed the dimension with
+    each user's FIRST event (open row), merge the batch of LAST events —
+    users whose type changed get their first row closed at the update
+    timestamp plus a new open row; unchanged users keep one open row."""
+    from pyspark.sql import Window
+
+    from pdcm_etl_spark.operators import cdc
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    wf = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wl = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    dim = (
+        ev.withColumn("__rn", F.row_number().over(wf))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    updates = (
+        ev.withColumn("__rn", F.row_number().over(wl))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_type", "ts")
+    )
+    return cdc.scd2_merge(dim, updates, keys=["user_id"], tracked=["event_type"])
+
+
+SQL_SCD2_MERGE = """
+WITH first_e AS (
+  SELECT user_id, event_type, ts FROM (
+    SELECT user_id, event_type, ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC) AS rn
+    FROM events) WHERE rn = 1
+), last_e AS (
+  SELECT user_id, event_type, ts FROM (
+    SELECT user_id, event_type, ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1
+)
+SELECT f.user_id, f.event_type, f.ts AS valid_from,
+       CASE WHEN f.event_type = l.event_type THEN NULL ELSE l.ts END AS valid_to,
+       (f.event_type = l.event_type) AS is_current
+FROM first_e f JOIN last_e l USING (user_id)
+UNION ALL
+SELECT l.user_id, l.event_type, l.ts AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+FROM first_e f JOIN last_e l USING (user_id)
+WHERE f.event_type <> l.event_type
+"""
+
+
+def x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF index against the exact brute-force baseline
+    — the evaluation harness every ANN parameter change should re-run.
+    Composes the two declared searches; the oracle composes their CTEs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = similarity.ivf_topk(emb, queries, k=10)
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    return similarity.topk_recall(approx, exact)
+
+
+SQL_ANN_RECALL = """
+WITH v AS (
+  SELECT vec_id, label AS cell, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), q AS (SELECT * FROM v WHERE vec_id < 5),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY FLOOR(list_dot_product(q.v, i.v) / (q.nrm * i.nrm) * 1000000.0) DESC,
+                      i.vec_id ASC) AS rank
+    FROM v i CROSS JOIN q WHERE i.vec_id <> q.vec_id
+  ) WHERE rank <= 10
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY FLOOR(list_dot_product(q.v, i.v) / (q.nrm * i.nrm) * 1000000.0) DESC,
+                      i.vec_id ASC) AS rank
+    FROM v i JOIN q ON i.cell = q.cell WHERE i.vec_id <> q.vec_id
+  ) WHERE rank <= 10
+), hits AS (
+  SELECT a.query_id, COUNT(*) AS n_found
+  FROM approx a JOIN exact e USING (query_id, neighbor_id)
+  GROUP BY a.query_id
+)
+SELECT e.query_id, COUNT(*) AS n_exact,
+       COALESCE(ANY_VALUE(h.n_found), 0) AS n_found,
+       CAST(FLOOR(COALESCE(ANY_VALUE(h.n_found), 0) * 10000.0 / COUNT(*)) AS BIGINT) AS recall_bp
+FROM exact e LEFT JOIN hits h ON h.query_id = e.query_id
+GROUP BY e.query_id
+"""
+
+
 def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: deterministic k-means clusters as
     the blocking structure, within-cluster cosine, remove any vector with
@@ -1174,6 +1284,7 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "ann_ivf_topk": (x_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "ann_lsh_topk": (x_ann_lsh_topk, _sql_ann_lsh_topk()),
     "ann_ivf_trained_topk": (x_ann_ivf_trained_topk, SQL_ANN_IVF_TRAINED_TOPK),
+    "ann_recall": (x_ann_recall, SQL_ANN_RECALL),
     "text_tokens": (x_text_tokens, SQL_TEXT_TOKENS),
     "text_quality": (x_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (x_text_langid, SQL_TEXT_LANGID),
@@ -1196,4 +1307,5 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "quality_percentile": (x_quality_percentile, SQL_QUALITY_PERCENTILE),
     "stream_sessionize": (x_stream_sessionize, None),
     "stream_stream_join": (x_stream_stream_join, SQL_STREAM_STREAM_JOIN),
+    "scd2_merge": (x_scd2_merge, SQL_SCD2_MERGE),
 }

@@ -1,0 +1,75 @@
+"""scd2_merge semantics: insert / keep / close+insert / batch compaction."""
+
+import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TS = lambda d: datetime.datetime(2024, 1, d)  # noqa: E731
+
+DIM_SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("v", T.StringType()),
+    T.StructField("valid_from", T.TimestampType()),
+    T.StructField("valid_to", T.TimestampType()),
+    T.StructField("is_current", T.BooleanType()),
+])
+UPD_SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("v", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+
+def _merge(spark, dim_rows, upd_rows):
+    from pdcm_etl_spark.operators.cdc import scd2_merge
+
+    dim = spark.createDataFrame(dim_rows, DIM_SCHEMA)
+    upd = spark.createDataFrame(upd_rows, UPD_SCHEMA)
+    out = scd2_merge(dim, upd, keys=["k"], tracked=["v"])
+    return sorted(
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in out.collect()
+    )
+
+
+def test_scd2_insert_keep_close(spark):
+    dim = [
+        (1, "a", TS(1), None, True),       # will change -> close + insert
+        (2, "b", TS(1), None, True),       # unchanged update -> keep
+        (3, "c", TS(1), None, True),       # no update -> keep
+        (1, "z", TS(1), TS(1), False),     # closed history passes through
+    ]
+    upd = [
+        (1, "a2", TS(5)),
+        (2, "b", TS(5)),
+        (4, "d", TS(5)),                   # brand-new key -> insert
+    ]
+    got = _merge(spark, dim, upd)
+    assert got == sorted([
+        (1, "z", TS(1), TS(1), False),
+        (1, "a", TS(1), TS(5), False),
+        (1, "a2", TS(5), None, True),
+        (2, "b", TS(1), None, True),
+        (3, "c", TS(1), None, True),
+        (4, "d", TS(5), None, True),
+    ])
+
+
+def test_scd2_batch_compaction_latest_wins(spark):
+    dim = [(1, "a", TS(1), None, True)]
+    upd = [(1, "mid", TS(3)), (1, "final", TS(7))]
+    got = _merge(spark, dim, upd)
+    # only the latest update applies; 'mid' never becomes visible
+    assert got == sorted([
+        (1, "a", TS(1), TS(7), False),
+        (1, "final", TS(7), None, True),
+    ])
+
+
+def test_scd2_null_safe_tracked_compare(spark):
+    dim = [(1, None, TS(1), None, True)]
+    upd = [(1, None, TS(5))]
+    # NULL == NULL must count as unchanged (eqNullSafe), not as a change
+    got = _merge(spark, dim, upd)
+    assert got == [(1, None, TS(1), None, True)]
