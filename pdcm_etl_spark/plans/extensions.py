@@ -737,6 +737,19 @@ def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_stream(spark, sf_dir)
 
 
+def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup via dropDuplicatesWithinWatermark — bounded
+    state, key-set output (streaming/events_stream.py::dedup_stream)."""
+    from pdcm_etl_spark.streaming.events_stream import dedup_stream
+
+    return dedup_stream(spark, sf_dir)
+
+
+SQL_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream range join (click→purchase attribution);
     see streaming/events_stream.py::attribution_stream_join."""
@@ -1308,4 +1321,5 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "stream_sessionize": (x_stream_sessionize, None),
     "stream_stream_join": (x_stream_stream_join, SQL_STREAM_STREAM_JOIN),
     "scd2_merge": (x_scd2_merge, SQL_SCD2_MERGE),
+    "stream_dedup": (x_stream_dedup, SQL_STREAM_DEDUP),
 }

@@ -166,3 +166,35 @@ def attribution_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("attribution_stream")
+
+
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: first event per (user_id, event_type) key
+    within the watermark horizon — ``dropDuplicatesWithinWatermark``, the
+    streaming twin of the batch dedup_exact groupBy.
+
+    State retention is bounded by the watermark (keys older than the
+    horizon are evicted), which is what makes streaming dedup viable at
+    scale — an unbounded dropDuplicates would accrete one state row per
+    key forever. Drained with AvailableNow into a memory sink.
+
+    The output projects the KEY columns only: which physical row survives
+    per key is arrival-order-dependent (state keeps the first row its
+    partition processes — not a semantic minimum), so only the key set is
+    deterministic. That makes the batch DISTINCT an exact oracle while
+    still exercising the real streaming state path."""
+    ev = events_stream_source(spark, sf_dir).withWatermark("ts", "365 days")
+    deduped = (
+        ev.select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("dedup_stream")
