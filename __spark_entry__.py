@@ -51,9 +51,13 @@ _PRIORITY: list[str] = [
     "window_lag_delta",
     "topk",
     "grouping_sets",
-    "rollup_totals",
+    # overlapping-window chunking (rollup family stays covered by
+    # grouping_sets; rollup_totals moved past the window)
+    "text_chunk",
     "intersect_keys",
-    "except_keys",
+    # CDC family representative (except_keys moved past the window;
+    # the set-op family stays covered by intersect_keys)
+    "scd2_merge",
     # scalar kit / JSON / profiling / pivot
     "case_buckets",
     "collect_set_markers",
@@ -74,10 +78,13 @@ _PRIORITY: list[str] = [
     "dedup_groups",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding",
+    # SemDeDup composition (embedding-cosine is inside it; plain
+    # dedup_embedding moved past the window)
+    "dedup_semantic",
     # similarity search
     "ann_ivf_topk",
-    "ann_lsh_topk",
+    # recall@k evaluation harness (lsh variant moved past the window)
+    "ann_recall",
     # text analysis
     "text_quality",
     "text_tfidf",
