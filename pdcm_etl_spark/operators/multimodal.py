@@ -98,3 +98,105 @@ def decode_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
         F.col(id_col).cast("long").alias("doc_id"), "payload"
     )
     return bt.mapInPandas(decode_batch, schema=_DECODE_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_len", T.IntegerType()),
+        T.StructField("frame_head", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frame_bytes: int = 16,
+    every_k: int = 4,
+) -> DataFrame:
+    """Frame sampling plumbing (video → every k-th frame): the payload is
+    treated as consecutive ``frame_bytes``-sized frames and every k-th is
+    emitted as its own row — the 1-row-in / N-rows-out mapInPandas batch
+    shape a real pyav frame sampler uses. STUB: the 'frame' summary is
+    its length + first byte (deterministic; a real deployment decodes
+    here). Output rows scale with payload size, never corpus-wide state."""
+
+    def sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, fis, flens, fheads = [], [], [], []
+            for did, buf in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(buf)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, every_k):
+                    fr = b[fi * frame_bytes:(fi + 1) * frame_bytes]
+                    ids.append(int(did))
+                    fis.append(fi)
+                    flens.append(len(fr))
+                    fheads.append(fr[0])
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "frame_index": _pd.Series(fis, dtype="int32"),
+                    "frame_len": _pd.Series(flens, dtype="int32"),
+                    "frame_head": _pd.Series(fheads, dtype="int32"),
+                }
+            )
+
+    bt = to_binary_table(df, id_col, text_col).select(
+        F.col(id_col).cast("long").alias("doc_id"), "payload"
+    )
+    return bt.mapInPandas(sample_batch, schema=_FRAME_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_len", T.IntegerType()),
+        T.StructField("resized_len", T.IntegerType()),
+        T.StructField("resized_prefix", T.StringType()),
+    ]
+)
+
+
+def resize_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stride: int = 4,
+) -> DataFrame:
+    """Resize plumbing (image downsample): keep every ``stride``-th
+    payload byte — the 1:1 binary-in/binary-out mapInPandas shape of a
+    real PIL resize, with the codec stubbed to byte striding. Output
+    summarises the resized payload (lengths + an 8-byte prefix) so the
+    result is oracle-comparable."""
+
+    def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, olens, rlens, prefs = [], [], [], []
+            for did, buf in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(buf)
+                rb = b[::stride]
+                ids.append(int(did))
+                olens.append(len(b))
+                rlens.append(len(rb))
+                prefs.append(rb[:8].decode("utf-8", "replace"))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "orig_len": _pd.Series(olens, dtype="int32"),
+                    "resized_len": _pd.Series(rlens, dtype="int32"),
+                    "resized_prefix": prefs,
+                }
+            )
+
+    bt = to_binary_table(df, id_col, text_col).select(
+        F.col(id_col).cast("long").alias("doc_id"), "payload"
+    )
+    return bt.mapInPandas(resize_batch, schema=_RESIZE_SCHEMA)

@@ -737,6 +737,52 @@ def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_stream(spark, sf_dir)
 
 
+def x_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-4th-frame sampling over 16-byte payload frames via
+    mapInPandas (1 row in → N frame rows out). The oracle re-derives the
+    frame geometry from the text (payloads are UTF-8 of the ASCII-only
+    fixture text, so byte and char offsets coincide)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return multimodal.sample_frames(docs, frame_bytes=16, every_k=4)
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+), f AS (
+  SELECT doc_id, text, n,
+         unnest(range(0, CAST(ceil(n / 16.0) AS BIGINT), 4)) AS fi
+  FROM t
+)
+SELECT doc_id,
+       CAST(fi AS INTEGER) AS frame_index,
+       CAST(least(16, n - fi * 16) AS INTEGER) AS frame_len,
+       CAST(ord(substr(text, CAST(fi * 16 + 1 AS INTEGER), 1)) AS INTEGER) AS frame_head
+FROM f
+"""
+
+
+def x_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-stride 'resize' plumbing (1:1 mapInPandas, binary in/out),
+    summarised as lengths + 8-byte prefix for the oracle."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return multimodal.resize_payload(docs, stride=4)
+
+
+SQL_MULTIMODAL_RESIZE = """
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS orig_len,
+       CAST(ceil(length(text) / 4.0) AS INTEGER) AS resized_len,
+       array_to_string(
+         list_transform(
+           range(0, least(8, CAST(ceil(length(text) / 4.0) AS BIGINT))),
+           i -> substr(text, CAST(i * 4 + 1 AS INTEGER), 1)
+         ), ''
+       ) AS resized_prefix
+FROM documents
+"""
+
+
 def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup via dropDuplicatesWithinWatermark — bounded
     state, key-set output (streaming/events_stream.py::dedup_stream)."""
@@ -1309,6 +1355,8 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "text_chunk": (x_text_chunk, SQL_TEXT_CHUNK),
     "multimodal_meta": (x_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (x_multimodal_decode, None),
+    "multimodal_frames": (x_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "multimodal_resize": (x_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "stream_events_daily": (x_stream_events_daily, SQL_STREAM_EVENTS_DAILY),
     "session_window": (x_session_window, SQL_SESSION_WINDOW),
     "asof_join": (x_asof_join, SQL_ASOF_JOIN),
