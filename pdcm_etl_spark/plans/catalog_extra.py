@@ -331,6 +331,37 @@ SELECT l_orderkey, l_linenumber, 'tax',
 """
 
 
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi join (functions/joins.py::salted_join): fact side
+    salted on a deterministic per-row hash, dim side replicated ×8 — the
+    pathological-hot-key plan AQE's skew splitting can't always save
+    (one key larger than an executor). Salting is plan-only: the result
+    equals the plain join, which is exactly what the oracle asserts."""
+    from pdcm_etl_spark.functions.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", F.col("l_quantity").cast("decimal(18,2)").alias("qty")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(
+        li.withColumnRenamed("l_suppkey", "k"),
+        supp.withColumnRenamed("s_suppkey", "k"),
+        on=["k"], how="inner", salt_buckets=8,
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (F.sum("qty") * 100).cast("bigint").alias("qty_c"),
+    )
+
+
+SQL_JOIN_SALTED_SKEW = """
+SELECT s_nationkey, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty_c
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
 def q_etl_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship pipeline query: synthesize raw provider modules from
     the TPC tables, run the full metadata DAG, return the search_index
@@ -451,6 +482,7 @@ LEFT JOIN pt ON pt.ck = o.ck
 EXTRA_CATALOG: dict[str, tuple] = {
     "etl_search_index": (q_etl_search_index, None),
     "etl_search_index_spine": (q_etl_search_index_spine, SQL_ETL_SEARCH_INDEX_SPINE),
+    "join_salted_skew": (q_join_salted_skew, SQL_JOIN_SALTED_SKEW),
     "window_lag_delta": (q_window_lag_delta, SQL_WINDOW_LAG_DELTA),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "profile_histogram": (q_profile_histogram, SQL_PROFILE_HISTOGRAM),
