@@ -190,6 +190,34 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quantile bucketing — the curriculum-binning idiom (assign
+    each doc/row to one of N difficulty/quality buckets). Partitioned by
+    returnflag so no global single-partition window; total order inside
+    each partition makes the bucket assignment deterministic."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.ntile(4).over(w).alias("qty_quartile"),
+    )
+
+
+SQL_WINDOW_NTILE = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       CAST(ntile(4) OVER (
+         PARTITION BY l_returnflag
+         ORDER BY l_quantity, l_orderkey, l_linenumber) AS INTEGER) AS qty_quartile
+FROM lineitem
+"""
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct count (HLL). Sketch implementations differ
     across engines → no SQL oracle; the rows-only check still pins row
@@ -496,5 +524,6 @@ EXTRA_CATALOG: dict[str, tuple] = {
     "date_arithmetic": (q_date_arithmetic, SQL_DATE_ARITHMETIC),
     "string_kit": (q_string_kit, SQL_STRING_KIT),
     "exact_percentile": (q_exact_percentile, SQL_EXACT_PERCENTILE),
+    "window_ntile": (q_window_ntile, SQL_WINDOW_NTILE),
     "approx_distinct": (q_approx_distinct, None),
 }
