@@ -178,3 +178,96 @@ def test_connected_components_match_union_find(spark, edges):
         for r in connected_components(edf, nodes=ndf).collect()
     }
     assert got == want
+
+
+@given(
+    n_words=st.integers(min_value=1, max_value=60),
+    chunk=st.integers(min_value=2, max_value=12),
+    overlap=st.integers(min_value=0, max_value=10),
+)
+@SLOW
+def test_chunking_covers_exactly_with_declared_overlap(spark, n_words, chunk, overlap):
+    """Every token appears; consecutive chunks share exactly `overlap`
+    tokens; concatenating chunks minus overlaps reconstructs the doc."""
+    from pdcm_etl_spark.operators.text import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    words = [f"w{i}" for i in range(n_words)]
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    rows = (
+        chunk_documents(df, chunk_size=chunk, overlap=overlap)
+        .orderBy("chunk_index")
+        .collect()
+    )
+    texts = [r["chunk_text"].split(" ") for r in rows]
+    reconstructed = texts[0] + [t for c in texts[1:] for t in c[overlap:]]
+    assert reconstructed == words
+    for a, b in zip(texts, texts[1:]):
+        assert a[-overlap:] == b[:overlap] if overlap else True
+    for r, c in zip(rows, texts):
+        assert r["chunk_tokens"] == len(c) <= chunk
+
+
+@given(
+    updates=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # key
+            st.sampled_from(["a", "b", "c"]),        # value
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+@SLOW
+def test_scd2_matches_sequential_fold(spark, updates):
+    """Applying one scd2_merge with the batch's latest-per-key update set
+    equals folding updates per key sequentially (Type-2 reference model:
+    only the final state of the open rows matters within a batch)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from pdcm_etl_spark.operators.cdc import scd2_merge
+
+    base_ts = datetime.datetime(2024, 1, 1)
+    dim_schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("valid_from", T.TimestampType()),
+        T.StructField("valid_to", T.TimestampType()),
+        T.StructField("is_current", T.BooleanType()),
+    ])
+    upd_schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    dim_rows = [(k, "init", base_ts, None, True) for k in range(3)]
+    upd_rows = [
+        (k, v, base_ts + datetime.timedelta(days=i + 1))
+        for i, (k, v) in enumerate(updates)
+    ]
+    dim = spark.createDataFrame(dim_rows, dim_schema)
+    upd = spark.createDataFrame(upd_rows, upd_schema)
+    got = sorted(map(tuple, scd2_merge(dim, upd, ["k"], ["v"]).collect()))
+
+    # reference fold: latest update per key wins; open row closes iff the
+    # latest value differs
+    latest: dict[int, tuple] = {}
+    for i, (k, v) in enumerate(updates):
+        ts = base_ts + datetime.timedelta(days=i + 1)
+        if k not in latest or ts > latest[k][1]:
+            latest[k] = (v, ts)
+    expect = []
+    for k in range(3):
+        if k in latest and latest[k][0] != "init":
+            v, ts = latest[k]
+            expect.append((k, "init", base_ts, ts, False))
+            expect.append((k, v, ts, None, True))
+        else:
+            expect.append((k, "init", base_ts, None, True))
+    for k, (v, ts) in latest.items():
+        if k >= 3:
+            expect.append((k, v, ts, None, True))
+    assert got == sorted(expect)
