@@ -71,10 +71,15 @@ def genes_per_model(
     symbol_col: str = "hgnc_symbol",
 ) -> DataFrame:
     """Sorted distinct marker list per model for one data type
-    (get_list_genes_per_model, :296-315)."""
+    (get_list_genes_per_model, :296-315).
+
+    No pre-dedupe: collect_set dedupes during its map-side partial
+    aggregation, so a drop_duplicates first is a full extra
+    shuffle+aggregate over fact-scale (mc_id, symbol) rows for nothing
+    (profiled at sf0.1: a 914k-row 16.7s HashAggregate in the flagship)."""
     md = measurement_df.select(
         "molecular_characterization_id", F.col(symbol_col).alias("symbol")
-    ).drop_duplicates()
+    )
     joined = model_molchar_df.join(
         md,
         model_molchar_df.mol_char_id == md.molecular_characterization_id,
