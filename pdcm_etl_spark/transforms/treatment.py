@@ -284,10 +284,11 @@ def treatment_aggregation_by_model(
             "model_id", F.coalesce("model_id", "patient_model_id")
         ).drop("ps_patient_id", "patient_model_id")
     proto = proto.drop("patient_id")
-    joined = (
-        proto.join(comp, "treatment_protocol_id", "left")
-        .drop("treatment_protocol_id")
-        .drop_duplicates()
+    # no pre-dedupe: the per-model lists are array_distinct'ed below, so a
+    # full-width drop_duplicates here is an extra fact-scale shuffle for
+    # an identical result (same reasoning as molecular_data.genes_per_model)
+    joined = proto.join(comp, "treatment_protocol_id", "left").drop(
+        "treatment_protocol_id"
     )
     grouped = joined.groupBy("model_id", "treatment_target").agg(
         F.array_sort(F.array_distinct(F.collect_list("treatment_name"))).alias("treatments"),
