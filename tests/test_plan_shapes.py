@@ -126,3 +126,58 @@ def test_quality_percentile_has_no_unpartitioned_window(spark, sf_dir, queries):
 
     for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
         assert m.group(1).strip() != "", "unpartitioned window in plan"
+
+
+def test_text_chunk_has_no_shuffle(spark, sf_dir, queries):
+    """Chunking is per-row: the plan must be Scan → Project/Generate with
+    no Exchange (the _docs repartition is gated off when splits ≥ cores,
+    so build the operator directly on the raw table)."""
+    from pdcm_etl_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    plan = _plan(chunk_documents(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_merged_aggregates_single_shuffle(spark):
+    """merge_keyed_aggregates = union (no barrier) + ONE hash aggregate;
+    N inputs must not produce N exchanges."""
+    from pyspark.sql import functions as F
+
+    from pdcm_etl_spark.functions.joins import merge_keyed_aggregates
+
+    base = spark.range(100).select(F.col("id").alias("k"))
+    aggs = [
+        base.groupBy("k").agg(F.count(F.lit(1)).alias(f"c{i}")) for i in range(5)
+    ]
+    merged = merge_keyed_aggregates(aggs, "k")
+    plan = _plan(merged)
+    # exchanges: one per input groupBy + exactly one for the merged agg
+    assert plan.count("Exchange") <= 6, plan
+
+
+def test_scd2_merge_join_decomposition(spark, sf_dir, queries):
+    """The declared single full-outer merge join gets decomposed by
+    Catalyst into one specialized join per output branch (the keep /
+    close / insert filters eliminate the outer-ness) — assert that
+    decomposition: only equi joins, one per branch, no nested loop."""
+    plan = _plan(queries["scd2_merge"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 3, plan
+
+
+def test_salted_join_spreads_hot_keys(spark, sf_dir, queries):
+    """The salted join must keep the salt column in the join key (the
+    whole point: hot keys spread over salt_buckets reducers)."""
+    plan = _plan(queries["join_salted_skew"](spark, sf_dir))
+    assert "__salt" in plan, plan
+
+
+def test_semantic_dedup_joins_within_cluster_only(spark, sf_dir, queries):
+    """No cartesian: the pair scan must be an equi join on the cluster id."""
+    plan = _plan(queries["dedup_semantic"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
