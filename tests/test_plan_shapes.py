@@ -161,7 +161,7 @@ def test_scd2_merge_join_decomposition(spark, sf_dir, queries):
     Catalyst into one specialized join per output branch (the keep /
     close / insert filters eliminate the outer-ness) — assert that
     decomposition: only equi joins, one per branch, no nested loop."""
-    plan = _plan(queries["scd2_merge"](spark, sf_dir))
+    plan = _plan(queries["scd2_merge"](spark, sf_dir), mode="simple")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     n_joins = sum(plan.count(j) for j in
