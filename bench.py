@@ -91,6 +91,16 @@ def main() -> None:
             pass  # a query failing at warm scale still gets timed below
     for t in ("lineitem", "orders", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    # the flagship's first execution at the TIMED scale is 2-5x its
+    # steady state (tiered JIT + page cache + AQE stats warm up across
+    # runs — measured 154s -> 65 -> 41 -> 33 at sf0.1); one warm pass at
+    # sf_dir moves the timed medians into the steady-state zone
+    fn = queries.get("etl_search_index")
+    if fn is not None:
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
 
     # Per-query timing is the MEDIAN of REPS runs: single-run wall clock
     # at this scale has ±30% noise (GC, async block cleanup, codegen
