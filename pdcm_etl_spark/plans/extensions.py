@@ -148,6 +148,61 @@ SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id
 """
 
 
+def x_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper selection after near-dup grouping: per connected component,
+    keep the highest-quality member (stopword ratio, then length, then
+    min id — the curation policy real pipelines use instead of 'lowest
+    id wins'). Window partitioned by group — groups are dup-sliver-sized,
+    never corpus-sized, so no unpartitioned sort."""
+    from pyspark.sql import Window
+
+    groups = x_dedup_groups(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    q = text.add_quality_scores(docs.select("doc_id", "text")).select(
+        "doc_id", "n_words", "stopword_bp"
+    )
+    j = groups.join(q, "doc_id")
+    wsel = Window.partitionBy("group_id").orderBy(
+        F.col("stopword_bp").desc(), F.col("n_words").desc(), F.col("doc_id").asc()
+    )
+    wcnt = Window.partitionBy("group_id")
+    return (
+        j.withColumn("rn", F.row_number().over(wsel))
+        .withColumn("n_members", F.count(F.lit(1)).over(wcnt).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "group_id",
+            F.col("doc_id").alias("keeper_id"),
+            "n_members",
+            "stopword_bp",
+        )
+    )
+
+
+def _sql_dedup_keeper_quality() -> str:
+    return f"""
+WITH g AS (
+{SQL_DEDUP_GROUPS.strip()}
+), q AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(FLOOR(len(list_filter(w, x -> x IN ('the','a','of','and','is')))
+              * 10000.0 / len(w)) AS BIGINT) AS stopword_bp
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+), j AS (
+  SELECT g.group_id, g.doc_id, q.n_words, q.stopword_bp
+  FROM g JOIN q USING (doc_id)
+)
+SELECT group_id, doc_id AS keeper_id, n_members, stopword_bp FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY group_id
+           ORDER BY stopword_bp DESC, n_words DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY group_id) AS n_members
+  FROM j
+) WHERE rn = 1
+"""
+
+
 def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return dedup.minhash_dedup(docs, min_bp=2000)
@@ -1339,6 +1394,7 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_simhash": (x_dedup_simhash, _sql_dedup_simhash()),
     "dedup_embedding": (x_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_semantic": (x_dedup_semantic, _sql_dedup_semantic()),
+    "dedup_keeper_quality": (x_dedup_keeper_quality, _sql_dedup_keeper_quality()),
     "ann_cosine_topk": (x_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_ivf_topk": (x_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "ann_lsh_topk": (x_ann_lsh_topk, _sql_ann_lsh_topk()),
