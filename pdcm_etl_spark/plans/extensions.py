@@ -838,6 +838,17 @@ FROM documents
 """
 
 
+def x_stream_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch CDC: drain the event stream, merge each microbatch
+    into the Type-2 dimension via scd2_merge with alternating snapshot
+    dirs (write-then-swap). Single AvailableNow drain + latest-per-key
+    compaction ⇒ identical to the batch twin, so SQL_SCD2_MERGE is the
+    exact oracle (streaming/events_stream.py::scd2_upsert_stream)."""
+    from pdcm_etl_spark.streaming.events_stream import scd2_upsert_stream
+
+    return scd2_upsert_stream(spark, sf_dir)
+
+
 def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup via dropDuplicatesWithinWatermark — bounded
     state, key-set output (streaming/events_stream.py::dedup_stream)."""
@@ -1426,4 +1437,5 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "stream_stream_join": (x_stream_stream_join, SQL_STREAM_STREAM_JOIN),
     "scd2_merge": (x_scd2_merge, SQL_SCD2_MERGE),
     "stream_dedup": (x_stream_dedup, SQL_STREAM_DEDUP),
+    "stream_scd2_upsert": (x_stream_scd2_upsert, SQL_SCD2_MERGE),
 }

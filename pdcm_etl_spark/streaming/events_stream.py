@@ -198,3 +198,72 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("dedup_stream")
+
+
+def scd2_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC ingestion: drain the event stream with foreachBatch,
+    merging every microbatch into a Type-2 dimension snapshot
+    (operators/cdc.py::scd2_merge) — the incremental-ingest pattern for
+    lakes without a transactional table format.
+
+    Each batch writes the merged dimension to an ALTERNATING snapshot
+    directory and re-reads it (write-then-swap: never overwrite the
+    snapshot being read; the pointer flip is the atomic commit). The
+    dimension is seeded with each user's FIRST event; scd2_merge's
+    latest-per-key batch compaction means draining ALL events in one
+    AvailableNow batch yields exactly the batch twin's result (seed +
+    last events), so SQL_SCD2_MERGE is an exact oracle."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from pdcm_etl_spark.operators.cdc import scd2_merge
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    wf = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    current = (
+        ev.withColumn("__rn", F.row_number().over(wf))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="scd2_stream_")
+    state = {"df": current, "flip": 0}
+
+    def upsert(batch_df, batch_id):
+        merged = scd2_merge(
+            state["df"],
+            batch_df.select("user_id", "event_type", "ts"),
+            keys=["user_id"],
+            tracked=["event_type"],
+        )
+        snap = f"{work}/snap_{state['flip'] % 2}"
+        merged.write.mode("overwrite").parquet(snap)
+        state["df"] = batch_df.sparkSession.read.parquet(snap)
+        state["flip"] += 1
+
+    q = (
+        events_stream_source(spark, sf_dir)
+        .select("user_id", "event_type", "ts")
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = state["df"].select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    )
+    # materialize the result before the workdir can be cleaned up
+    rows = out.collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
