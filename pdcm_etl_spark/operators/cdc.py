@@ -55,6 +55,10 @@ def scd2_merge(
             *[F.col(k).alias(f"__u_{k}") for k in keys],
             *[F.col(c).alias(f"__u_{c}") for c in tracked],
             F.col(ts_col).alias("__u_ts"),
+            # presence marker: side-presence must not be inferred from
+            # key-column nullness — a legitimately-NULL business key
+            # would then be silently dropped by every branch filter
+            F.lit(True).alias("__u_present"),
         )
     )
 
@@ -65,8 +69,10 @@ def scd2_merge(
     )
     j = open_rows.join(upd, cond, "full_outer")
 
-    has_open = F.col(keys[0]).isNotNull()
-    has_upd = F.col(f"__u_{keys[0]}").isNotNull()
+    # is_current is literally true on every open row, so its nullness
+    # marks side presence even when a key column is NULL
+    has_open = F.col(current_col).isNotNull()
+    has_upd = F.col("__u_present").isNotNull()
     same = reduce(
         lambda a, b: a & b,
         [F.col(c).eqNullSafe(F.col(f"__u_{c}")) for c in tracked],

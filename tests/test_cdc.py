@@ -28,8 +28,11 @@ def _merge(spark, dim_rows, upd_rows):
     upd = spark.createDataFrame(upd_rows, UPD_SCHEMA)
     out = scd2_merge(dim, upd, keys=["k"], tracked=["v"])
     return sorted(
-        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
-        for r in out.collect()
+        (
+            (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in out.collect()
+        ),
+        key=repr,  # None-safe ordering (null business keys are legal)
     )
 
 
@@ -53,7 +56,7 @@ def test_scd2_insert_keep_close(spark):
         (2, "b", TS(1), None, True),
         (3, "c", TS(1), None, True),
         (4, "d", TS(5), None, True),
-    ])
+    ], key=repr)
 
 
 def test_scd2_batch_compaction_latest_wins(spark):
@@ -64,7 +67,7 @@ def test_scd2_batch_compaction_latest_wins(spark):
     assert got == sorted([
         (1, "a", TS(1), TS(7), False),
         (1, "final", TS(7), None, True),
-    ])
+    ], key=repr)
 
 
 def test_scd2_null_safe_tracked_compare(spark):
@@ -73,3 +76,17 @@ def test_scd2_null_safe_tracked_compare(spark):
     # NULL == NULL must count as unchanged (eqNullSafe), not as a change
     got = _merge(spark, dim, upd)
     assert got == [(1, None, TS(1), None, True)]
+
+
+def test_scd2_null_key_rows_survive(spark):
+    """A NULL business key must not be silently dropped: the open row
+    passes through (it can never match an update — equality join is
+    non-null-safe, like SQL MERGE) and a null-key update inserts."""
+    dim = [(None, "a", TS(1), None, True), (1, "b", TS(1), None, True)]
+    upd = [(None, "x", TS(5))]
+    got = set(map(repr, _merge(spark, dim, upd)))
+    assert got == {
+        repr((None, "a", TS(1), None, True)),   # unmatched open row kept
+        repr((None, "x", TS(5), None, True)),   # null-key update inserted
+        repr((1, "b", TS(1), None, True)),
+    }
