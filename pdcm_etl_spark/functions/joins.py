@@ -131,7 +131,15 @@ def merge_keyed_aggregates(
         return None
     frames = []
     for a in aggs:
-        if rename_key and rename_key in a.columns and key not in a.columns:
+        if rename_key and rename_key in a.columns:
+            if key in a.columns:
+                # both spellings present: the rename would be skipped and
+                # the stray rename_key column silently become a VALUE
+                # column of the merged output — refuse instead
+                raise ValueError(
+                    f"merge_keyed_aggregates: frame carries both {key!r} "
+                    f"and {rename_key!r}; drop or rename one before merging"
+                )
             a = a.withColumnRenamed(rename_key, key)
         frames.append(a)
     if len(frames) == 1:

@@ -31,6 +31,7 @@ def scd2_merge(
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
     current_col: str = "is_current",
+    strict: bool = True,
 ) -> DataFrame:
     """Merge an update batch into a Type-2 dimension.
 
@@ -44,6 +45,13 @@ def scd2_merge(
     null-safe-equal → keep; otherwise close the open row at the update's
     timestamp and insert the new open row. Closed history rows pass
     through untouched.
+
+    Precondition: update timestamps are monotonic per key w.r.t. the
+    standing dimension — each applied update's ``ts_col`` must be ≥ the
+    open row's ``valid_from`` (true whenever batches are merged in event
+    order, the normal CDC contract). An out-of-order update would close
+    the open row with ``valid_to < valid_from``; ``strict=True`` (default)
+    detects that inverted interval and raises instead of emitting it.
     """
     w = Window.partitionBy(*keys).orderBy(
         F.col(ts_col).desc(), *[F.col(c).desc() for c in tracked]
@@ -82,14 +90,30 @@ def scd2_merge(
 
     # open rows that survive unchanged (no update, or update equal)
     keep_open = j.filter(has_open & (~has_upd | same)).select(*out_cols)
-    # open rows closed by a differing update
+    # open rows closed by a differing update; under strict, an update
+    # older than the open row's valid_from (inverted validity interval)
+    # raises at execution instead of silently emitting valid_to<valid_from
+    close_ts = F.col("__u_ts")
+    if strict:
+        close_ts = F.when(
+            F.col("__u_ts") < F.col(valid_from),
+            F.raise_error(
+                F.concat(
+                    F.lit("scd2_merge: out-of-order update (ts "),
+                    F.col("__u_ts").cast("string"),
+                    F.lit(" < open valid_from "),
+                    F.col(valid_from).cast("string"),
+                    F.lit(") — batches must be merged in event order"),
+                )
+            ).cast(dim.schema[valid_from].dataType),
+        ).otherwise(F.col("__u_ts"))
     close_old = (
         j.filter(has_open & has_upd & ~same)
         .select(
             *keys,
             *tracked,
             F.col(valid_from),
-            F.col("__u_ts").alias(valid_to),
+            close_ts.alias(valid_to),
             F.lit(False).alias(current_col),
         )
     )

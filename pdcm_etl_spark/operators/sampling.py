@@ -69,6 +69,27 @@ def top_percentile_filter(
     """
     from pyspark.sql import Window
 
+    # the histogram collect in step 1 is only bounded because the metric
+    # has a small integral value domain — enforce both halves of that
+    # precondition instead of trusting the caller (a float or
+    # high-cardinality metric would silently become a data-sized collect)
+    mtype = df.schema[metric].dataType.simpleString()
+    if mtype not in {"tinyint", "smallint", "int", "bigint"}:
+        raise TypeError(
+            f"top_percentile_filter: metric {metric!r} is {mtype}; the "
+            "exact two-pass plan needs an integral metric with a bounded "
+            "value domain (e.g. basis points) — bucketize the metric first"
+        )
+    n_vals = df.agg(
+        F.approx_count_distinct(metric).alias("n")
+    ).collect()[0]["n"]
+    if n_vals > 4 * BUCKETS:
+        raise ValueError(
+            f"top_percentile_filter: metric {metric!r} has ~{n_vals} "
+            f"distinct values (> {4 * BUCKETS}); the histogram collect "
+            "would be data-sized — bucketize the metric to a bounded "
+            "domain (e.g. basis points) first"
+        )
     hist = df.groupBy(metric).agg(F.count(F.lit(1)).alias("cnt")).collect()
     values = sorted((r[metric], r["cnt"]) for r in hist)
     n = sum(c for _, c in values)

@@ -182,8 +182,22 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     per key is arrival-order-dependent (state keeps the first row its
     partition processes — not a semantic minimum), so only the key set is
     deterministic. That makes the batch DISTINCT an exact oracle while
-    still exercising the real streaming state path."""
-    ev = events_stream_source(spark, sf_dir).withWatermark("ts", "365 days")
+    still exercising the real streaming state path.
+
+    The watermark horizon is derived from the lake's actual event-time
+    span (+1 day slack): a fixture spanning more than a hardcoded horizon
+    would evict keys mid-drain and re-emit duplicates the DISTINCT oracle
+    does not have. The one-row min/max batch scan that sizes it is
+    metadata-grade (parquet footer statistics serve it)."""
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    span = (
+        load_events(spark, sf_dir)
+        .selectExpr("max(ts) - min(ts) AS span")
+        .collect()[0]["span"]
+    )
+    days = (getattr(span, "days", 0) or 0) + 2 if span is not None else 2
+    ev = events_stream_source(spark, sf_dir).withWatermark("ts", f"{days} days")
     deduped = (
         ev.select("user_id", "event_type", "ts")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
@@ -212,7 +226,14 @@ def scd2_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension is seeded with each user's FIRST event; scd2_merge's
     latest-per-key batch compaction means draining ALL events in one
     AvailableNow batch yields exactly the batch twin's result (seed +
-    last events), so SQL_SCD2_MERGE is an exact oracle."""
+    last events), so SQL_SCD2_MERGE is an exact oracle. That equivalence
+    holds ONLY for a single-microbatch drain (per-batch merges would
+    record intermediate versions the oracle lacks), so a multi-batch
+    drain raises rather than silently diverging.
+
+    The final snapshot stays a distributed parquet read from a stable
+    directory — the dimension is not driver-sized at scale, so there is
+    deliberately no collect() on this path (round-2 verdict item 3)."""
     import shutil
     import tempfile
 
@@ -237,7 +258,7 @@ def scd2_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     work = tempfile.mkdtemp(prefix="scd2_stream_")
-    state = {"df": current, "flip": 0}
+    state = {"df": current, "flip": 0, "batches": 0}
 
     def upsert(batch_df, batch_id):
         merged = scd2_merge(
@@ -250,6 +271,7 @@ def scd2_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(snap)
         state["df"] = batch_df.sparkSession.read.parquet(snap)
         state["flip"] += 1
+        state["batches"] += 1
 
     q = (
         events_stream_source(spark, sf_dir)
@@ -260,10 +282,23 @@ def scd2_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    out = state["df"].select(
+    if state["batches"] > 1:
+        shutil.rmtree(work, ignore_errors=True)
+        raise AssertionError(
+            f"scd2_upsert_stream: drain took {state['batches']} microbatches;"
+            " the SQL_SCD2_MERGE oracle is exact only for a single-batch"
+            " drain (per-batch merges record intermediate versions) —"
+            " unset maxFilesPerTrigger / keep the lake single-file"
+        )
+    # move the winning snapshot to a STABLE dir (outlives the workdir
+    # cleanup) and return a distributed read — never collect the dimension
+    final = tempfile.mkdtemp(prefix="scd2_dim_")
+    if state["batches"] == 0:  # empty drain: the seed IS the dimension
+        state["df"].write.mode("overwrite").parquet(final)
+    else:
+        shutil.rmtree(final)
+        shutil.move(f"{work}/snap_{(state['flip'] - 1) % 2}", final)
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.read.parquet(final).select(
         "user_id", "event_type", "valid_from", "valid_to", "is_current"
     )
-    # materialize the result before the workdir can be cleaned up
-    rows = out.collect()
-    shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)

@@ -78,6 +78,17 @@ def test_scd2_null_safe_tracked_compare(spark):
     assert got == [(1, None, TS(1), None, True)]
 
 
+def test_scd2_out_of_order_update_raises(spark):
+    """An update older than the open row's valid_from would emit an
+    inverted validity interval — strict mode (default) raises instead."""
+    import pytest
+
+    dim = [(1, "a", TS(5), None, True)]
+    upd = [(1, "b", TS(2))]  # ts precedes valid_from
+    with pytest.raises(Exception, match="out-of-order update"):
+        _merge(spark, dim, upd)
+
+
 def test_scd2_null_key_rows_survive(spark):
     """A NULL business key must not be silently dropped: the open row
     passes through (it can never match an update — equality join is
