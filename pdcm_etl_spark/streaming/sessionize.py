@@ -33,11 +33,11 @@ SESSION_SCHEMA = T.StructType(
         T.StructField("user_id", T.LongType()),
         T.StructField("session_start", T.TimestampType()),
         T.StructField("n_events", T.LongType()),
-        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("sum_value_micro", T.LongType()),
     ]
 )
 
-_STATE_SCHEMA = "start long, last long, n long, total double"
+_STATE_SCHEMA = "start long, last long, n long, total long"
 
 
 def sessionize_batch(events: DataFrame, gap: str = DEFAULT_GAP) -> DataFrame:
@@ -73,23 +73,30 @@ def sessionize_stream(
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        # values accumulate as exact INTEGER micro-units (floor(v*1e6) per
+        # event): order-independent, overflow-free at session scale, and
+        # bit-identical to the SQL oracle's per-row floor — a float
+        # accumulator would drift with addition order
+        import math
+
         (user_id,) = key
         if state.exists:
             start, last, n, total = state.get
         else:
-            start, last, n, total = None, None, 0, 0.0
+            start, last, n, total = None, None, 0, 0
         closed = []
         rows = pd.concat(list(pdfs)).sort_values("ts")
         for ts, value in zip(rows["ts"], rows["value"]):
             micros = int(ts.value // 1000)  # pandas ns → µs epoch
+            v_micro = int(math.floor(float(value) * 1_000_000))
             if last is not None and micros - last > gap_seconds * 1_000_000:
                 closed.append((user_id, start, n, total))
-                start, last, n, total = micros, micros, 1, float(value)
+                start, last, n, total = micros, micros, 1, v_micro
             else:
                 start = micros if start is None else start
                 last = micros
                 n += 1
-                total += float(value)
+                total += v_micro
         state.update((start, last, n, total))
         if closed:
             yield pd.DataFrame(
@@ -99,7 +106,7 @@ def sessionize_stream(
                         datetime.datetime.utcfromtimestamp(c[1] / 1e6) for c in closed
                     ],
                     "n_events": [c[2] for c in closed],
-                    "sum_value": [c[3] for c in closed],
+                    "sum_value_micro": [c[3] for c in closed],
                 }
             )
 

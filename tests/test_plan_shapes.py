@@ -139,6 +139,31 @@ def test_text_chunk_has_no_shuffle(spark, sf_dir, queries):
     assert "Exchange" not in plan, plan
 
 
+def test_jaccard_pairs_bucketed_no_freq_join(spark):
+    """Round-3 jaccard_pairs plan (round-2 verdict item 5): candidate
+    pairs come from in-bucket generation after ONE groupBy on the
+    shingle — there must be NO join before the pair aggregation (the old
+    plan joined a shingle-frequency table and self-joined the shingle
+    table, recomputing the explode 4x), and no data-sized broadcast. The
+    only joins left are the two doc-level size attachments."""
+    from pyspark.sql import functions as F
+
+    from pdcm_etl_spark.operators.dedup import jaccard_pairs, shingles
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("a b c d e f g h word"), F.col("id") % 7).alias("text"),
+    )
+    plan = _plan(
+        jaccard_pairs(shingles(docs), min_bp=1000, max_shingle_freq=50),
+        mode="simple",
+    )
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                   "BroadcastNestedLoopJoin", "CartesianProduct"))
+    assert n_joins == 2, plan
+
+
 def test_merged_aggregates_single_shuffle(spark):
     """merge_keyed_aggregates = union (no barrier) + ONE hash aggregate;
     N inputs must not produce N exchanges."""

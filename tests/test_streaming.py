@@ -46,14 +46,14 @@ def test_stream_sessionize_closed_sessions_match_batch(spark, sf_dir):
     for user, rows in batch_by_user.items():
         rows.sort(key=lambda r: r["session_start"])
         for r in rows[:-1]:
-            expected[key(r)] = (r["n_events"], r["sum_value_micro"] / 1e6)
-    got = {key(r): (r["n_events"], r["sum_value"]) for r in stream}
+            expected[key(r)] = (r["n_events"], r["sum_value_micro"])
+    got = {key(r): (r["n_events"], r["sum_value_micro"]) for r in stream}
     assert got.keys() == expected.keys()
     for k, (n, total) in expected.items():
         gn, gtotal = got[k]
-        # stream accumulates float64 event-by-event, batch sums decimals —
-        # identical up to float addition reordering
-        assert gn == n and abs(gtotal - total) < 1e-6, (k, got[k], (n, total))
+        # stream floors each event to integer micros; batch rounds the
+        # exact decimal sum — they differ by at most 1 micro per event
+        assert gn == n and abs(gtotal - total) <= n, (k, got[k], (n, total))
     assert len(got) > 0
 
 
