@@ -141,6 +141,13 @@ def main() -> None:
 
             gc.collect()
             release_persistent_rdds()
+            # broadcast blocks and shuffle state are only reclaimed when
+            # the DRIVER JVM garbage-collects their refs (ContextCleaner
+            # hooks into JVM GC) — with a 128 GiB heap that may never
+            # happen between reps, and the accumulated block pressure
+            # climbs rep-over-rep (measured: flagship 30 → 68s across 4
+            # reps without this; stable ~35s with it)
+            spark.sparkContext._jvm.System.gc()
             spark.range(10).count()
             time.sleep(0.5)
             t0 = time.time()

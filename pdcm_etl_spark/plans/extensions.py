@@ -735,14 +735,35 @@ FROM documents
 
 def x_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapInPandas decode path; the array<float> feature vector is
-    serialized (integer milli-units, '|'-joined) in the final projection so
-    the driver's rows-only canonicalizer can hash the output."""
+    serialized (integer milli-units, '|'-joined) in the final projection.
+
+    The codec itself is still an honestly-declared stub (PIL/librosa are
+    absent here), but its deterministic fake — first 8 payload bytes
+    scaled to [0,1) — IS SQL-expressible, so since round 3 the oracle
+    re-derives it exactly (byte i = ord of char i: the fixture text is
+    ASCII, byte_len == char length). Milli-unit rounding is safe across
+    the float32 feature column: b*1000/255 is never within float32
+    epsilon of a .5 boundary (nearest fraction is 25/51 ≈ 0.49)."""
     docs = _t(spark, sf_dir, "documents")
     out = multimodal.decode_features(docs)
     feature_m = F.transform(
         "feature", lambda x: F.round(x * 1000).cast("int").cast("string")
     )
     return out.withColumn("feature", F.array_join(feature_m, "|"))
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS byte_len,
+       CAST(8 AS INTEGER) AS n_frames,
+       array_to_string(list_transform(range(8), i ->
+         CAST(CAST(round(
+           (CASE WHEN i < length(text)
+                 THEN ord(substr(text, CAST(i + 1 AS INTEGER), 1))
+                 ELSE 0 END) * 1000.0 / 255, 0) AS INTEGER) AS VARCHAR)
+       ), '|') AS feature
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1448,7 +1469,7 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "text_repetition": (x_text_repetition, SQL_TEXT_REPETITION),
     "text_chunk": (x_text_chunk, SQL_TEXT_CHUNK),
     "multimodal_meta": (x_multimodal_meta, SQL_MULTIMODAL_META),
-    "multimodal_decode": (x_multimodal_decode, None),
+    "multimodal_decode": (x_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_frames": (x_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "multimodal_resize": (x_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "stream_events_daily": (x_stream_events_daily, SQL_STREAM_EVENTS_DAILY),

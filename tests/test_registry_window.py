@@ -77,9 +77,9 @@ def test_registry_is_large_and_oracled():
 
     q, o = e.queries(), e.oracle_sql()
     assert len(q) >= 88
-    # every query has an oracle except the declared rows-only set
-    # (round 3 converted stream_sessionize and approx_distinct to exact
-    # oracles; only the honestly-stubbed codec and the full-width
-    # flagship remain rows-only)
+    # every query has an oracle except the full-width flagship (whose
+    # 66-column wide twin IS hash-checked); round 3 converted
+    # stream_sessionize, approx_distinct and multimodal_decode (the
+    # deterministic stub fake is SQL-expressible) to exact oracles
     rows_only = set(q) - set(o)
-    assert rows_only <= {"etl_search_index", "multimodal_decode"}, rows_only
+    assert rows_only <= {"etl_search_index"}, rows_only
