@@ -43,6 +43,31 @@ def hash_stratified_sample(
     return df.filter(bucket < rate)
 
 
+def shuffle_shards(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training-data
+    export: every row gets a (shard, pos) — the reproducible equivalent
+    of `df.orderBy(rand()).repartition(n)` that training pipelines
+    actually need (an RNG shuffle changes with partitioning and retries;
+    this one is a pure function of the key).
+
+    shard = portable_hash(key) % n_shards is map-side; pos is a
+    row_number over a window PARTITIONED by shard (ordered by the hash,
+    key tie-break) — per-shard parallel sort, never a global one. At
+    100 TB the cost is one shuffle on shard, the same partitioning the
+    downstream per-shard file write wants anyway.
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash60(F.col(key_col).cast("string"))
+    w = Window.partitionBy("shard").orderBy("__h", key_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("__h")
+    )
+
+
 def top_percentile_filter(
     df: DataFrame, metric: str, id_col: str, min_pr_bp: int = 9000
 ) -> DataFrame:

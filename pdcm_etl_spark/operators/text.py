@@ -129,6 +129,31 @@ def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(canon))
 
 
+def ngram_counts(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
+    """Corpus-wide word n-gram counts — the vocabulary/statistics pass a
+    training pipeline runs before tokenizer training or contamination
+    screens. Unlike the dedup shingler this keeps per-document repeats
+    (counting, not set membership).
+
+    Scale: map-side n-gram generation (split + slice, no UDF) into one
+    hash aggregation with map-side partial counts — the same shape as a
+    word-count, no matter the corpus size."""
+    ws = F.split(F.lower(F.col(text_col)), " ")
+    pre = df.select(ws.alias("ws"))
+    grams = F.when(
+        F.size("ws") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice("ws", i, n), " "),
+        ),
+    ).otherwise(F.array())
+    return (
+        pre.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

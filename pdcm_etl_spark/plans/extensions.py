@@ -1443,6 +1443,51 @@ FROM s
 """
 
 
+def x_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams — the vocabulary-statistics pass
+    before tokenizer training / contamination screens. Deterministic
+    total order (count desc, ngram asc) → TakeOrderedAndProject."""
+    docs = _docs(spark, sf_dir).select("text")
+    counts = text.ngram_counts(docs, n=2)
+    return counts.orderBy(F.col("n").desc(), F.col("ngram")).limit(20)
+
+
+SQL_NGRAM_TOPK = """
+WITH w AS (
+  SELECT string_split(lower(text), ' ') AS ws FROM documents
+), g AS (
+  SELECT unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS ngram
+  FROM w
+)
+SELECT ngram, COUNT(*) AS n FROM g GROUP BY ngram
+ORDER BY n DESC, ngram LIMIT 20
+"""
+
+
+def x_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment (training-data
+    export order): shard from the portable 60-bit key hash, position
+    from a per-shard (parallel) window — reproducible across runs,
+    partitionings and engines, unlike orderBy(rand())."""
+    from pdcm_etl_spark.operators.sampling import shuffle_shards
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return shuffle_shards(docs, "doc_id", n_shards=8)
+
+
+_H60_DOCID = _DUCK_H60.format(col="CAST(doc_id AS VARCHAR)")
+SQL_SHUFFLE_SHARDS = f"""
+WITH h AS (
+  SELECT doc_id, {_H60_DOCID} AS hh FROM documents
+)
+SELECT doc_id, CAST(hh % 8 AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
+            AS INTEGER) AS pos
+FROM h
+"""
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -1468,6 +1513,8 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "text_contamination": (x_text_contamination, SQL_TEXT_CONTAMINATION),
     "text_repetition": (x_text_repetition, SQL_TEXT_REPETITION),
     "text_chunk": (x_text_chunk, SQL_TEXT_CHUNK),
+    "ngram_topk": (x_ngram_topk, SQL_NGRAM_TOPK),
+    "shuffle_shards": (x_shuffle_shards, SQL_SHUFFLE_SHARDS),
     "multimodal_meta": (x_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (x_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_frames": (x_multimodal_frames, SQL_MULTIMODAL_FRAMES),
