@@ -271,3 +271,60 @@ def test_scd2_matches_sequential_fold(spark, updates):
         if k >= 3:
             expect.append((k, v, ts, None, True))
     assert got == sorted(expect)
+
+
+@SLOW
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10_000),
+                  min_size=1, max_size=60, unique=True),
+    parts=st.integers(min_value=1, max_value=7),
+    n_shards=st.integers(min_value=1, max_value=5),
+)
+def test_shuffle_shards_partition_invariant(spark, keys, parts, n_shards):
+    """The whole point of the deterministic shuffle: (shard, pos) per key
+    is a pure function of the key multiset — independent of the input's
+    physical partitioning (orderBy(rand()) breaks exactly this)."""
+    from pdcm_etl_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id bigint")
+    a = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffle_shards(df, "doc_id", n_shards).collect()
+    }
+    b = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffle_shards(
+            df.repartition(parts), "doc_id", n_shards
+        ).collect()
+    }
+    assert a == b
+    # positions are a 1..k dense sequence within every shard
+    by_shard: dict[int, list[int]] = {}
+    for shard, pos in a.values():
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), (shard, poss)
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=24),
+        min_size=1, max_size=20,
+    )
+)
+def test_ngram_counts_match_reference_fold(spark, texts):
+    """Bigram counts equal a literal per-document fold (repeats kept —
+    counting semantics, not the dedup shingler's set semantics)."""
+    from collections import Counter
+
+    from pdcm_etl_spark.operators.text import ngram_counts
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {r["ngram"]: r["n"] for r in ngram_counts(df, n=2).collect()}
+    expect: Counter = Counter()
+    for t in texts:
+        ws = t.lower().split(" ")
+        for i in range(len(ws) - 1):
+            expect[ws[i] + " " + ws[i + 1]] += 1
+    assert got == dict(expect)
