@@ -55,7 +55,9 @@ HEADLINE = [
     "text_contamination",
     "text_repetition",
     "text_chunk",
+    "ngram_topk",
     "pack_sequences",
+    "shuffle_shards",
     "quality_percentile",
     "multimodal_meta",
 ]
