@@ -88,10 +88,12 @@ _PRIORITY: list[str] = [
     "multimodal_decode",
     "multimodal_frames",
     "multimodal_resize",
-    # temporal / sampling / composed pipelines
+    # temporal / sampling / composed pipelines (range_join and
+    # sample_stratified are r01+r02 driver-proven — their slots go to the
+    # round-3 additions so every registry query has had a driver row)
     "asof_join",
-    "range_join",
-    "sample_stratified",
+    "ngram_topk",
+    "shuffle_shards",
     "corpus_curation",
     "kmeans_assign",
     "pack_sequences",

@@ -13,6 +13,8 @@ ROTATED_IN = [
     "stream_sessionize", "stream_dedup", "stream_scd2_upsert",
     "join_salted_skew", "rollup_totals", "cube_counts", "except_keys",
     "window_ntile", "approx_distinct",
+    # round-3 additions, windowed immediately
+    "ngram_topk", "shuffle_shards",
 ]
 
 
@@ -47,7 +49,8 @@ def test_first_50_covers_every_family():
         "multimodal": ["multimodal_decode", "multimodal_frames",
                        "multimodal_resize"],
         "temporal": ["asof_join", "range_join"],
-        "sampling": ["sample_stratified"],
+        "sampling": ["sample_stratified", "shuffle_shards"],
+        "corpus-stats": ["ngram_topk"],
         "pipeline": ["corpus_curation"],
         "clustering": ["kmeans_assign"],
         "packing": ["pack_sequences"],
