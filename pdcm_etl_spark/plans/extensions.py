@@ -830,7 +830,7 @@ WITH marked AS (
 ), sess AS (
   SELECT user_id, session_id, MIN(ts) AS session_start,
          COUNT(*) AS n_events,
-         SUM(CAST(floor(value * 1000000) AS BIGINT)) AS sum_value_micro
+         CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micro
   FROM numbered GROUP BY user_id, session_id
 )
 SELECT user_id, session_start, n_events, sum_value_micro

@@ -33,10 +33,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tests.harness import TABLES  # noqa: E402
 
 
-def canon_df(df: pd.DataFrame) -> tuple[str, list[str]]:
-    """Column-name-sorted, row-sorted, stringified value hash + issue list."""
+def dtype_kind(dtype) -> str:
+    """Coarse dtype kind used to detect cross-engine dtype divergence.
+
+    The driver hashes raw pandas values, so int64 8176 vs float64 8176.0
+    hash apart even though `.12g` stringification would hide it.  We fold
+    the kind into the hash AND surface int-vs-float pairings as issues so
+    this sim stays strictly stricter than the driver (round-3 verdict
+    item 2: SUM(BIGINT)->HUGEINT->float64 shipped green here, red there).
+    """
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    if isinstance(dtype, pd.DatetimeTZDtype) or pd.api.types.is_datetime64_any_dtype(dtype):
+        return "datetime"
+    return "other"
+
+
+def canon_df(df: pd.DataFrame) -> tuple[str, list[str], dict[str, str]]:
+    """Column-name-sorted, row-sorted, stringified value hash + issue list
+    + per-column dtype-kind map (lowercased column name -> kind)."""
     issues: list[str] = []
     df = df[sorted(df.columns, key=str.lower)]
+    kinds_by_col = {str(c).lower(): dtype_kind(df[c].dtype) for c in df.columns}
     out = {}
     for c in df.columns:
         s = df[c]
@@ -70,13 +92,16 @@ def canon_df(df: pd.DataFrame) -> tuple[str, list[str]]:
         cdf = cdf.sort_values(by=list(cdf.columns), kind="mergesort").reset_index(drop=True)
     except TypeError as e:
         issues.append(f"sort_values: {e}")
-        return "<unsortable>", issues
+        return "<unsortable>", issues, kinds_by_col
     import hashlib
 
     h = hashlib.md5()
+    # Fold dtype kinds into the digest: the driver hashes raw values, so a
+    # kind divergence (int vs float) must break OUR hash too.
+    h.update(("|".join(f"{c}:{k}" for c, k in sorted(kinds_by_col.items())) + "\x1d").encode())
     for row in cdf.itertuples(index=False, name=None):
         h.update(("\x1f".join(row) + "\x1e").encode())
-    return h.hexdigest(), issues
+    return h.hexdigest(), issues, kinds_by_col
 
 
 def main() -> None:
@@ -114,7 +139,7 @@ def main() -> None:
         try:
             sdf = qs[name](spark, sf_dir)
             pdf_s = sdf.toPandas()
-            hash_s, iss_s = canon_df(pdf_s)
+            hash_s, iss_s, kinds_s = canon_df(pdf_s)
             if name not in oracles:
                 row = {
                     "status": "rows-only",
@@ -123,8 +148,14 @@ def main() -> None:
                 }
             else:
                 pdf_d = con.execute(oracles[name]).df()
-                hash_d, iss_d = canon_df(pdf_d)
+                hash_d, iss_d, kinds_d = canon_df(pdf_d)
                 issues = [f"spark: {i}" for i in iss_s] + [f"duck: {i}" for i in iss_d]
+                for c in sorted(set(kinds_s) & set(kinds_d)):
+                    if kinds_s[c] != kinds_d[c]:
+                        issues.append(
+                            f"col {c}: dtype kind spark={kinds_s[c]} vs "
+                            f"duck={kinds_d[c]} (driver hashes raw values -> mismatch)"
+                        )
                 ok = (
                     len(pdf_s) == len(pdf_d)
                     and sorted(c.lower() for c in pdf_s.columns)
