@@ -36,8 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # pytest run (tests/test_oracle_parity.py). One representative per
 # operator family remains pinned by tests/test_registry_window.py.
 _PRIORITY: list[str] = [
-    # flagship + its hash-checked oracle twins (16-col spine and the
-    # round-3 wide projection)
+    # flagship (full 67-column hash oracle since round 4 — the internal
+    # id is the portable md5-based hash) + its spine/wide oracle twins
     "etl_search_index",
     "etl_search_index_spine",
     "etl_search_index_wide",
@@ -83,8 +83,8 @@ _PRIORITY: list[str] = [
     "text_pii_scrub",
     "text_contamination",
     "text_repetition",
-    # multimodal: decode (rows-only, codec honestly stubbed) + the two
-    # geometry ops with exact oracles
+    # multimodal: decode (codec honestly stubbed; the deterministic fake
+    # is SQL-expressed, hash-green since r3) + the two geometry ops
     "multimodal_decode",
     "multimodal_frames",
     "multimodal_resize",

@@ -60,6 +60,13 @@ HEADLINE = [
     "shuffle_shards",
     "quality_percentile",
     "multimodal_meta",
+    # round-4 additions (round-3 verdict item 7): every registry family
+    # has timing history — streaming drains + the Arrow multimodal ops
+    "stream_events_daily",
+    "stream_dedup",
+    "stream_scd2_upsert",
+    "multimodal_decode",
+    "multimodal_frames",
 ]
 
 
@@ -149,7 +156,12 @@ def main() -> None:
             # happen between reps, and the accumulated block pressure
             # climbs rep-over-rep (measured: flagship 30 → 68s across 4
             # reps without this; stable ~35s with it)
-            spark.sparkContext._jvm.System.gc()
+            try:
+                # private Py4J gateway — absent under Spark Connect;
+                # degrade to no JVM GC rather than crash the bench
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
             spark.range(10).count()
             time.sleep(0.5)
             t0 = time.time()

@@ -78,3 +78,24 @@ def hash_id(*key_cols: str | Column) -> Column:
     map-side. Collision probability over N rows ~ N^2 / 2^65.
     """
     return F.xxhash64(*[F.col(c) if isinstance(c, str) else c for c in key_cols])
+
+
+def portable_hash_id(*key_cols: str | Column) -> Column:
+    """Engine-portable stable id: 60-bit fold of md5 over the
+    \\x1f-joined string key (nulls encoded as \\x00 so NULL ≠ '').
+
+    Same map-side/no-shuffle profile as ``hash_id`` but reproducible in
+    any engine with md5 (DuckDB oracle twin: operators/dedup.DUCK_H60
+    over the same concat) — use for ids that are *published* in
+    oracle-checked output, where xxhash64 would make the column
+    unverifiable. Collision probability over N rows ~ N^2 / 2^61.
+    """
+    from pdcm_etl_spark.operators.dedup import portable_hash60
+
+    parts = [
+        F.coalesce(
+            (F.col(c) if isinstance(c, str) else c).cast("string"), F.lit("\x00")
+        )
+        for c in key_cols
+    ]
+    return portable_hash60(F.concat_ws("\x1f", *parts))

@@ -43,28 +43,58 @@ def hash_stratified_sample(
     return df.filter(bucket < rate)
 
 
-def shuffle_shards(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
+def shuffle_shards(
+    df: DataFrame, key_col: str, n_shards: int, sub_buckets: int = 64
+) -> DataFrame:
     """Deterministic global shuffle + shard assignment for training-data
     export: every row gets a (shard, pos) — the reproducible equivalent
     of `df.orderBy(rand()).repartition(n)` that training pipelines
     actually need (an RNG shuffle changes with partitioning and retries;
     this one is a pure function of the key).
 
-    shard = portable_hash(key) % n_shards is map-side; pos is a
-    row_number over a window PARTITIONED by shard (ordered by the hash,
-    key tie-break) — per-shard parallel sort, never a global one. At
-    100 TB the cost is one shuffle on shard, the same partitioning the
-    downstream per-shard file write wants anyway.
+    shard = portable_hash(key) % n_shards is map-side.  pos is computed
+    with a TWO-LEVEL window (round-3 advice: a window partitioned only by
+    shard caps sort parallelism at n_shards — each shard's whole row set
+    would sort in a single task):
+
+      1. ``sub`` = range-bucket of the 60-bit hash (monotone in the hash,
+         so sub-bucket order IS hash order); the heavy row_number window
+         partitions by (shard, sub) → n_shards × sub_buckets parallel
+         sorts of ~data/(n_shards·sub_buckets) rows each;
+      2. per-(shard, sub) counts (map-side partial agg, n_shards ×
+         sub_buckets rows total) get a per-shard running-sum offset on a
+         scalar-scale window, broadcast back;
+      3. pos = offset + within-bucket row_number — bit-identical to the
+         single-window form because sub is monotone in the ordering key.
+
+    Raise ``sub_buckets`` with data size; parallelism = n_shards ×
+    sub_buckets regardless of how few output shards the export wants.
     """
     from pyspark.sql import Window
 
-    h = portable_hash60(F.col(key_col).cast("string"))
-    w = Window.partitionBy("shard").orderBy("__h", key_col)
-    return (
-        df.withColumn("__h", h)
+    sub_width = max(1, (1 << 60) // sub_buckets)  # h < 2^60 ⇒ sub < sub_buckets
+    base = (
+        df.withColumn("__h", portable_hash60(F.col(key_col).cast("string")))
         .withColumn("shard", (F.col("__h") % n_shards).cast("int"))
-        .withColumn("pos", F.row_number().over(w))
-        .drop("__h")
+        .withColumn("__sub", F.expr(f"__h div {sub_width}"))
+    )
+    counted = base.groupBy("shard", "__sub").agg(F.count(F.lit(1)).alias("__c"))
+    w_off = (
+        Window.partitionBy("shard")
+        .orderBy("__sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counted.select(
+        "shard",
+        "__sub",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("shard", "__sub").orderBy("__h", key_col)
+    return (
+        base.withColumn("__w", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), ["shard", "__sub"])
+        .withColumn("pos", (F.col("__off") + F.col("__w")).cast("int"))
+        .select(*df.columns, "shard", "pos")
     )
 
 

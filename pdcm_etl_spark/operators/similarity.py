@@ -276,29 +276,29 @@ def kmeans_fit(
     cents = [(i, [float(x) for x in row["v"]]) for i, row in enumerate(centroids)]
 
     def assign(cents_local):
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    F.col("v"),
-                    F.array(*[F.lit(x) for x in cvec]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias(f"d{cid}")
+        # argmin via array_sort over (dist, cid) structs — lexicographic
+        # struct order = dist asc with ties to the lower cid, identical
+        # to the oracle's ROW_NUMBER(ORDER BY dist, cid). The former
+        # when-chain duplicated the running best_d subtree twice per
+        # centroid — O(2^k) Catalyst nodes, driver OOM once k follows
+        # ⌈√n⌉ — while this expression is linear in k.
+        cands = F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(x) for x in cvec]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(cid).cast("int").alias("cid"),
+            )
             for cid, cvec in cents_local
-        ]
-        with_d = vecs.select("id", "v", *dists)
-        # init from the first *surviving* centroid — centroid 0 can lose
-        # all its points after an update round and drop out of cents_local
-        first_cid = cents_local[0][0]
-        best = F.lit(first_cid)
-        best_d = F.col(f"d{first_cid}")
-        for cid, _ in cents_local[1:]:
-            better = F.col(f"d{cid}") < best_d
-            best = F.when(better, F.lit(cid)).otherwise(best)
-            best_d = F.when(better, F.col(f"d{cid}")).otherwise(best_d)
-        return with_d.select("id", "v", best.alias("cid"))
+        ])
+        best = F.array_sort(cands)[0]["cid"]
+        return vecs.select("id", "v", best.alias("cid"))
 
     for _ in range(iterations):
         assigned = assign(cents)

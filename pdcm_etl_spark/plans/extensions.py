@@ -210,10 +210,7 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Both engines hash a string to the same 60-bit integer: first 15 hex chars
 # of md5, parsed base-16 (Spark conv(...,16,10); DuckDB hex-digit fold).
-_DUCK_H60 = (
-    "list_reduce(list_transform(string_split(substring(md5({col}),1,15),''),"
-    " c -> strpos('0123456789abcdef', c) - 1), (a,b) -> a*16 + b)::BIGINT"
-)
+_DUCK_H60 = dedup.DUCK_H60  # canonical definition lives beside portable_hash60
 
 
 def _sql_dedup_minhash_lsh(num_perm: int = 32, bands: int = 8, min_bp: int = 2000) -> str:
@@ -1088,44 +1085,74 @@ def x_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_assign(emb, k=4, iterations=1)
 
 
-SQL_KMEANS_ASSIGN = """
-WITH seeds AS (
+def _sql_kmeans_chain(
+    k_sql: str = "4", iterations: int = 1, dim: int = 64
+) -> tuple[str, str]:
+    """CTE chain replicating operators/similarity.kmeans_fit exactly for
+    any (k, iterations): seed = first k vectors by id, per-round argmin
+    assignment (ties to lower cid) + DECIMAL(28,9) nano-unit floor-mean
+    centroid update, final assignment with the last centroids. ``k_sql``
+    may be a scalar subquery (e.g. ceil(sqrt(COUNT(*)))), so the oracle
+    follows a data-derived k without re-registration."""
+    sq = (
+        f"list_reduce(list_transform(range({dim}), i -> "
+        "(CAST(e.embedding[i+1] AS DOUBLE) - s.cv[i+1]) * "
+        "(CAST(e.embedding[i+1] AS DOUBLE) - s.cv[i+1])), (a,b) -> a + b)"
+    )
+    parts = [
+        f"""seeds AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)
-), d1 AS (
-  SELECT e.vec_id, e.embedding, s.cid,
-         list_reduce(list_transform(range(64), i -> (CAST(e.embedding[i+1] AS DOUBLE) - s.cv[i+1]) * (CAST(e.embedding[i+1] AS DOUBLE) - s.cv[i+1])), (a,b) -> a + b) AS dist
-  FROM embeddings e CROSS JOIN seeds s
-), a1 AS (
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k_sql})
+)"""
+    ]
+    prev = "seeds"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""d{i} AS (
+  SELECT e.vec_id, e.embedding, s.cid, {sq} AS dist
+  FROM embeddings e CROSS JOIN {prev} s
+), a{i} AS (
   SELECT vec_id, embedding, cid FROM (
     SELECT *, ROW_NUMBER() OVER (
       PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
-    FROM d1
+    FROM d{i}
   ) WHERE rn = 1
-), m1 AS (
+), m{i} AS (
   SELECT cid, i AS pos,
          CAST(SUM(CAST(CAST(embedding[i+1] AS DOUBLE) AS DECIMAL(28,9))) * 1000000000 AS BIGINT) AS s_nano,
          COUNT(*) AS n
-  FROM a1, (SELECT unnest(range(64)) AS i)
+  FROM a{i}, (SELECT unnest(range({dim})) AS i)
   GROUP BY 1, 2
-), c1 AS (
+), c{i} AS (
   SELECT cid,
          list((s_nano - ((s_nano % n) + n) % n) // n / 1000000000.0 ORDER BY pos) AS cv
-  FROM m1 GROUP BY cid
-), d2 AS (
-  SELECT e.vec_id, s.cid,
-         list_reduce(list_transform(range(64), i -> (CAST(e.embedding[i+1] AS DOUBLE) - s.cv[i+1]) * (CAST(e.embedding[i+1] AS DOUBLE) - s.cv[i+1])), (a,b) -> a + b) AS dist
-  FROM embeddings e CROSS JOIN c1 s
-), a2 AS (
+  FROM m{i} GROUP BY cid
+)"""
+        )
+        prev = f"c{i}"
+    fi = iterations + 1
+    parts.append(
+        f"""d{fi} AS (
+  SELECT e.vec_id, s.cid, {sq} AS dist
+  FROM embeddings e CROSS JOIN {prev} s
+), a{fi} AS (
   SELECT vec_id, cid FROM (
     SELECT *, ROW_NUMBER() OVER (
       PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
-    FROM d2
+    FROM d{fi}
   ) WHERE rn = 1
-)
-SELECT vec_id, CAST(cid AS INTEGER) AS cid FROM a2
-"""
+)"""
+    )
+    return ",\n".join(parts), f"a{fi}"
+
+
+def _sql_kmeans_assign(k_sql: str = "4", iterations: int = 1) -> str:
+    ctes, final = _sql_kmeans_chain(k_sql, iterations)
+    return f"WITH {ctes}\nSELECT vec_id, CAST(cid AS INTEGER) AS cid FROM {final}"
+
+
+SQL_KMEANS_ASSIGN = _sql_kmeans_assign("4", 1)
 
 
 def x_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1391,19 +1418,33 @@ def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: deterministic k-means clusters as
     the blocking structure, within-cluster cosine, remove any vector with
     a smaller-id neighbor >= threshold (0.40 here — the synthetic
-    embeddings' top in-cluster cosine is ~0.47; production uses ~0.9)."""
+    embeddings' top in-cluster cosine is ~0.47; production uses ~0.9).
+
+    Representative regime (round-3 verdict item 8): k = ⌈√n⌉ scales the
+    cluster count with the corpus so per-cluster populations stay bounded
+    (SemDeDup's own recipe), with 2 full Lloyd rounds; the oracle derives
+    the same k from COUNT(*) in SQL so it follows without
+    re-registration. n comes from a count() — a scalar aggregate, not a
+    data-sized collect."""
+    import math
+
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.semantic_dedup(emb, k=4, iterations=1, min_ppm=400000)
+    k = int(math.ceil(math.sqrt(emb.count())))
+    return similarity.semantic_dedup(emb, k=k, iterations=2, min_ppm=400000)
 
 
-# composed oracle: the exact k-means assignment CTE chain (same as
-# SQL_KMEANS_ASSIGN) + within-cluster pair scan + smaller-id-neighbor rule
+# composed oracle: the exact k-means assignment CTE chain (k=⌈√n⌉ via a
+# scalar subquery, 2 Lloyd rounds — mirrors x_dedup_semantic) +
+# within-cluster pair scan + smaller-id-neighbor rule
 def _sql_dedup_semantic() -> str:
-    kmeans_body = SQL_KMEANS_ASSIGN.strip().rstrip('"').strip()
-    # reuse the kmeans oracle verbatim as a subquery
+    ctes, final = _sql_kmeans_chain(
+        "(SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings)",
+        iterations=2,
+    )
     return f"""
-WITH assign AS (
-{kmeans_body}
+WITH {ctes},
+assign AS (
+  SELECT vec_id, CAST(cid AS INTEGER) AS cid FROM {final}
 ), v AS (
   SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v, a.cid,
          sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),

@@ -18,6 +18,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+
+def _session_scratch_dir(prefix: str) -> str:
+    """mkdtemp registered for atexit removal (round-3 advice: the
+    scd2_dim_* snapshot dir outlives the workdir cleanup by design — the
+    returned DataFrame lazily reads it — but must not leak a directory
+    per invocation past process exit)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
 def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over events.parquet with `ts` normalized to TIMESTAMP.
 
@@ -291,8 +305,9 @@ def scd2_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             " unset maxFilesPerTrigger / keep the lake single-file"
         )
     # move the winning snapshot to a STABLE dir (outlives the workdir
-    # cleanup) and return a distributed read — never collect the dimension
-    final = tempfile.mkdtemp(prefix="scd2_dim_")
+    # cleanup — the returned DataFrame lazily reads it; removed atexit)
+    # and return a distributed read — never collect the dimension
+    final = _session_scratch_dir("scd2_dim_")
     if state["batches"] == 0:  # empty drain: the seed IS the dimension
         state["df"].write.mode("overwrite").parquet(final)
     else:

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pdcm_etl_spark.functions.cleaner import lower_and_trim_all, trim_all
-from pdcm_etl_spark.functions.ids import add_id
+from pdcm_etl_spark.functions.ids import add_id, portable_hash_id
 from pdcm_etl_spark.functions.joins import transform_to_fk
 from pdcm_etl_spark.sources.tsv import PROVIDER_COL
 
@@ -67,7 +67,14 @@ def initial_model(
     ).drop_duplicates()
 
     out = union.join(sharing, on=["external_model_id", PROVIDER_COL], how="left")
-    return add_id(out, "id", key_cols=["external_model_id", PROVIDER_COL], fact=True)
+    # The model id is PUBLISHED as search_index.pdcm_model_id, so unlike
+    # the other fact ids it uses the engine-portable md5-based hash
+    # (round-3 verdict item 4): same map-side/no-shuffle profile as
+    # hash_id, but the DuckDB oracle can re-derive it, which makes the
+    # flagship's 67th column hash-checkable.
+    return out.withColumn(
+        "id", portable_hash_id("external_model_id", PROVIDER_COL)
+    )
 
 
 def model(
