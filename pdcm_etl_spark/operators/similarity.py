@@ -275,30 +275,64 @@ def kmeans_fit(
     # cid = rank of the seed vector among the first k, 0-based
     cents = [(i, [float(x) for x in row["v"]]) for i, row in enumerate(centroids)]
 
+    spark = embeddings.sparkSession
+
     def assign(cents_local):
-        # argmin via array_sort over (dist, cid) structs — lexicographic
-        # struct order = dist asc with ties to the lower cid, identical
-        # to the oracle's ROW_NUMBER(ORDER BY dist, cid). The former
-        # when-chain duplicated the running best_d subtree twice per
-        # centroid — O(2^k) Catalyst nodes, driver OOM once k follows
-        # ⌈√n⌉ — while this expression is linear in k.
-        cands = F.array(*[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("v"),
-                        F.array(*[F.lit(x) for x in cvec]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(cid).cast("int").alias("cid"),
+        # Argmin semantics in both paths: dist asc, ties to the lower
+        # cid — identical to the oracle's ROW_NUMBER(ORDER BY dist, cid).
+        # (The original when-chain duplicated the running best_d subtree
+        # twice per centroid — O(2^k) Catalyst nodes, driver OOM once k
+        # follows ⌈√n⌉.)
+        if len(cents_local) <= 64:
+            # small k: k×dim centroid literals inline, argmin via
+            # array_sort over (dist, cid) structs — zero shuffle
+            cands = F.array(*[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            F.array(*[F.lit(x) for x in cvec]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(cid).cast("int").alias("cid"),
+                )
+                for cid, cvec in cents_local
+            ])
+            best = F.array_sort(cands)[0]["cid"]
+            return vecs.select("id", "v", best.alias("cid"))
+        # large k (k = ⌈√n⌉ regimes): k×dim literals would generate a
+        # megabyte-scale codegen unit per round (measured: dedup_semantic
+        # 75s at k=100, dominated by compilation). Ship the centroids as
+        # a broadcast DataFrame instead: explode ×k per row map-side,
+        # argmin via min(struct(dist, cid)) — one hash aggregate on id,
+        # partial min map-side, plan size O(1) in k.
+        cent_df = F.broadcast(
+            spark.createDataFrame(
+                [(1, cid, [float(x) for x in cvec]) for cid, cvec in cents_local],
+                "__one int, cid int, cv array<double>",
             )
-            for cid, cvec in cents_local
-        ])
-        best = F.array_sort(cands)[0]["cid"]
-        return vecs.select("id", "v", best.alias("cid"))
+        )
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            # constant equi-key → BroadcastHashJoin (a bare cross join
+            # would plan BNLJ, which the plan tests rightly forbid); the
+            # k-row replication happens map-side against the broadcast
+            vecs.withColumn("__one", F.lit(1))
+            .join(cent_df, "__one")
+            .select("id", "v", F.struct(dist.alias("d"), F.col("cid")).alias("dc"))
+            .groupBy("id", "v")
+            .agg(F.min("dc").alias("dc"))
+            .select("id", "v", F.col("dc.cid").alias("cid"))
+        )
 
     for _ in range(iterations):
         assigned = assign(cents)
