@@ -58,7 +58,8 @@ _PRIORITY: list[str] = [
     "scd2_merge",
     "stream_scd2_upsert",
     # scalar kit / JSON / profiling / pivot representatives
-    "collect_set_markers",
+    # (collect_set_markers rotated out for the round-4 additions — r1+r3
+    # driver-proven; global_agg keeps the collect family in-window)
     "global_agg",
     "json_agg_struct",
     "pivot_status",
@@ -77,9 +78,9 @@ _PRIORITY: list[str] = [
     # similarity search: trained-IVF variant in, plain IVF out
     "ann_ivf_trained_topk",
     "ann_recall",
-    # text analysis: the three never-checked ops join quality/tfidf
+    # text analysis (text_tfidf rotated out for the round-4 additions —
+    # r3 driver-proven, oracle-checked every pytest run)
     "text_quality",
-    "text_tfidf",
     "text_pii_scrub",
     "text_contamination",
     "text_repetition",
@@ -94,6 +95,9 @@ _PRIORITY: list[str] = [
     "asof_join",
     "ngram_topk",
     "shuffle_shards",
+    # round-4 additions, windowed immediately (never driver-checked)
+    "dedup_paragraph",
+    "sample_domain_mix",
     "corpus_curation",
     "kmeans_assign",
     "pack_sequences",

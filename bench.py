@@ -67,6 +67,8 @@ HEADLINE = [
     "stream_scd2_upsert",
     "multimodal_decode",
     "multimodal_frames",
+    "dedup_paragraph",
+    "sample_domain_mix",
 ]
 
 

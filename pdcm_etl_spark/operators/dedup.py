@@ -393,3 +393,77 @@ def minhash_dedup_incremental(
         ),
         ["id_a", "id_b"],
     ).select("id_a", "id_b", "inter", "jaccard_bp", "is_new_pair")
+
+
+# ---------------------------------------------------------------------------
+# paragraph/segment-level dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 16,
+) -> DataFrame:
+    """Sub-document deduplication in the CCNet style (Wenzek et al. 2020,
+    arXiv:1911.00359): dedup at paragraph granularity across the WHOLE
+    corpus — a segment survives only at its first occurrence (lowest
+    (doc_id, seg_idx)) — then reassemble each document from its surviving
+    segments. This removes boilerplate (headers, navbars, license
+    blocks) that document-level dedup cannot see.
+
+    Segmentation here is a fixed ``seg_words``-word window (the synthetic
+    corpus has no newlines; with real data, split on '\\n\\n' first and
+    fall back to windows for oversized paragraphs).
+
+    Scale: one shuffle on the segment digest (16-byte md5 + ids, never
+    the text), first-occurrence via a digest-partitioned window —
+    bucket-sized state, no global sort; reassembly is a per-doc
+    aggregation. Returns (id, n_segs, n_kept, kept_text).
+    """
+    from pyspark.sql import Window
+
+    ws = F.split(F.lower(F.col(text_col)), " ")
+    pre = df.select(F.col(id_col).alias("id"), ws.alias("ws"))
+    n_segs = F.ceil(F.size("ws") / F.lit(seg_words)).cast("bigint")
+    segs = pre.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), (n_segs - 1).cast("int"))).alias("seg_idx"),
+        "ws",
+    ).select(
+        "id",
+        F.col("seg_idx").cast("bigint").alias("seg_idx"),
+        F.array_join(
+            F.slice("ws", F.col("seg_idx").cast("int") * seg_words + 1, seg_words),
+            " ",
+        ).alias("seg"),
+    )
+    # first occurrence wins, ordered by (doc id, position) — the digest
+    # partitions the window so state is bucket-sized
+    w = Window.partitionBy(F.md5("seg")).orderBy("id", "seg_idx")
+    flagged = segs.withColumn("kept", F.row_number().over(w) == 1)
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("kept"),
+                                    F.struct("seg_idx", "seg"),
+                                )
+                            )
+                        ),
+                        lambda s: s["seg"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("kept_text"),
+        )
+    )

@@ -179,3 +179,77 @@ def top_percentile_filter(
         .withColumn("pr_bp", F.expr(f"((__rn - 1) * {BUCKETS}) div {d}"))
         .drop("__w", "__cumb", "__rn")
     )
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    weights: dict[str, int] | None = None,
+    weight_expr: F.Column | None = None,
+    budget_ppm: int = 500_000,
+) -> DataFrame:
+    """Rebalance a corpus toward a target domain mix — the data-mixing
+    step of training-data pipelines (e.g. up-weighting curated sources
+    against a crawl): given per-domain target weights, compute each
+    domain's deterministic keep-rate and hash-sample it.
+
+    rate_ppm(domain) = min(1e6, budget_ppm · w_d · N / (W · n_d))
+    where n_d = domain rows, N = total rows, W = total weight — i.e. the
+    output approximates budget_ppm of the corpus distributed across
+    domains ∝ their weights, clipping domains too small to fill their
+    share (no upsampling). All arithmetic is integer (ppm) and the
+    membership test is the portable content hash, so the sample is a
+    pure function of the data — reproducible across runs, partitionings
+    and engines (exact DuckDB oracle).
+
+    Scale: one map-side partial count per domain (domain cardinality ≪
+    rows), a broadcast join of the tiny rate table, a map-side hash
+    filter. No data-sized shuffle at all.
+
+    Returns the sampled rows + (weight, rate_ppm) for auditability.
+    """
+    w = weight_expr if weight_expr is not None else None
+    if w is None and weights is not None:
+        w = F.lit(0)
+        for dom, wt in weights.items():
+            w = F.when(F.col(domain_col) == dom, F.lit(wt)).otherwise(w)
+    if w is None:
+        raise ValueError("domain_mix_sample: pass weights or weight_expr")
+
+    from pyspark.sql import Window
+
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__w", w.cast("bigint"))
+    )
+    # N and W via an unpartitioned window over the COUNTS table — one row
+    # per domain, so the single-partition window is metadata-sized (a
+    # crossJoin of the totals aggregate trips Spark's self-join attribute
+    # disambiguation here). W sums weights over DISTINCT domains.
+    w_all = Window.partitionBy()
+    # NB: names must differ case-insensitively from __n/__w — Spark's
+    # default case-insensitive resolution makes withColumn("__N") SILENTLY
+    # REPLACE __n
+    rates = (
+        counts
+        .withColumn("__ntot", F.sum("__n").over(w_all))
+        .withColumn("__wtot", F.sum("__w").over(w_all))
+        .select(
+            domain_col,
+            F.col("__w").alias("weight"),
+            F.least(
+                F.lit(1_000_000).cast("bigint"),
+                F.expr(
+                    f"({budget_ppm} * __w * __ntot) div (__wtot * __n)"
+                ),
+            ).alias("rate_ppm"),
+        )
+    )
+    bucket = portable_hash60(F.col(key_col).cast("string")) % F.lit(1_000_000)
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(bucket < F.col("rate_ppm"))
+        .select(*df.columns, "weight", "rate_ppm")
+    )

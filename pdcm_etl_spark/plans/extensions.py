@@ -1506,6 +1506,76 @@ ORDER BY n DESC, ngram LIMIT 20
 """
 
 
+def x_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style sub-document dedup (arXiv:1911.00359): 16-word
+    segments deduped across the whole corpus (first occurrence by
+    (doc_id, position) wins), documents reassembled from surviving
+    segments. One digest shuffle + digest-partitioned window."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return dedup.paragraph_dedup(docs, seg_words=16)
+
+
+SQL_DEDUP_PARAGRAPH = """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+), idx AS (
+  SELECT doc_id, ws,
+         unnest(range(CAST(ceil(len(ws) / 16.0) AS BIGINT))) AS seg_idx
+  FROM w
+), segs AS (
+  SELECT doc_id, seg_idx,
+         array_to_string(ws[seg_idx*16+1 : seg_idx*16+16], ' ') AS seg
+  FROM idx
+), flagged AS (
+  SELECT doc_id, seg_idx, seg,
+         ROW_NUMBER() OVER (PARTITION BY md5(seg)
+                            ORDER BY doc_id, seg_idx) = 1 AS kept
+  FROM segs
+)
+SELECT doc_id AS id, COUNT(*) AS n_segs,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(array_to_string(list(seg ORDER BY seg_idx)
+                                FILTER (WHERE kept), ' '), '') AS kept_text
+FROM flagged GROUP BY doc_id
+"""
+
+
+def x_sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain re-balancing (training-data mixing): per-source target
+    weights (here (src# % 4) + 1) → deterministic hash keep-rates
+    approximating a 50% budget distributed ∝ weight. Broadcast rate
+    table + map-side hash filter; no data-sized shuffle."""
+    from pdcm_etl_spark.operators.sampling import domain_mix_sample
+
+    docs = _docs(spark, sf_dir)
+    w = (F.substring("source", 4, 10).cast("bigint") % 4) + 1
+    return domain_mix_sample(
+        docs, key_col="doc_id", domain_col="source",
+        weight_expr=w, budget_ppm=500_000,
+    )
+
+
+_H60_DOCID_MIX = _DUCK_H60.format(col="CAST(d.doc_id AS VARCHAR)")
+SQL_SAMPLE_DOMAIN_MIX = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n,
+         (CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS w
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot, CAST(SUM(w) AS BIGINT) AS w_tot
+  FROM counts
+), rates AS (
+  SELECT source, CAST(w AS BIGINT) AS weight,
+         CAST(LEAST(1000000, (500000 * w * n_tot) // (w_tot * n)) AS BIGINT)
+           AS rate_ppm
+  FROM counts, tot
+)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, r.weight, r.rate_ppm
+FROM documents d JOIN rates r USING (source)
+WHERE {_H60_DOCID_MIX} % 1000000 < r.rate_ppm
+"""
+
+
 def x_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle + shard assignment (training-data
     export order): shard from the portable 60-bit key hash, position
@@ -1556,6 +1626,8 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "text_chunk": (x_text_chunk, SQL_TEXT_CHUNK),
     "ngram_topk": (x_ngram_topk, SQL_NGRAM_TOPK),
     "shuffle_shards": (x_shuffle_shards, SQL_SHUFFLE_SHARDS),
+    "dedup_paragraph": (x_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
+    "sample_domain_mix": (x_sample_domain_mix, SQL_SAMPLE_DOMAIN_MIX),
     "multimodal_meta": (x_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (x_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_frames": (x_multimodal_frames, SQL_MULTIMODAL_FRAMES),

@@ -328,3 +328,89 @@ def test_ngram_counts_match_reference_fold(spark, texts):
         for i in range(len(ws) - 1):
             expect[ws[i] + " " + ws[i + 1]] += 1
     assert got == dict(expect)
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=1, max_size=40,
+        ).map(" ".join),
+        min_size=1, max_size=12,
+    ),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_paragraph_dedup_properties(spark, texts, parts):
+    """CCNet-style segment dedup invariants: (a) partition-independent,
+    (b) kept-segment total == distinct segment count corpus-wide,
+    (c) the lowest-id doc among exact duplicates keeps everything and
+    later copies keep nothing, (d) n_kept <= n_segs."""
+    from pdcm_etl_spark.operators.dedup import paragraph_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["id"]: (r["n_segs"], r["n_kept"], r["kept_text"])
+        for r in paragraph_dedup(df, seg_words=4).collect()
+    }
+    rep = {
+        r["id"]: (r["n_segs"], r["n_kept"], r["kept_text"])
+        for r in paragraph_dedup(df.repartition(parts), seg_words=4).collect()
+    }
+    assert got == rep
+    # python replica of the segmentation + first-occurrence rule
+    seen: set[str] = set()
+    for i, t in sorted(rows):
+        ws = t.lower().split(" ")
+        segs = [" ".join(ws[j * 4 : j * 4 + 4]) for j in range((len(ws) + 3) // 4)]
+        kept = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        n_segs, n_kept, kept_text = got[i]
+        assert n_segs == len(segs)
+        assert n_kept == len(kept)
+        assert kept_text == " ".join(kept)
+
+
+@SLOW
+@given(
+    n_docs=st.integers(min_value=1, max_value=80),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_domain_mix_sample_properties(spark, n_docs, parts):
+    """Domain-mix sampling invariants: deterministic under partitioning,
+    a subset of the input, rate_ppm respects the min(1e6, budget·w·N/(W·n))
+    formula exactly."""
+    from pdcm_etl_spark.operators.sampling import domain_mix_sample
+
+    rows = [(i, f"d{i % 3}") for i in range(n_docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    weights = {"d0": 1, "d1": 3, "d2": 6}
+    kw = dict(key_col="doc_id", domain_col="source", weights=weights,
+              budget_ppm=400_000)
+    a = sorted(
+        (r["doc_id"], r["weight"], r["rate_ppm"])
+        for r in domain_mix_sample(df, **kw).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["weight"], r["rate_ppm"])
+        for r in domain_mix_sample(df.repartition(parts), **kw).collect()
+    )
+    assert a == b
+    ids = {i for i, _, _ in a}
+    assert ids <= {i for i, _ in rows}
+    # exact integer rate formula
+    from collections import Counter
+
+    n_by = Counter(s for _, s in rows)
+    W = sum(weights[s] for s in n_by)
+    N = n_docs
+    for _, w, rate in a:
+        dom = [s for s in n_by if weights[s] == w]
+        assert any(
+            rate == min(1_000_000, (400_000 * w * N) // (W * n_by[s]))
+            for s in dom
+        )

@@ -15,6 +15,8 @@ ROTATED_IN = [
     "window_ntile", "approx_distinct",
     # round-3 additions, windowed immediately
     "ngram_topk", "shuffle_shards",
+    # round-4 additions, windowed immediately
+    "dedup_paragraph", "sample_domain_mix",
 ]
 
 
@@ -41,7 +43,9 @@ def test_first_50_covers_every_family():
         "recursion": ["recursive_closure"],
         "dedup": ["dedup_ngram_jaccard", "dedup_minhash_lsh",
                   "dedup_minhash_incremental", "dedup_keeper_quality",
-                  "dedup_simhash", "dedup_semantic", "dedup_groups"],
+                  "dedup_simhash", "dedup_semantic", "dedup_groups",
+                  "dedup_paragraph"],
+        "domain-mix": ["sample_domain_mix"],
         "similarity": ["ann_ivf_trained_topk"],
         "ann-eval": ["ann_recall"],
         "text": ["text_quality", "text_tfidf", "text_chunk",
