@@ -257,3 +257,27 @@ def test_semantic_dedup_joins_within_cluster_only(spark, sf_dir, queries):
     plan = _plan(queries["dedup_semantic"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_paragraph_dedup_no_global_sort(spark, sf_dir, queries):
+    """The first-occurrence window must partition by the segment digest
+    (bucket-sized state) — never an unpartitioned global sort; no
+    nested-loop joins anywhere."""
+    import re
+
+    plan = _plan(queries["dedup_paragraph"](spark, sf_dir))
+    for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
+        assert m.group(1).strip() != "", "unpartitioned window in plan"
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_domain_mix_rate_table_broadcasts(spark, sf_dir, queries):
+    """The per-domain rate table must reach the fact side as a broadcast
+    (domain cardinality ≪ rows); the hash membership filter is map-side.
+    The only unpartitioned window runs over the domain-COUNT table —
+    metadata-sized by construction."""
+    plan = _plan(queries["sample_domain_mix"](spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
