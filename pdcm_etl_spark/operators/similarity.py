@@ -275,63 +275,48 @@ def kmeans_fit(
     # cid = rank of the seed vector among the first k, 0-based
     cents = [(i, [float(x) for x in row["v"]]) for i, row in enumerate(centroids)]
 
-    spark = embeddings.sparkSession
 
     def assign(cents_local):
-        # Argmin semantics in both paths: dist asc, ties to the lower
-        # cid — identical to the oracle's ROW_NUMBER(ORDER BY dist, cid).
-        # (The original when-chain duplicated the running best_d subtree
-        # twice per centroid — O(2^k) Catalyst nodes, driver OOM once k
-        # follows ⌈√n⌉.)
-        if len(cents_local) <= 64:
-            # small k: k×dim centroid literals inline, argmin via
-            # array_sort over (dist, cid) structs — zero shuffle
-            cands = F.array(*[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("v"),
-                            F.array(*[F.lit(x) for x in cvec]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    F.lit(cid).cast("int").alias("cid"),
-                )
-                for cid, cvec in cents_local
-            ])
-            best = F.array_sort(cands)[0]["cid"]
-            return vecs.select("id", "v", best.alias("cid"))
-        # large k (k = ⌈√n⌉ regimes): k×dim literals would generate a
-        # megabyte-scale codegen unit per round (measured: dedup_semantic
-        # 75s at k=100, dominated by compilation). Ship the centroids as
-        # a broadcast DataFrame instead: explode ×k per row map-side,
-        # argmin via min(struct(dist, cid)) — one hash aggregate on id,
-        # partial min map-side, plan size O(1) in k.
-        cent_df = F.broadcast(
-            spark.createDataFrame(
-                [(1, cid, [float(x) for x in cvec]) for cid, cvec in cents_local],
-                "__one int, cid int, cv array<double>",
-            )
+        # Argmin semantics: dist asc, ties to the lower cid — identical
+        # to the oracle's ROW_NUMBER(ORDER BY dist, cid).
+        #
+        # The centroids enter the plan as ONE from_json string literal
+        # that ConstantFolding collapses into a single array value at
+        # optimization time — O(1) plan/codegen size in k (k per-element
+        # literals measured 75s of pure compilation at k=100;
+        # dedup_semantic sf0.1 warm 11.5s → 5.1s on this path), no join,
+        # no shuffle: the per-row argmin is transform → array_sort over
+        # the folded constant. JSON round-trips binary64 exactly
+        # (repr-based dumps → Double.parseDouble).
+        #
+        # (History of rejected shapes: a per-centroid when-chain copies
+        # the running best twice per step — O(2^k) Catalyst nodes,
+        # driver OOM near k=25; a 1-row broadcast side-table degenerates
+        # to BroadcastNestedLoopJoin once the constant key folds.)
+        import json
+
+        cents_json = json.dumps(
+            [{"cid": cid, "cv": [float(x) for x in cvec]}
+             for cid, cvec in cents_local]
         )
-        dist = F.aggregate(
-            F.zip_with(
-                F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+        cents_col = F.from_json(
+            F.lit(cents_json), "array<struct<cid: int, cv: array<double>>>"
+        )
+        scored = F.transform(
+            cents_col,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"), c["cv"], lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                c["cid"].alias("cid"),
             ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
         )
-        return (
-            # constant equi-key → BroadcastHashJoin (a bare cross join
-            # would plan BNLJ, which the plan tests rightly forbid); the
-            # k-row replication happens map-side against the broadcast
-            vecs.withColumn("__one", F.lit(1))
-            .join(cent_df, "__one")
-            .select("id", "v", F.struct(dist.alias("d"), F.col("cid")).alias("dc"))
-            .groupBy("id", "v")
-            .agg(F.min("dc").alias("dc"))
-            .select("id", "v", F.col("dc.cid").alias("cid"))
+        return vecs.select(
+            "id", "v", F.array_sort(scored)[0]["cid"].alias("cid")
         )
 
     for _ in range(iterations):
