@@ -430,7 +430,7 @@ def q_etl_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_etl_search_index_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-3 wide flagship oracle (round-2 verdict item 1): the full
     metadata DAG projected onto EVERY search_index column except the
-    xxhash64 internal id — 66 of 67 columns hash-checked against a
+    portable internal id — 66 of 67 columns hash-checked against a
     pure-SQL DuckDB re-derivation. Beyond the 16-column spine this pins
     the JSON aggregates (quality_assurance, xenograft_model_specimens,
     model_images, pdx_model_publications, scores), the per-model marker
@@ -450,7 +450,8 @@ def q_etl_search_index_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_etl_search_index_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checked flagship twin: the same full metadata DAG, projected
     onto the search_index spine (16 deterministic columns — everything in
-    SEARCH_INDEX_CORE_COLUMNS except the xxhash64 internal id, which no
+    SEARCH_INDEX_CORE_COLUMNS except the internal id, which since round 4
+    is ALSO oracle-checked (portable md5 hash) via etl_search_index; no
     other engine can reproduce). The DuckDB oracle re-derives every value
     from the synth workload's key arithmetic (plans/synth.py) composed
     with the pipeline semantics: ontology mapping + Neoplasm→Cancer
@@ -552,7 +553,7 @@ LEFT JOIN pt ON pt.ck = o.ck
 """
 
 
-# Wide-flagship oracle: every search_index column except the xxhash64
+# Wide-flagship oracle: every search_index column except the portable
 # internal id, re-derived in pure SQL from the synth workload's key
 # arithmetic (plans/synth.py) composed with the pipeline semantics.
 # Display strings produced by initcap-style cleaners are hardcoded
