@@ -78,9 +78,9 @@ _PRIORITY: list[str] = [
     # similarity search: trained-IVF variant in, plain IVF out
     "ann_ivf_trained_topk",
     "ann_recall",
-    # text analysis (text_tfidf rotated out for the round-4 additions —
-    # r3 driver-proven, oracle-checked every pytest run)
-    "text_quality",
+    # text analysis (text_tfidf + text_quality rotated out for the
+    # round-4 additions — r3 driver-proven, oracle-checked every pytest
+    # run; pii_scrub/contamination/repetition/chunk keep the family)
     "text_pii_scrub",
     "text_contamination",
     "text_repetition",
@@ -102,9 +102,10 @@ _PRIORITY: list[str] = [
     "kmeans_assign",
     "pack_sequences",
     "quality_percentile",
-    # streaming: all six paths in-window this round (sessionize and
-    # dedup gained exact oracles in round 3)
+    # streaming: all seven paths in-window this round (sliding windows
+    # new in round 4)
     "stream_events_daily",
+    "stream_events_sliding",
     "session_window",
     "stream_stream_join",
     "stream_sessionize",

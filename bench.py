@@ -63,6 +63,7 @@ HEADLINE = [
     # round-4 additions (round-3 verdict item 7): every registry family
     # has timing history — streaming drains + the Arrow multimodal ops
     "stream_events_daily",
+    "stream_events_sliding",
     "stream_dedup",
     "stream_scd2_upsert",
     "multimodal_decode",

@@ -774,6 +774,32 @@ def x_stream_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_availablenow(spark, sf_dir)
 
 
+def x_stream_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregation (2-day window / 1-day slide)
+    — the moving-aggregate idiom; completes the window-family trio next
+    to the tumbling (stream_events_daily) and session
+    (stream_sessionize) paths."""
+    from pdcm_etl_spark.streaming.events_stream import sliding_counts_stream
+
+    return sliding_counts_stream(spark, sf_dir)
+
+
+# every event lands in exactly 2 epoch-day-aligned sliding windows:
+# start = trunc_day(ts) and trunc_day(ts) - 1 day
+SQL_STREAM_EVENTS_SLIDING = """
+WITH doubled AS (
+  SELECT CAST(date_trunc('day', ts) - i * INTERVAL 1 DAY AS TIMESTAMP)
+           AS win_start,
+         event_type, value
+  FROM events, (SELECT unnest([0, 1]) AS i)
+)
+SELECT win_start, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+         AS sum_value_micro
+FROM doubled GROUP BY 1, 2
+"""
+
+
 def x_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Built-in session_window aggregation (2h gap) over events."""
     from pdcm_etl_spark.streaming.sessionize import sessionize_batch
@@ -1633,6 +1659,7 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "multimodal_frames": (x_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "multimodal_resize": (x_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "stream_events_daily": (x_stream_events_daily, SQL_STREAM_EVENTS_DAILY),
+    "stream_events_sliding": (x_stream_events_sliding, SQL_STREAM_EVENTS_SLIDING),
     "session_window": (x_session_window, SQL_SESSION_WINDOW),
     "asof_join": (x_asof_join, SQL_ASOF_JOIN),
     "range_join": (x_range_join, SQL_RANGE_JOIN),

@@ -317,3 +317,45 @@ def scd2_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(final).select(
         "user_id", "event_type", "valid_from", "valid_to", "is_current"
     )
+
+
+def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream → watermark → SLIDING window (2-day window, 1-day
+    slide) per event_type — the trending/moving-aggregate idiom
+    (tumbling and session windows are the other two registry paths).
+    Each event lands in exactly windowLen/slide = 2 windows; state is
+    bounded by the watermark exactly as in the tumbling case, ×2 live
+    windows per key.
+
+    Drained with Trigger.AvailableNow into a complete-mode memory sink —
+    deterministic, and SQL-expressible: the oracle duplicates each event
+    into its ⌈len/slide⌉ covering windows with generate_series and
+    re-aggregates."""
+    ev = events_stream_source(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(
+            F.window("ts", "2 days", "1 day").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+            .cast("bigint")
+            .alias("sum_value_micro"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value_micro",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("events_sliding_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("events_sliding_stream")

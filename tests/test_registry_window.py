@@ -16,7 +16,7 @@ ROTATED_IN = [
     # round-3 additions, windowed immediately
     "ngram_topk", "shuffle_shards",
     # round-4 additions, windowed immediately
-    "dedup_paragraph", "sample_domain_mix",
+    "dedup_paragraph", "sample_domain_mix", "stream_events_sliding",
 ]
 
 
@@ -59,9 +59,9 @@ def test_first_50_covers_every_family():
         "clustering": ["kmeans_assign"],
         "packing": ["pack_sequences"],
         "quality-filter": ["quality_percentile"],
-        "streaming": ["stream_events_daily", "session_window",
-                      "stream_stream_join", "stream_sessionize",
-                      "stream_dedup"],
+        "streaming": ["stream_events_daily", "stream_events_sliding",
+                      "session_window", "stream_stream_join",
+                      "stream_sessionize", "stream_dedup"],
     }
     missing = {
         fam: reps
