@@ -85,10 +85,10 @@ _PRIORITY: list[str] = [
     "text_contamination",
     "text_repetition",
     # multimodal: decode (codec honestly stubbed; the deterministic fake
-    # is SQL-expressed, hash-green since r3) + the two geometry ops
+    # is SQL-expressed, hash-green since r3) + frame sampling (resize
+    # rotated out — r3 driver-proven)
     "multimodal_decode",
     "multimodal_frames",
-    "multimodal_resize",
     # temporal / sampling / composed pipelines (range_join and
     # sample_stratified are r01+r02 driver-proven — their slots go to the
     # round-3 additions so every registry query has had a driver row)
@@ -98,6 +98,7 @@ _PRIORITY: list[str] = [
     # round-4 additions, windowed immediately (never driver-checked)
     "dedup_paragraph",
     "sample_domain_mix",
+    "bpe_pair_counts",
     "corpus_curation",
     "kmeans_assign",
     "pack_sequences",

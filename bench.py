@@ -70,6 +70,7 @@ HEADLINE = [
     "multimodal_frames",
     "dedup_paragraph",
     "sample_domain_mix",
+    "bpe_pair_counts",
 ]
 
 

@@ -399,3 +399,47 @@ def chunk_documents(
             ).cast("bigint").alias("chunk_tokens"),
         )
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_k: int = 50
+) -> DataFrame:
+    """The distributed core of BPE tokenizer training (Sennrich et al.
+    2016, arXiv:1508.07909): symbol-pair frequencies over the corpus
+    vocabulary — the statistic each merge round maximizes. One round
+    computed Spark-side:
+
+      1. word frequencies (one shuffle on the word — map-side partial
+         counts, so the shuffle is vocabulary-sized, not corpus-sized);
+      2. per distinct word, adjacent character pairs weighted by the
+         word's corpus frequency (map-side array expression — pair
+         generation runs over the VOCABULARY, the classic BPE trick:
+         corpus size never touches the pair scan);
+      3. global pair ranking: sum(freq) per pair, top-k by (count desc,
+         pair asc) — TakeOrderedAndProject, no global sort.
+
+    A full BPE trainer iterates: apply the winning merge to the
+    vocabulary (a map-side regexp on the distinct words) and recount.
+    Returns (pair, n) — the merge-candidate ranking of round one.
+    """
+    words = (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # pair i = chars [i, i+1], via substr over the word directly
+    pairs = F.when(
+        F.length("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array())
+    return (
+        words.select(F.explode(pairs).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )

@@ -1532,6 +1532,30 @@ ORDER BY n DESC, ngram LIMIT 20
 """
 
 
+def x_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of distributed BPE training statistics: corpus word
+    frequencies → per-vocabulary-word adjacent character pairs weighted
+    by frequency → global top-50 merge candidates."""
+    docs = _docs(spark, sf_dir).select("text")
+    return text.bpe_pair_counts(docs, top_k=50)
+
+
+SQL_BPE_PAIR_COUNTS = """
+WITH words AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+  ) WHERE w != '' GROUP BY w
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                               i -> substring(w, i, 2))) AS pair, freq
+  FROM words WHERE length(w) >= 2
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC LIMIT 50
+"""
+
+
 def x_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style sub-document dedup (arXiv:1911.00359): 16-word
     segments deduped across the whole corpus (first occurrence by
@@ -1654,6 +1678,7 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "shuffle_shards": (x_shuffle_shards, SQL_SHUFFLE_SHARDS),
     "dedup_paragraph": (x_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
     "sample_domain_mix": (x_sample_domain_mix, SQL_SAMPLE_DOMAIN_MIX),
+    "bpe_pair_counts": (x_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "multimodal_meta": (x_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (x_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_frames": (x_multimodal_frames, SQL_MULTIMODAL_FRAMES),

@@ -4,19 +4,16 @@ inside that window (round-1 verdict requirement), and that the round-3
 rotation actually landed every previously-unchecked query inside it
 (round-2 verdict item 2)."""
 
-# queries that had never had a driver row before round 3 — all must sit
-# inside the 50-row window this round
+# queries that have never had a driver row as of this round (the round-4
+# additions) — all must sit inside the 50-row window so they get one;
+# everything rotated out is cumulatively driver-proven in r1-r3 and stays
+# oracle-checked every pytest run (tests/test_oracle_parity.py)
 ROTATED_IN = [
-    "dedup_minhash_incremental", "dedup_keeper_quality",
-    "ann_ivf_trained_topk", "text_pii_scrub", "text_contamination",
-    "text_repetition", "multimodal_frames", "multimodal_resize",
-    "stream_sessionize", "stream_dedup", "stream_scd2_upsert",
-    "join_salted_skew", "rollup_totals", "cube_counts", "except_keys",
-    "window_ntile", "approx_distinct",
-    # round-3 additions, windowed immediately
-    "ngram_topk", "shuffle_shards",
-    # round-4 additions, windowed immediately
     "dedup_paragraph", "sample_domain_mix", "stream_events_sliding",
+    "bpe_pair_counts",
+    # round-3 rotations kept in-window one more round (sessionize per r3
+    # verdict item 3; the rest are family representatives)
+    "stream_sessionize", "stream_dedup", "stream_scd2_upsert",
 ]
 
 
@@ -55,6 +52,7 @@ def test_first_50_covers_every_family():
         "temporal": ["asof_join", "range_join"],
         "sampling": ["sample_stratified", "shuffle_shards"],
         "corpus-stats": ["ngram_topk"],
+        "tokenizer": ["bpe_pair_counts"],
         "pipeline": ["corpus_curation"],
         "clustering": ["kmeans_assign"],
         "packing": ["pack_sequences"],
