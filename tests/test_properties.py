@@ -414,3 +414,39 @@ def test_domain_mix_sample_properties(spark, n_docs, parts):
             rate == min(1_000_000, (400_000 * w * N) // (W * n_by[s]))
             for s in dom
         )
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["ab", "abc", "banana", "x", "query", "scan"]),
+            min_size=1, max_size=20,
+        ).map(" ".join),
+        min_size=1, max_size=10,
+    ),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_bpe_pair_counts_matches_python_replica(spark, texts, parts):
+    """BPE pair statistics: partition-independent and equal to the naive
+    python count (pair freq = sum over corpus words of adjacent char
+    pairs, weighted by word occurrences)."""
+    from collections import Counter
+
+    from pdcm_etl_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [(r["pair"], r["n"]) for r in bpe_pair_counts(df, top_k=1000).collect()]
+    rep = [(r["pair"], r["n"])
+           for r in bpe_pair_counts(df.repartition(parts), top_k=1000).collect()]
+    assert got == rep
+    expect = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if not w:
+                continue
+            for i in range(len(w) - 1):
+                expect[w[i : i + 2]] += 1
+    assert dict(got) == dict(expect)
+    # ranking: count desc, pair asc
+    assert got == sorted(got, key=lambda x: (-x[1], x[0]))
