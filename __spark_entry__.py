@@ -50,7 +50,6 @@ _PRIORITY: list[str] = [
     # grouping / window / set ops — never-checked variants in, proven
     # grouping_sets / window_lag_delta / intersect_keys out
     "rollup_totals",
-    "cube_counts",
     "window_ntile",
     "except_keys",
     "text_chunk",
@@ -99,6 +98,7 @@ _PRIORITY: list[str] = [
     "dedup_paragraph",
     "sample_domain_mix",
     "bpe_pair_counts",
+    "bpe_train",
     "corpus_curation",
     "kmeans_assign",
     "pack_sequences",

@@ -71,6 +71,7 @@ HEADLINE = [
     "dedup_paragraph",
     "sample_domain_mix",
     "bpe_pair_counts",
+    "bpe_train",
 ]
 
 

@@ -443,3 +443,82 @@ def bpe_pair_counts(
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(top_k)
     )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str = "text", n_merges: int = 4
+) -> DataFrame:
+    """Full iterative BPE training loop (Sennrich et al. 2016,
+    arXiv:1508.07909): ``n_merges`` rounds of count-pairs → pick the
+    winning pair (max count, ties to lexicographically smallest) → apply
+    the merge greedily left-to-right to the vocabulary's symbol
+    sequences. Returns the merge table (r, a, b, merged, n) — the
+    artifact a BPE tokenizer ships.
+
+    Scale design: ALL per-round work runs over the DISTINCT-WORD
+    vocabulary (corpus size touches only the initial word count), the
+    winner is a 1-row collect per round (scalar-scale, like the k-means
+    centroid rows), and the merge application is a map-side array fold —
+    no shuffle beyond the per-round pair aggregation. The greedy
+    left-to-right non-overlap rule is the fold "if last(out)==a and
+    x==b, replace last with merged" — equivalent to keeping alternating
+    matches within each run of consecutive matches (only a==b produces
+    runs), which is how the DuckDB oracle expresses it positionally.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    vocab = words.select(chars.alias("syms"), "freq").persist()
+    merges: list[tuple] = []
+    for r in range(1, n_merges + 1):
+        pair_arr = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("syms") - 2),
+                lambda i: F.struct(
+                    F.element_at("syms", i + 1).alias("a"),
+                    F.element_at("syms", i + 2).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        win = (
+            vocab.select(F.explode(pair_arr).alias("p"), "freq")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not win:
+            break
+        a, b, n = win[0]["a"], win[0]["b"], int(win[0]["n"])
+        merged = a + b
+        merges.append((r, a, b, merged, n))
+        new_syms = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        old = vocab
+        vocab = old.select(new_syms.alias("syms"), "freq").persist()
+        vocab.count()  # materialize before unpersisting the parent
+        old.unpersist()
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "r int, a string, b string, merged string, n bigint"
+    )

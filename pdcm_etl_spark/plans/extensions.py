@@ -1556,6 +1556,75 @@ ORDER BY n DESC, pair ASC LIMIT 50
 """
 
 
+def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative BPE trainer, 4 merge rounds — returns the merge
+    table. Driver loop with one 1-row collect per round; all heavy work
+    vocabulary-sized (operators/text.py::bpe_train)."""
+    docs = _docs(spark, sf_dir).select("text")
+    return text.bpe_train(docs, n_merges=4)
+
+
+def _sql_bpe_train(n_merges: int = 4) -> str:
+    """Generated N-round oracle for bpe_train. Per round: pair counts
+    over the vocabulary → 1-row winner (n DESC, a, b) → greedy
+    left-to-right merge applied POSITIONALLY: within each run of
+    consecutive matches (only possible when a==b) keep alternating ones
+    (gaps-and-islands + row_number parity), drop the position after a
+    kept match, rebuild the symbol list in position order."""
+    parts = [
+        """v0 AS (
+  SELECT w, freq,
+         list_transform(range(length(w)), i -> substring(w, i + 1, 1)) AS syms
+  FROM (
+    SELECT w, COUNT(*) AS freq FROM (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ) WHERE w != '' GROUP BY w
+  )
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts.append(
+            f"""p{r} AS (
+  SELECT syms[i + 1] AS a, syms[i + 2] AS b, freq
+  FROM (SELECT freq, syms, unnest(range(len(syms) - 1)) AS i
+        FROM v{p} WHERE len(syms) >= 2)
+), w{r} AS (
+  SELECT a, b, a || b AS merged, CAST(SUM(freq) AS BIGINT) AS n
+  FROM p{r} GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1
+), m{r} AS (
+  SELECT e.w, e.freq, e.i, e.syms[e.i + 1] AS sym,
+         (e.i < len(e.syms) - 1 AND e.syms[e.i + 1] = wr.a
+          AND e.syms[e.i + 2] = wr.b) AS is_match
+  FROM (SELECT w, freq, syms, unnest(range(len(syms))) AS i FROM v{p}) e,
+       w{r} wr
+), k{r} AS (
+  SELECT *, CASE WHEN is_match THEN
+      (ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY i)) % 2 = 1
+    ELSE FALSE END AS kept
+  FROM (
+    SELECT *, i - ROW_NUMBER() OVER (PARTITION BY w, is_match ORDER BY i)
+           AS grp
+    FROM m{r})
+), v{r} AS (
+  SELECT w, MIN(freq) AS freq,
+         list(CASE WHEN kept THEN (SELECT merged FROM w{r}) ELSE sym END
+              ORDER BY i)
+           FILTER (WHERE NOT prev_kept) AS syms
+  FROM (
+    SELECT *, COALESCE(LAG(kept) OVER (PARTITION BY w ORDER BY i), FALSE)
+           AS prev_kept
+    FROM k{r})
+  GROUP BY w
+)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS r, a, b, merged, n FROM w{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
 def x_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style sub-document dedup (arXiv:1911.00359): 16-word
     segments deduped across the whole corpus (first occurrence by
@@ -1679,6 +1748,7 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_paragraph": (x_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
     "sample_domain_mix": (x_sample_domain_mix, SQL_SAMPLE_DOMAIN_MIX),
     "bpe_pair_counts": (x_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+    "bpe_train": (x_bpe_train, _sql_bpe_train(4)),
     "multimodal_meta": (x_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (x_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_frames": (x_multimodal_frames, SQL_MULTIMODAL_FRAMES),

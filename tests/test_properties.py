@@ -450,3 +450,61 @@ def test_bpe_pair_counts_matches_python_replica(spark, texts, parts):
     assert dict(got) == dict(expect)
     # ranking: count desc, pair asc
     assert got == sorted(got, key=lambda x: (-x[1], x[0]))
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aaaa", "aab", "banana", "abab", "bb", "a"]),
+            min_size=1, max_size=15,
+        ).map(" ".join),
+        min_size=1, max_size=8,
+    ),
+    n_merges=st.integers(min_value=1, max_value=3),
+)
+def test_bpe_train_matches_python_replica(spark, texts, n_merges):
+    """The distributed BPE loop must equal the classic sequential
+    trainer: same winning pair each round (count desc, pair asc
+    tiebreak) and same greedy left-to-right merge application — the
+    'aaaa' fixtures exercise the overlapping-match (a==b) alternation
+    rule the fold must get right."""
+    from collections import Counter
+
+    from pdcm_etl_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["r"], r["a"], r["b"], r["merged"], r["n"])
+        for r in bpe_train(df, n_merges=n_merges).collect()
+    ]
+
+    # sequential reference implementation
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if w:
+                vocab[w] += 1
+    syms = {w: list(w) for w in vocab}
+    expect = []
+    for r in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, f in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((r, a, b, a + b, n))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    assert got == expect
