@@ -82,7 +82,6 @@ _PRIORITY: list[str] = [
     # run; pii_scrub/contamination/repetition/chunk keep the family)
     "text_pii_scrub",
     "text_contamination",
-    "text_repetition",
     # multimodal: decode (codec honestly stubbed; the deterministic fake
     # is SQL-expressed, hash-green since r3) + frame sampling (resize
     # rotated out — r3 driver-proven)
@@ -99,6 +98,7 @@ _PRIORITY: list[str] = [
     "sample_domain_mix",
     "bpe_pair_counts",
     "bpe_train",
+    "bpe_encode",
     "corpus_curation",
     "kmeans_assign",
     "pack_sequences",

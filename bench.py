@@ -72,6 +72,7 @@ HEADLINE = [
     "sample_domain_mix",
     "bpe_pair_counts",
     "bpe_train",
+    "bpe_encode",
 ]
 
 

@@ -465,7 +465,18 @@ def bpe_train(
     matches within each run of consecutive matches (only a==b produces
     runs), which is how the DuckDB oracle expresses it positionally.
     """
-    spark = df.sparkSession
+    merges, vocab = _bpe_vocab_loop(df, text_col, n_merges)
+    vocab.unpersist()
+    return df.sparkSession.createDataFrame(
+        merges, "r int, a string, b string, merged string, n bigint"
+    )
+
+
+def _bpe_vocab_loop(
+    df: DataFrame, text_col: str, n_merges: int
+) -> tuple[list[tuple], DataFrame]:
+    """Shared BPE training loop: returns (merge table rows, final vocab
+    DataFrame (w, syms, freq) — persisted; caller unpersists)."""
     words = (
         df.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
         .filter(F.col("w") != "")
@@ -476,7 +487,7 @@ def bpe_train(
         F.sequence(F.lit(1), F.length("w")),
         lambda i: F.col("w").substr(i, F.lit(1)),
     )
-    vocab = words.select(chars.alias("syms"), "freq").persist()
+    vocab = words.select("w", chars.alias("syms"), "freq").persist()
     merges: list[tuple] = []
     for r in range(1, n_merges + 1):
         pair_arr = F.when(
@@ -515,10 +526,61 @@ def bpe_train(
             ).otherwise(F.concat(acc, F.array(x))),
         )
         old = vocab
-        vocab = old.select(new_syms.alias("syms"), "freq").persist()
+        vocab = old.select("w", new_syms.alias("syms"), "freq").persist()
         vocab.count()  # materialize before unpersisting the parent
         old.unpersist()
-    vocab.unpersist()
-    return spark.createDataFrame(
-        merges, "r int, a string, b string, merged string, n bigint"
+    return merges, vocab
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 4,
+) -> DataFrame:
+    """Tokenize the corpus with a freshly-trained BPE merge table — the
+    inference half of BPE (train on the same corpus, then encode it).
+    Per document: token count after ``n_merges`` merges and the
+    chars-per-token compression in basis points.
+
+    Scale: the encode itself is a join of the corpus words against the
+    DISTINCT-WORD vocabulary's final symbol sequences (shuffle on the
+    word — or a broadcast when the vocab is small), then a per-doc sum.
+    No per-document merge re-application: every occurrence of a word
+    tokenizes identically, so the work is vocabulary-sized.
+
+    Returns (``id_col``, n_words, n_chars, n_tokens, compression_bp)
+    with compression_bp = floor(10000 * n_tokens / n_chars).
+    """
+    _, vocab = _bpe_vocab_loop(df, text_col, n_merges)
+    doc_words = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
     )
+    toks = vocab.select("w", F.size("syms").alias("w_tokens"))
+    out = (
+        doc_words.join(toks, "w")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum("w_tokens").alias("n_tokens"),
+        )
+        .select(
+            "id",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            # integer floor division — exact, engine-identical (a double
+            # divide would round differently from DuckDB's // on HUGEINT)
+            F.expr("(n_tokens * 10000) div n_chars").alias("compression_bp"),
+        )
+    )
+    # vocab stays persisted until the caller's action completes; register
+    # a lazy unpersist via the plan is not possible — the frame is small
+    # (vocabulary-sized) and unpersisting here would recompute the loop,
+    # so leave it to Spark's LRU.
+    return out

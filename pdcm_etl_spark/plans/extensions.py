@@ -1625,6 +1625,34 @@ def _sql_bpe_train(n_merges: int = 4) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + union
 
 
+def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with a freshly-trained 4-merge BPE table: per
+    document, token count and chars-per-token compression. All heavy
+    work vocabulary-sized (one word join; no per-doc re-merging)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return text.bpe_encode(docs, n_merges=4)
+
+
+def _sql_bpe_encode(n_merges: int = 4) -> str:
+    """Oracle: the generated bpe_train chain's final vocabulary v{N}
+    joined back to the corpus words; integer-exact compression ratio."""
+    chain = _sql_bpe_train(n_merges)
+    ctes = chain.split("\nSELECT CAST(1 AS INTEGER)")[0]
+    return f"""{ctes},
+dw AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+)
+SELECT d.doc_id AS id, COUNT(*) AS n_words,
+       CAST(SUM(length(d.w)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(v.syms)) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(v.syms)) * 10000 // SUM(length(d.w)) AS BIGINT)
+         AS compression_bp
+FROM dw d JOIN v{n_merges} v USING (w)
+WHERE d.w != ''
+GROUP BY d.doc_id
+"""
+
+
 def x_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style sub-document dedup (arXiv:1911.00359): 16-word
     segments deduped across the whole corpus (first occurrence by
@@ -1749,6 +1777,7 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "sample_domain_mix": (x_sample_domain_mix, SQL_SAMPLE_DOMAIN_MIX),
     "bpe_pair_counts": (x_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "bpe_train": (x_bpe_train, _sql_bpe_train(4)),
+    "bpe_encode": (x_bpe_encode, _sql_bpe_encode(4)),
     "multimodal_meta": (x_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (x_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_frames": (x_multimodal_frames, SQL_MULTIMODAL_FRAMES),

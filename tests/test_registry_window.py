@@ -10,7 +10,7 @@ rotation actually landed every previously-unchecked query inside it
 # oracle-checked every pytest run (tests/test_oracle_parity.py)
 ROTATED_IN = [
     "dedup_paragraph", "sample_domain_mix", "stream_events_sliding",
-    "bpe_pair_counts", "bpe_train",
+    "bpe_pair_counts", "bpe_train", "bpe_encode",
     # round-3 rotations kept in-window one more round (sessionize per r3
     # verdict item 3; the rest are family representatives)
     "stream_sessionize", "stream_dedup", "stream_scd2_upsert",
@@ -52,7 +52,7 @@ def test_first_50_covers_every_family():
         "temporal": ["asof_join", "range_join"],
         "sampling": ["sample_stratified", "shuffle_shards"],
         "corpus-stats": ["ngram_topk"],
-        "tokenizer": ["bpe_pair_counts", "bpe_train"],
+        "tokenizer": ["bpe_pair_counts", "bpe_train", "bpe_encode"],
         "pipeline": ["corpus_curation"],
         "clustering": ["kmeans_assign"],
         "packing": ["pack_sequences"],
