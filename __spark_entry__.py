@@ -77,21 +77,21 @@ _PRIORITY: list[str] = [
     # similarity search: trained-IVF variant in, plain IVF out
     "ann_ivf_trained_topk",
     "ann_recall",
-    # text analysis (text_tfidf + text_quality rotated out for the
-    # round-4 additions — r3 driver-proven, oracle-checked every pytest
-    # run; pii_scrub/contamination/repetition/chunk keep the family)
-    "text_pii_scrub",
+    # text analysis (tfidf/quality/pii_scrub rotated out for the round-4
+    # additions — all r3 driver-proven, oracle-checked every pytest run;
+    # contamination/chunk keep the family; unigram_lm_score is new)
     "text_contamination",
-    # multimodal: decode (codec honestly stubbed; the deterministic fake
-    # is SQL-expressed, hash-green since r3) + frame sampling (resize
-    # rotated out — r3 driver-proven)
+    "unigram_lm_score",
+    # multimodal: decode keeps the family (codec honestly stubbed; the
+    # deterministic fake is SQL-expressed, hash-green since r3; frames +
+    # resize rotated out — r3 driver-proven)
     "multimodal_decode",
-    "multimodal_frames",
     # temporal / sampling / composed pipelines (range_join and
     # sample_stratified are r01+r02 driver-proven — their slots go to the
     # round-3 additions so every registry query has had a driver row)
     "asof_join",
     "ngram_topk",
+    "inverted_index",
     "shuffle_shards",
     # round-4 additions, windowed immediately (never driver-checked)
     "dedup_paragraph",

@@ -73,6 +73,8 @@ HEADLINE = [
     "bpe_pair_counts",
     "bpe_train",
     "bpe_encode",
+    "unigram_lm_score",
+    "inverted_index",
 ]
 
 

@@ -584,3 +584,135 @@ def bpe_encode(
     # (vocabulary-sized) and unpersisting here would recompute the loop,
     # so leave it to Spark's LRU.
     return out
+
+
+def unigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram language-model quality scoring — the LM-filter step of
+    corpus curation pipelines (CCNet, arXiv:1911.00359, scores documents
+    with a LM trained on trusted text; here the model is a unigram LM
+    trained on the corpus itself, the self-scoring variant): documents
+    made of frequent words score high, documents of rare/garbage tokens
+    score low.
+
+    All arithmetic is integer so the oracle is exact: each word's corpus
+    frequency is pre-quantized to ppm (``(count * 1e6) div N``, bounded
+    ≤ 1e6 so per-doc sums never overflow), and the doc score is the mean
+    word-frequency in ppm. ``hapax_bp`` (share of corpus-hapax words —
+    frequency 1, the classic OOV/noise proxy) and ``rarest_count`` (the
+    rarest word's corpus count) complete the filter signals.
+
+    Scale: one word-count aggregation (map-side combine), one scalar
+    (1-row) total collect, one corpus-words × vocabulary equi join —
+    shuffle on the word; AQE's skew-join handles the stop-word head —
+    and one per-doc aggregation. No data-sized collect, no UDF.
+
+    Returns (``id_col``, n_words, lm_score_ppm, hapax_bp, rarest_count).
+    """
+    doc_words = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    vocab = doc_words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # corpus size: scalar-bounded collect (one row), same policy as the
+    # k-means centroid / streaming-span collects
+    n_total = vocab.agg(F.sum("c").alias("n")).collect()[0]["n"]
+    scored_vocab = vocab.select(
+        "w",
+        "c",
+        F.expr(f"(c * 1000000) div {n_total}").alias("f_ppm"),
+    )
+    return (
+        doc_words.join(scored_vocab, "w")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("f_ppm").alias("__s"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("__hapax"),
+            F.min("c").alias("rarest_count"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_words",
+            F.expr("__s div n_words").alias("lm_score_ppm"),
+            F.expr("(__hapax * 10000) div n_words").alias("hapax_bp"),
+            "rarest_count",
+        )
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 10,
+    min_df: int = 3,
+    sub_buckets: int = 32,
+) -> DataFrame:
+    """Build a term → postings inverted index over the corpus (the
+    search-export side of a data pipeline): per term, document frequency,
+    corpus frequency, and the first ``max_postings`` doc ids (ascending)
+    as a comma-joined string (strings because array columns break the
+    driver's pandas canonicalization).
+
+    The top-``max_postings`` per term is computed WITHOUT an unbounded
+    per-term sort or collect — the hot-term hazard (a stop word appears
+    in every document, so a window partitioned only by term would sort a
+    corpus-sized partition in one task, and a bare collect_list would
+    materialize it in one aggregation buffer):
+
+      1. hash-range sub-bucket the (term, doc_id) pairs by ``doc_id %
+         sub_buckets``; a row_number window over (term, bucket) keeps the
+         ``max_postings`` smallest doc ids per bucket — parallel, and the
+         survivor set is ≤ max_postings · sub_buckets per term;
+      2. a second window over the survivors picks the global smallest
+         ``max_postings`` — bit-identical to the single-window form
+         because every global top-k member is a top-k member of its
+         bucket;
+      3. only then collect_list (bounded at ``max_postings`` elements).
+
+    df/cf come from plain count aggregations with map-side combine.
+    """
+    from pyspark.sql import Window
+
+    dw = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    stats = dw.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    pairs = dw.select("term", "doc_id").distinct()
+    bucketed = pairs.withColumn("__b", F.col("doc_id") % sub_buckets)
+    w1 = Window.partitionBy("term", "__b").orderBy("doc_id")
+    w2 = Window.partitionBy("term").orderBy("doc_id")
+    survivors = (
+        bucketed.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= max_postings)
+        .withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= max_postings)
+    )
+    postings = survivors.groupBy("term").agg(
+        # sort NUMERICALLY first, stringify after (array_sort on the
+        # string form would order "10" before "2")
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings")
+    )
+    return (
+        stats.filter(F.col("df") >= min_df)
+        .join(postings, "term")
+        .select("term", "df", "cf", "postings")
+    )

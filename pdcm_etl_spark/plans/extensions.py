@@ -1653,6 +1653,75 @@ GROUP BY d.doc_id
 """
 
 
+def x_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (the CCNet LM-filter shape,
+    self-trained): per document, mean word corpus-frequency in ppm +
+    hapax share + rarest word count. Integer-quantized so the oracle is
+    exact; one vocab agg + one word join + one doc agg."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return text.unigram_lm_score(docs)
+
+
+SQL_UNIGRAM_LM_SCORE = """
+WITH dw AS (
+  SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+dwf AS (SELECT * FROM dw WHERE w != ''),
+vocab AS (SELECT w, COUNT(*) AS c FROM dwf GROUP BY w),
+sv AS (
+  SELECT w, c,
+         (c * 1000000) // (SELECT SUM(c) FROM vocab) AS f_ppm
+  FROM vocab
+)
+SELECT d.id AS doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(s.f_ppm) // COUNT(*) AS BIGINT) AS lm_score_ppm,
+       CAST(SUM(CASE WHEN s.c = 1 THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+            AS BIGINT) AS hapax_bp,
+       CAST(MIN(s.c) AS BIGINT) AS rarest_count
+FROM dwf d JOIN sv s USING (w)
+GROUP BY d.id
+"""
+
+
+def x_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term → postings inverted index: per term df/cf + the 10 smallest
+    doc ids as a comma string. The per-term top-k is two-level
+    (term, doc-range bucket) windows — bounded under hot stop-terms."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return text.inverted_index(docs)
+
+
+SQL_INVERTED_INDEX = """
+WITH dw AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+dwf AS (SELECT * FROM dw WHERE term != ''),
+stats AS (
+  SELECT term, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+  FROM dwf GROUP BY term
+),
+pairs AS (SELECT DISTINCT term, doc_id FROM dwf),
+topp AS (
+  SELECT term, doc_id FROM (
+    SELECT term, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+    FROM pairs
+  ) WHERE rn <= 10
+),
+postings AS (
+  SELECT term,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+  FROM topp GROUP BY term
+)
+SELECT s.term, s.df, s.cf, p.postings
+FROM stats s JOIN postings p USING (term)
+WHERE s.df >= 3
+"""
+
+
 def x_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style sub-document dedup (arXiv:1911.00359): 16-word
     segments deduped across the whole corpus (first occurrence by
@@ -1778,6 +1847,8 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "bpe_pair_counts": (x_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "bpe_train": (x_bpe_train, _sql_bpe_train(4)),
     "bpe_encode": (x_bpe_encode, _sql_bpe_encode(4)),
+    "unigram_lm_score": (x_unigram_lm_score, SQL_UNIGRAM_LM_SCORE),
+    "inverted_index": (x_inverted_index, SQL_INVERTED_INDEX),
     "multimodal_meta": (x_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (x_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_frames": (x_multimodal_frames, SQL_MULTIMODAL_FRAMES),

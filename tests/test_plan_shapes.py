@@ -281,3 +281,28 @@ def test_domain_mix_rate_table_broadcasts(spark, sf_dir, queries):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_inverted_index_topk_windows_are_two_level(spark, sf_dir, queries):
+    """The per-term top-k must run as the two-level (term, doc-range
+    bucket) scheme: the heavy first window partitions by term AND the
+    sub-bucket (parallel under hot stop-terms); only the survivor window
+    (≤ k·buckets rows per term) partitions by term alone. No
+    unpartitioned window anywhere."""
+    import re
+
+    plan = _plan(queries["inverted_index"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\((.*?)\)", plan)
+    assert specs, "no window in plan"
+    assert any("__b" in s for s in specs), f"bucketed first window missing: {specs}"
+    # Spark's rank-limit pushdown must bound both windows' state
+    assert "WindowGroupLimit" in plan
+
+
+def test_unigram_lm_score_single_word_join(spark, sf_dir, queries):
+    """One corpus-words × vocabulary equi join, no nested-loop joins,
+    no Python UDF in the plan."""
+    plan = _plan(queries["unigram_lm_score"](spark, sf_dir), mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

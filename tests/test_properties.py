@@ -508,3 +508,83 @@ def test_bpe_train_matches_python_replica(spark, texts, n_merges):
                     i += 1
             syms[w] = out
     assert got == expect
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_inverted_index_two_level_topk_matches_naive(spark, texts, k):
+    """The two-level (term, bucket) top-k must be bit-identical to the
+    naive single-window form for any k / bucket count / doc-id spread."""
+    from pdcm_etl_spark.operators.text import inverted_index
+
+    rows = [(i * 7 + 3, t) for i, t in enumerate(texts)]  # non-contiguous ids
+    df = spark.createDataFrame(rows, "doc_id bigint, text string").repartition(5)
+    got = {
+        r["term"]: (r["df"], r["cf"], r["postings"])
+        for r in inverted_index(
+            df, max_postings=k, min_df=1, sub_buckets=3
+        ).collect()
+    }
+    # python reference
+    from collections import defaultdict
+
+    docs_of = defaultdict(set)
+    cf = defaultdict(int)
+    for doc_id, t in rows:
+        for w in t.lower().split(" "):
+            if w:
+                docs_of[w].add(doc_id)
+                cf[w] += 1
+    want = {
+        w: (
+            len(ids),
+            cf[w],
+            ",".join(str(i) for i in sorted(ids)[:k]),
+        )
+        for w, ids in docs_of.items()
+    }
+    assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=5).map(" ".join),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_unigram_lm_score_matches_python_replica(spark, texts):
+    from pdcm_etl_spark.operators.text import unigram_lm_score
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string").repartition(4)
+    got = {
+        r["doc_id"]: (r["n_words"], r["lm_score_ppm"], r["hapax_bp"], r["rarest_count"])
+        for r in unigram_lm_score(df).collect()
+    }
+    from collections import Counter
+
+    counts = Counter(w for _, t in rows for w in t.lower().split(" ") if w)
+    n_total = sum(counts.values())
+    want = {}
+    for doc_id, t in rows:
+        ws = [w for w in t.lower().split(" ") if w]
+        if not ws:
+            continue
+        f = [(counts[w] * 1_000_000) // n_total for w in ws]
+        hapax = sum(1 for w in ws if counts[w] == 1)
+        want[doc_id] = (
+            len(ws),
+            sum(f) // len(ws),
+            (hapax * 10_000) // len(ws),
+            min(counts[w] for w in ws),
+        )
+    assert got == want

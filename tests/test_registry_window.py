@@ -11,6 +11,7 @@ rotation actually landed every previously-unchecked query inside it
 ROTATED_IN = [
     "dedup_paragraph", "sample_domain_mix", "stream_events_sliding",
     "bpe_pair_counts", "bpe_train", "bpe_encode",
+    "unigram_lm_score", "inverted_index",
     # round-3 rotations kept in-window one more round (sessionize per r3
     # verdict item 3; the rest are family representatives)
     "stream_sessionize", "stream_dedup", "stream_scd2_upsert",
@@ -46,12 +47,13 @@ def test_first_50_covers_every_family():
         "similarity": ["ann_ivf_trained_topk"],
         "ann-eval": ["ann_recall"],
         "text": ["text_quality", "text_tfidf", "text_chunk",
-                 "text_pii_scrub", "text_contamination", "text_repetition"],
+                 "text_pii_scrub", "text_contamination", "text_repetition",
+                 "unigram_lm_score"],
         "multimodal": ["multimodal_decode", "multimodal_frames",
                        "multimodal_resize"],
         "temporal": ["asof_join", "range_join"],
         "sampling": ["sample_stratified", "shuffle_shards"],
-        "corpus-stats": ["ngram_topk"],
+        "corpus-stats": ["ngram_topk", "inverted_index"],
         "tokenizer": ["bpe_pair_counts", "bpe_train", "bpe_encode"],
         "pipeline": ["corpus_curation"],
         "clustering": ["kmeans_assign"],
