@@ -79,8 +79,7 @@ _PRIORITY: list[str] = [
     "ann_recall",
     # text analysis (tfidf/quality/pii_scrub rotated out for the round-4
     # additions — all r3 driver-proven, oracle-checked every pytest run;
-    # contamination/chunk keep the family; unigram_lm_score is new)
-    "text_contamination",
+    # chunk keeps the family; unigram_lm_score is new)
     "unigram_lm_score",
     # multimodal: decode keeps the family (codec honestly stubbed; the
     # deterministic fake is SQL-expressed, hash-green since r3; frames +
@@ -101,6 +100,7 @@ _PRIORITY: list[str] = [
     "bpe_encode",
     "corpus_curation",
     "kmeans_assign",
+    "stump_train",
     "pack_sequences",
     "quality_percentile",
     # streaming: all seven paths in-window this round (sliding windows

@@ -75,6 +75,7 @@ HEADLINE = [
     "bpe_encode",
     "unigram_lm_score",
     "inverted_index",
+    "stump_train",
 ]
 
 

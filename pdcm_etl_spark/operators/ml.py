@@ -1,0 +1,115 @@
+"""Distributed classical-ML training operators.
+
+Like the k-means trainer (operators/similarity.py) and the BPE trainer
+(operators/text.py), everything here is engineered so training is both
+distributed (histogram aggregations with map-side combine, never a
+per-row sort or a data-sized collect) and integer-exact (the DuckDB
+oracle reproduces the model bit-for-bit — no float loss surfaces).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def stump_train(
+    df: DataFrame,
+    features: list[str],
+    label_col: str,
+    max_distinct: int = 40_000,
+) -> DataFrame:
+    """Train a decision stump (one-level decision tree / 1R) per feature
+    under exact 0-1 loss: for every candidate threshold t, classify each
+    side of ``value <= t`` by its majority label and count the
+    misclassifications; return each feature's best threshold.
+
+    The 0-1-loss criterion is chosen over Gini/entropy deliberately:
+    error counts are integers, so the best split is decided by exact
+    integer comparison — the trained model is bit-identical across
+    engines (a float impurity would make the argmin engine-dependent on
+    ties and rounding). Ties break toward the smallest threshold.
+
+    Scale: the candidate-threshold scan is HISTOGRAM-sized, not
+    data-sized — one (feature, value) aggregation with map-side combine
+    over the long form, then cumulative windows over the histogram
+    (``features × distinct values`` rows, bounded by ``max_distinct``
+    per feature, enforced). This is the same two-pass exact-histogram
+    discipline as ``top_percentile_filter`` (operators/sampling.py):
+    integral features with a bounded value domain in, exact answers out.
+
+    Returns one row per feature:
+    (feature, threshold, errors, total, acc_bp) where the stump is
+    "value <= threshold → left-majority label else right-majority" and
+    acc_bp = floor((total - errors) * 10000 / total).
+    """
+    from pyspark.sql import Window
+
+    for f in features:
+        ftype = df.schema[f].dataType.simpleString()
+        if ftype not in _INTEGRAL:
+            raise TypeError(
+                f"stump_train: feature {f!r} is {ftype}; the exact "
+                "histogram plan needs integral features with a bounded "
+                "value domain — bucketize first"
+            )
+    stack_args = ", ".join(f"'{f}', {f}" for f in features)
+    long = df.select(
+        F.col(label_col).cast("bigint").alias("__lbl"),
+        F.expr(f"stack({len(features)}, {stack_args}) as (feature, value)"),
+    )
+    # precondition guard: the histogram must be bounded (per-feature
+    # distinct-value cap), or the windows below stop being metadata-sized
+    card = long.groupBy("feature").agg(
+        F.approx_count_distinct("value").alias("n")
+    ).collect()  # n_features rows — scalar-scale collect
+    over = {r["feature"]: r["n"] for r in card if r["n"] > max_distinct}
+    if over:
+        raise ValueError(
+            f"stump_train: features exceed the {max_distinct} distinct-"
+            f"value histogram cap: {over} — bucketize them first"
+        )
+    hist = long.groupBy("feature", "value").agg(
+        F.sum("__lbl").alias("__pos"), F.count(F.lit(1)).alias("__n")
+    )
+    w_cum = (
+        Window.partitionBy("feature")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("feature")
+    cum = hist.select(
+        "feature",
+        "value",
+        F.sum("__pos").over(w_cum).alias("__cpos"),
+        F.sum("__n").over(w_cum).alias("__cn"),
+        F.sum("__pos").over(w_tot).alias("__tpos"),
+        F.sum("__n").over(w_tot).alias("__tn"),
+    )
+    err = cum.select(
+        "feature",
+        "value",
+        (
+            F.least("__cpos", F.col("__cn") - F.col("__cpos"))
+            + F.least(
+                F.col("__tpos") - F.col("__cpos"),
+                (F.col("__tn") - F.col("__cn"))
+                - (F.col("__tpos") - F.col("__cpos")),
+            )
+        ).alias("errors"),
+        F.col("__tn").alias("total"),
+    )
+    w_best = Window.partitionBy("feature").orderBy("errors", "value")
+    return (
+        err.withColumn("__rn", F.row_number().over(w_best))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "feature",
+            F.col("value").alias("threshold"),
+            "errors",
+            "total",
+            F.expr("((total - errors) * 10000) div total").alias("acc_bp"),
+        )
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pdcm_etl_spark.operators import dedup, multimodal, similarity, text
+from pdcm_etl_spark.operators import dedup, ml, multimodal, similarity, text
 from pdcm_etl_spark.plans.catalog import _t
 
 
@@ -1722,6 +1722,68 @@ WHERE s.df >= 3
 """
 
 
+def x_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a quality-classifier decision stump per feature (predicting
+    lang='en' from n_chars / n_words / avg-word-length-×10) under exact
+    0-1 loss — the distributed-tree-training primitive. Histogram-sized
+    candidate scan, integer-exact argmin, exact oracle."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        (F.col("lang") == "en").cast("bigint").alias("lbl"),
+        F.col("n_chars"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_words"),
+    ).withColumn("awl_x10", F.expr("(n_chars * 10) div n_words"))
+    return ml.stump_train(base, ["n_chars", "n_words", "awl_x10"], "lbl")
+
+
+SQL_STUMP_TRAIN = """
+WITH base AS (
+  SELECT CAST(lang = 'en' AS BIGINT) AS lbl,
+         n_chars,
+         len(string_split(text, ' ')) AS n_words,
+         (n_chars * 10) // len(string_split(text, ' ')) AS awl_x10
+  FROM documents
+),
+lng AS (
+  SELECT 'n_chars' AS feature, n_chars AS value, lbl FROM base
+  UNION ALL SELECT 'n_words', n_words, lbl FROM base
+  UNION ALL SELECT 'awl_x10', awl_x10, lbl FROM base
+),
+hist AS (
+  SELECT feature, value, SUM(lbl) AS pos, COUNT(*) AS n
+  FROM lng GROUP BY feature, value
+),
+cum AS (
+  SELECT feature, value,
+         SUM(pos) OVER (PARTITION BY feature ORDER BY value) AS cpos,
+         SUM(n) OVER (PARTITION BY feature ORDER BY value) AS cn,
+         SUM(pos) OVER (PARTITION BY feature) AS tpos,
+         SUM(n) OVER (PARTITION BY feature) AS tn
+  FROM hist
+),
+err AS (
+  SELECT feature, value,
+         LEAST(cpos, cn - cpos)
+           + LEAST(tpos - cpos, (tn - cn) - (tpos - cpos)) AS errors,
+         tn
+  FROM cum
+),
+best AS (
+  SELECT feature, value, errors, tn,
+         ROW_NUMBER() OVER (PARTITION BY feature
+                            ORDER BY errors, value) AS rn
+  FROM err
+)
+SELECT feature,
+       CAST(value AS BIGINT) AS threshold,
+       CAST(errors AS BIGINT) AS errors,
+       CAST(tn AS BIGINT) AS total,
+       CAST((tn - errors) * 10000 // tn AS BIGINT) AS acc_bp
+FROM best
+WHERE rn = 1
+"""
+
+
 def x_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style sub-document dedup (arXiv:1911.00359): 16-word
     segments deduped across the whole corpus (first occurrence by
@@ -1849,6 +1911,7 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "bpe_encode": (x_bpe_encode, _sql_bpe_encode(4)),
     "unigram_lm_score": (x_unigram_lm_score, SQL_UNIGRAM_LM_SCORE),
     "inverted_index": (x_inverted_index, SQL_INVERTED_INDEX),
+    "stump_train": (x_stump_train, SQL_STUMP_TRAIN),
     "multimodal_meta": (x_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (x_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_frames": (x_multimodal_frames, SQL_MULTIMODAL_FRAMES),

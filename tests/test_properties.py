@@ -588,3 +588,49 @@ def test_unigram_lm_score_matches_python_replica(spark, texts):
             min(counts[w] for w in ws),
         )
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_stump_train_matches_bruteforce(spark, rows):
+    """The histogram-window stump must equal the brute-force exact 0-1
+    stump (every threshold tried, both majority directions) per feature,
+    including the smallest-threshold tie-break."""
+    from pdcm_etl_spark.operators.ml import stump_train
+
+    df = spark.createDataFrame(
+        rows, "f1 bigint, f2 bigint, lbl bigint"
+    ).repartition(4)
+    got = {
+        r["feature"]: (r["threshold"], r["errors"], r["total"], r["acc_bp"])
+        for r in stump_train(df, ["f1", "f2"], "lbl").collect()
+    }
+    want = {}
+    total = len(rows)
+    for fi, feat in [(0, "f1"), (1, "f2")]:
+        best = None
+        for t in sorted({r[fi] for r in rows}):
+            left = [r[2] for r in rows if r[fi] <= t]
+            right = [r[2] for r in rows if r[fi] > t]
+            errors = min(sum(left), len(left) - sum(left)) + min(
+                sum(right), len(right) - sum(right)
+            )
+            if best is None or (errors, t) < best:
+                best = (errors, t)
+        want[feat] = (
+            best[1],
+            best[0],
+            total,
+            ((total - best[0]) * 10_000) // total,
+        )
+    assert got == want

@@ -11,7 +11,7 @@ rotation actually landed every previously-unchecked query inside it
 ROTATED_IN = [
     "dedup_paragraph", "sample_domain_mix", "stream_events_sliding",
     "bpe_pair_counts", "bpe_train", "bpe_encode",
-    "unigram_lm_score", "inverted_index",
+    "unigram_lm_score", "inverted_index", "stump_train",
     # round-3 rotations kept in-window one more round (sessionize per r3
     # verdict item 3; the rest are family representatives)
     "stream_sessionize", "stream_dedup", "stream_scd2_upsert",
@@ -57,6 +57,7 @@ def test_first_50_covers_every_family():
         "tokenizer": ["bpe_pair_counts", "bpe_train", "bpe_encode"],
         "pipeline": ["corpus_curation"],
         "clustering": ["kmeans_assign"],
+        "tree-train": ["stump_train"],
         "packing": ["pack_sequences"],
         "quality-filter": ["quality_percentile"],
         "streaming": ["stream_events_daily", "stream_events_sliding",
