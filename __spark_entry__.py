@@ -72,7 +72,8 @@ _PRIORITY: list[str] = [
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
     "dedup_keeper_quality",
-    "dedup_simhash",
+    # (dedup_simhash rotated out — r3 driver-proven; seven dedup reps
+    # remain in-window)
     "dedup_semantic",
     # similarity search: trained-IVF variant in, plain IVF out
     "ann_ivf_trained_topk",
@@ -101,6 +102,7 @@ _PRIORITY: list[str] = [
     "corpus_curation",
     "kmeans_assign",
     "stump_train",
+    "zorder_layout",
     "pack_sequences",
     "quality_percentile",
     # streaming: all seven paths in-window this round (sliding windows

@@ -76,6 +76,7 @@ HEADLINE = [
     "unigram_lm_score",
     "inverted_index",
     "stump_train",
+    "zorder_layout",
 ]
 
 

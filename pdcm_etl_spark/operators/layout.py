@@ -1,0 +1,80 @@
+"""Data-layout operators — how 100 TB gets ORGANIZED so queries can skip
+most of it.
+
+Z-ordering (Morton curve) interleaves the bits of two clustering keys so
+rows close in EITHER dimension land in the same file. A file then has
+tight min/max ranges on BOTH columns at once, and any engine that prunes
+on footer statistics (Spark parquet filter pushdown, Delta/Iceberg data
+skipping) can skip files for predicates on either key — the thing a
+single-column sort gives you for only one key.
+
+Everything here is map-side arithmetic (bit ops in whole-stage codegen)
+plus one statistics aggregation; the actual write would be
+``df.repartitionByRange(F.col("zval")).write...`` — range-partitioning on
+the z-value is Spark's scalable distributed sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def morton_expr(x_col: str, y_col: str, bits: int) -> str:
+    """Spark SQL expression interleaving the low ``bits`` bits of two
+    non-negative integer columns: x takes even bit positions, y odd.
+    Pure bit arithmetic — codegen'd, map-side; the '+' is exact because
+    every term occupies a distinct bit."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(shiftleft((shiftright({x_col}, {i}) & 1), {2 * i}))")
+        terms.append(f"(shiftleft((shiftright({y_col}, {i}) & 1), {2 * i + 1}))")
+    return " + ".join(terms)
+
+
+def zorder_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 10,
+    n_files: int = 64,
+) -> DataFrame:
+    """Assign every row to a z-ordered file and emit the per-file footer
+    statistics a skipping engine would use: row count and min/max of
+    both clustering keys (plus the z-range).
+
+    File assignment is ``zval div width`` — fixed-width z-ranges, so the
+    whole layout decision is MAP-SIDE (no global sort; a physical writer
+    would instead ``repartitionByRange(zval)`` for balanced files — same
+    pruning behavior, one scalable range shuffle). The only shuffle here
+    is the final per-file statistics aggregation (n_files groups,
+    map-side combined).
+
+    Inputs must be non-negative integers; they are masked to ``bits``
+    bits (the caller picks the bucketing, e.g. ``user_id % 1024``).
+
+    Returns (file_id, n_rows, x_min, x_max, y_min, y_max, z_min, z_max)
+    — the demo of WHY z-order: both dimensions' per-file ranges are
+    tight, where a single-key sort leaves the other dimension's range
+    spanning the whole domain.
+    """
+    mask = (1 << bits) - 1
+    width = max(1, (1 << (2 * bits)) // n_files)
+    base = (
+        df.withColumn("__zx", F.expr(f"cast({x_col} & {mask} as bigint)"))
+        .withColumn("__zy", F.expr(f"cast({y_col} & {mask} as bigint)"))
+        .withColumn("zval", F.expr(morton_expr("__zx", "__zy", bits)))
+        .withColumn("file_id", F.expr(f"zval div {width}").cast("int"))
+    )
+    return (
+        base.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__zx").alias("x_min"),
+            F.max("__zx").alias("x_max"),
+            F.min("__zy").alias("y_min"),
+            F.max("__zy").alias("y_max"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+        )
+    )

@@ -1784,6 +1784,55 @@ WHERE rn = 1
 """
 
 
+def x_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order the events table on (user bucket, day bucket) and emit the
+    per-file footer statistics a skipping engine prunes with. Map-side
+    bit arithmetic + one bounded statistics agg; the oracle replays the
+    identical Morton interleave in SQL."""
+    from pdcm_etl_spark.operators.layout import zorder_stats
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        F.col("user_id"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_idx"),
+    )
+    return zorder_stats(ev, "user_id", "day_idx", bits=7, n_files=32)
+
+
+def _sql_zorder_layout(bits: int = 7, n_files: int = 32) -> str:
+    """Oracle: the same Morton interleave, DuckDB bit-operator dialect."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((zx >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((zy >> {i}) & 1) << {2 * i + 1})")
+    z = "\n         + ".join(terms)
+    mask = (1 << bits) - 1
+    width = max(1, (1 << (2 * bits)) // n_files)
+    return f"""
+WITH base AS (
+  SELECT CAST(user_id & {mask} AS BIGINT) AS zx,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              & {mask} AS BIGINT) AS zy
+  FROM events
+),
+zz AS (
+  SELECT zx, zy,
+         {z} AS zval
+  FROM base
+)
+SELECT CAST(zval // {width} AS INTEGER) AS file_id,
+       COUNT(*) AS n_rows,
+       CAST(MIN(zx) AS BIGINT) AS x_min,
+       CAST(MAX(zx) AS BIGINT) AS x_max,
+       CAST(MIN(zy) AS BIGINT) AS y_min,
+       CAST(MAX(zy) AS BIGINT) AS y_max,
+       CAST(MIN(zval) AS BIGINT) AS z_min,
+       CAST(MAX(zval) AS BIGINT) AS z_max
+FROM zz
+GROUP BY file_id
+"""
+
+
 def x_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style sub-document dedup (arXiv:1911.00359): 16-word
     segments deduped across the whole corpus (first occurrence by
@@ -1912,6 +1961,7 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "unigram_lm_score": (x_unigram_lm_score, SQL_UNIGRAM_LM_SCORE),
     "inverted_index": (x_inverted_index, SQL_INVERTED_INDEX),
     "stump_train": (x_stump_train, SQL_STUMP_TRAIN),
+    "zorder_layout": (x_zorder_layout, _sql_zorder_layout()),
     "multimodal_meta": (x_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (x_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_frames": (x_multimodal_frames, SQL_MULTIMODAL_FRAMES),

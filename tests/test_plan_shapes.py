@@ -306,3 +306,13 @@ def test_unigram_lm_score_single_word_join(spark, sf_dir, queries):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_zorder_layout_is_map_side_plus_one_agg(spark, sf_dir, queries):
+    """The Morton interleave and file assignment must be pure codegen'd
+    projection (no window, no join, no sort); the only shuffle is the
+    final per-file statistics aggregation with a map-side partial."""
+    plan = _plan(queries["zorder_layout"](spark, sf_dir), mode="simple")
+    assert "Window" not in plan and "Sort" not in plan and "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "partial" in plan.lower() or "HashAggregate" in plan, plan

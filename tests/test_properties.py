@@ -634,3 +634,52 @@ def test_stump_train_matches_bruteforce(spark, rows):
             ((total - best[0]) * 10_000) // total,
         )
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=300),
+            st.integers(min_value=0, max_value=300),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=2, max_value=8),
+)
+def test_zorder_stats_matches_python_morton(spark, points, bits):
+    from pdcm_etl_spark.operators.layout import zorder_stats
+
+    df = spark.createDataFrame(points, "x bigint, y bigint").repartition(3)
+    n_files = 8
+    got = {
+        r["file_id"]: (r["n_rows"], r["x_min"], r["x_max"], r["y_min"], r["y_max"])
+        for r in zorder_stats(df, "x", "y", bits=bits, n_files=n_files).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for i in range(bits):
+            z += ((x >> i) & 1) << (2 * i)
+            z += ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    mask = (1 << bits) - 1
+    width = max(1, (1 << (2 * bits)) // n_files)
+    from collections import defaultdict
+
+    files = defaultdict(list)
+    for x, y in points:
+        files[morton(x & mask, y & mask) // width].append((x & mask, y & mask))
+    want = {
+        fid: (
+            len(pts),
+            min(p[0] for p in pts),
+            max(p[0] for p in pts),
+            min(p[1] for p in pts),
+            max(p[1] for p in pts),
+        )
+        for fid, pts in files.items()
+    }
+    assert got == want

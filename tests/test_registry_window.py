@@ -11,7 +11,7 @@ rotation actually landed every previously-unchecked query inside it
 ROTATED_IN = [
     "dedup_paragraph", "sample_domain_mix", "stream_events_sliding",
     "bpe_pair_counts", "bpe_train", "bpe_encode",
-    "unigram_lm_score", "inverted_index", "stump_train",
+    "unigram_lm_score", "inverted_index", "stump_train", "zorder_layout",
     # round-3 rotations kept in-window one more round (sessionize per r3
     # verdict item 3; the rest are family representatives)
     "stream_sessionize", "stream_dedup", "stream_scd2_upsert",
@@ -41,7 +41,7 @@ def test_first_50_covers_every_family():
         "recursion": ["recursive_closure"],
         "dedup": ["dedup_ngram_jaccard", "dedup_minhash_lsh",
                   "dedup_minhash_incremental", "dedup_keeper_quality",
-                  "dedup_simhash", "dedup_semantic", "dedup_groups",
+                  "dedup_semantic", "dedup_groups",
                   "dedup_paragraph"],
         "domain-mix": ["sample_domain_mix"],
         "similarity": ["ann_ivf_trained_topk"],
@@ -58,6 +58,7 @@ def test_first_50_covers_every_family():
         "pipeline": ["corpus_curation"],
         "clustering": ["kmeans_assign"],
         "tree-train": ["stump_train"],
+        "layout": ["zorder_layout"],
         "packing": ["pack_sequences"],
         "quality-filter": ["quality_percentile"],
         "streaming": ["stream_events_daily", "stream_events_sliding",
