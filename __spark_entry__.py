@@ -64,7 +64,9 @@ _PRIORITY: list[str] = [
     "pivot_status",
     "approx_distinct",
     "events_daily",
-    "recursive_closure",
+    # (recursive_closure rotated out — r3 driver-proven; pagerank keeps
+    # the iterative-graph family in-window)
+    "pagerank",
     # training-data: dedup family (exact/minhash_lsh proven; the
     # incremental + keeper variants take their slots)
     "dedup_ngram_jaccard",

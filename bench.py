@@ -77,6 +77,7 @@ HEADLINE = [
     "inverted_index",
     "stump_train",
     "zorder_layout",
+    "pagerank",
 ]
 
 

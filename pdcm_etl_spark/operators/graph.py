@@ -149,3 +149,85 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damp_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Integer-quantized distributed PageRank (Brin & Page 1998) — the
+    canonical iterative graph algorithm, in the classic Spark shape:
+    per round, one (rank × out-degree-weighted edges) join shuffled on
+    the source plus one contribution aggregation shuffled on the
+    destination. Iteration count is fixed (training-pipeline PageRank
+    runs a budgeted number of sweeps), lineage stays flat via
+    materialize-then-unpersist like the BPE/k-means trainers.
+
+    Ranks live in integer ``scale`` units (micro by default) and every
+    per-edge share is floor-divided — floats never appear, so the ranks
+    are bit-identical across engines and the oracle (a generated N-round
+    SQL CTE chain) is exact. With damping d = damp_pct/100:
+
+        pr_0(v)   = scale
+        pr_{t+1}(v) = floor(scale·(1-d))
+                      + Σ_{u→v} floor(pr_t(u)·damp_pct / (100·outdeg(u)))
+
+    Multi-edges contribute multiply (callers dedup first if unwanted);
+    dangling nodes (no out-edges) simply leak their damped mass, the
+    standard simplification.
+
+    Scale: per-round cost is one shuffle join on ``src`` + one groupBy
+    on ``dst`` — both AQE-planned; the edge table with attached
+    out-degrees is computed once and persisted. No data-sized collect.
+
+    Returns (node, pr_micro) after ``iterations`` rounds.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    outdeg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    ew = (
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        .join(outdeg, F.col("e_src") == F.col("node"))
+        .select("e_src", "e_dst", "outdeg")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    base = (scale * (100 - damp_pct)) // 100
+    pr = nodes.select("node", F.lit(scale).cast("bigint").alias("pr"))
+    for _ in range(iterations):
+        contrib = (
+            ew.join(pr.withColumnRenamed("node", "e_src"), "e_src")
+            .select(
+                F.col("e_dst").alias("node"),
+                F.expr(f"(pr * {damp_pct}) div (100 * outdeg)").alias("share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        old = pr
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce("inflow", F.lit(0)))
+                .cast("bigint")
+                .alias("pr"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        pr.count()  # materialize before dropping the parent lineage
+        if old is not nodes:
+            old.unpersist()
+    out = pr.select("node", F.col("pr").alias("pr_micro"))
+    ew.unpersist()
+    nodes.unpersist()
+    return out

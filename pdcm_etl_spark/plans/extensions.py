@@ -1833,6 +1833,67 @@ GROUP BY file_id
 """
 
 
+def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized PageRank over a synthetic two-edge-per-node
+    directed graph on the part keys (tree edge k→k div 10 + a scatter
+    edge k→1+((31k+7) mod N)) — the iterative-graph-algorithm primitive
+    beyond closure/components. 3 budgeted sweeps; generated N-round SQL
+    oracle, bit-exact."""
+    from pdcm_etl_spark.operators.graph import pagerank
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") >= 1)
+    n = part.count()  # scalar — the graph's node-count modulus
+    pk = part.select(F.col("p_partkey").cast("bigint").alias("k"))
+    e1 = pk.select(
+        F.col("k").alias("src"), F.expr("k div 10").alias("dst")
+    ).filter(F.col("dst") >= 1)
+    e2 = pk.select(
+        F.col("k").alias("src"),
+        (F.lit(1) + (F.col("k") * 31 + 7) % F.lit(n)).alias("dst"),
+    )
+    return pagerank(e1.unionByName(e2), iterations=3)
+
+
+def _sql_pagerank(iterations: int = 3) -> str:
+    """Oracle: the same integer-floored PageRank recurrence as a
+    generated CTE chain — one contribution + one rank CTE per round."""
+    parts = [
+        """pk AS (
+  SELECT CAST(p_partkey AS BIGINT) AS k FROM part WHERE p_partkey >= 1
+)""",
+        """edges AS (
+  SELECT k AS src, k // 10 AS dst FROM pk WHERE k // 10 >= 1
+  UNION ALL
+  SELECT k, 1 + ((k * 31 + 7) % (SELECT COUNT(*) FROM pk)) FROM pk
+)""",
+        """outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)""",
+        """nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)""",
+        """pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes)""",
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f"""c{t} AS (
+  SELECT e.dst AS node,
+         SUM((p.pr * 85) // (100 * o.outdeg)) AS inflow
+  FROM edges e
+  JOIN pr{t - 1} p ON p.node = e.src
+  JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+)""",
+        )
+        parts.append(
+            f"""pr{t} AS (
+  SELECT n.node, CAST(150000 + COALESCE(c.inflow, 0) AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN c{t} c ON c.node = n.node
+)""",
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, pr AS pr_micro FROM pr{iterations}"
+    )
+
+
 def x_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style sub-document dedup (arXiv:1911.00359): 16-word
     segments deduped across the whole corpus (first occurrence by
@@ -1962,6 +2023,7 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "inverted_index": (x_inverted_index, SQL_INVERTED_INDEX),
     "stump_train": (x_stump_train, SQL_STUMP_TRAIN),
     "zorder_layout": (x_zorder_layout, _sql_zorder_layout()),
+    "pagerank": (x_pagerank, _sql_pagerank(3)),
     "multimodal_meta": (x_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (x_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_frames": (x_multimodal_frames, SQL_MULTIMODAL_FRAMES),

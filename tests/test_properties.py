@@ -683,3 +683,38 @@ def test_zorder_stats_matches_python_morton(spark, points, bits):
         for fid, pts in files.items()
     }
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_pagerank_matches_python_fold(spark, edges, iters):
+    """The distributed integer PageRank must equal a sequential Python
+    fold of the same floored recurrence — including multi-edge
+    contributions and dangling-node leakage."""
+    from pdcm_etl_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint").repartition(3)
+    got = {
+        r["node"]: r["pr_micro"] for r in pagerank(df, iterations=iters).collect()
+    }
+    from collections import Counter, defaultdict
+
+    nodes = {n for e in edges for n in e}
+    outdeg = Counter(s for s, _ in edges)
+    pr = {n: 1_000_000 for n in nodes}
+    for _ in range(iters):
+        inflow = defaultdict(int)
+        for s, d in edges:
+            inflow[d] += (pr[s] * 85) // (100 * outdeg[s])
+        pr = {n: 150_000 + inflow[n] for n in nodes}
+    assert got == pr

@@ -12,6 +12,7 @@ ROTATED_IN = [
     "dedup_paragraph", "sample_domain_mix", "stream_events_sliding",
     "bpe_pair_counts", "bpe_train", "bpe_encode",
     "unigram_lm_score", "inverted_index", "stump_train", "zorder_layout",
+    "pagerank",
     # round-3 rotations kept in-window one more round (sessionize per r3
     # verdict item 3; the rest are family representatives)
     "stream_sessionize", "stream_dedup", "stream_scd2_upsert",
@@ -38,7 +39,7 @@ def test_first_50_covers_every_family():
         "sketch": ["approx_distinct"],
         "pivot": ["pivot_status"],
         "timeseries": ["events_daily"],
-        "recursion": ["recursive_closure"],
+        "recursion": ["recursive_closure", "pagerank"],
         "dedup": ["dedup_ngram_jaccard", "dedup_minhash_lsh",
                   "dedup_minhash_incremental", "dedup_keeper_quality",
                   "dedup_semantic", "dedup_groups",
