@@ -63,13 +63,16 @@ _PRIORITY: list[str] = [
     "json_agg_struct",
     "pivot_status",
     "approx_distinct",
-    "events_daily",
-    # (recursive_closure rotated out — r3 driver-proven; pagerank keeps
-    # the iterative-graph family in-window)
+    # (events_daily rotated out — r3 driver-proven; cohort_retention
+    # keeps the timeseries family in-window. recursive_closure rotated
+    # out — r3 driver-proven; pagerank keeps the iterative-graph family)
+    "cohort_retention",
     "pagerank",
     # training-data: dedup family (exact/minhash_lsh proven; the
     # incremental + keeper variants take their slots)
-    "dedup_ngram_jaccard",
+    # (dedup_ngram_jaccard rotated out — r3 driver-proven; the new
+    # edit-distance verifier takes its slot)
+    "dedup_edit_distance",
     "dedup_groups",
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
@@ -88,10 +91,10 @@ _PRIORITY: list[str] = [
     # deterministic fake is SQL-expressed, hash-green since r3; frames +
     # resize rotated out — r3 driver-proven)
     "multimodal_decode",
-    # temporal / sampling / composed pipelines (range_join and
-    # sample_stratified are r01+r02 driver-proven — their slots go to the
-    # round-3 additions so every registry query has had a driver row)
-    "asof_join",
+    # temporal / sampling / composed pipelines (asof_join, range_join and
+    # sample_stratified are r01-r03 driver-proven — their slots go to the
+    # round-4 additions; funnel_stages keeps the temporal family)
+    "funnel_stages",
     "ngram_topk",
     "inverted_index",
     "shuffle_shards",

@@ -78,6 +78,9 @@ HEADLINE = [
     "stump_train",
     "zorder_layout",
     "pagerank",
+    "funnel_stages",
+    "cohort_retention",
+    "dedup_edit_distance",
 ]
 
 

@@ -467,3 +467,72 @@ def paragraph_dedup(
             ).alias("kept_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# edit-distance (Levenshtein) near-dup
+# ---------------------------------------------------------------------------
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 16,
+    prefix_len: int = 16,
+    len_bucket: int = 64,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-duplicate pairs by bounded Levenshtein distance — the
+    fuzzy-dedup verifier for texts that differ by small edits (typo
+    variants, whitespace drift) which shingle Jaccard over-penalizes on
+    short documents.
+
+    Candidate generation follows the module's bucketed-blocking rule:
+    two texts can be within ``max_dist`` edits only if their lengths
+    differ by < ``max_dist``... but a length band alone is a huge
+    blocking key, so the block is (normalized prefix, length bucket) —
+    near-identical texts share both. (Docs straddling a length-bucket
+    boundary or differing inside the prefix are missed; this is a
+    HIGH-PRECISION verifier like the LSH band filters, not an exhaustive
+    scan — the declared trade of every blocking scheme here.)
+
+    Hot blocks (boilerplate prefixes) are dropped via a pre-join count
+    guard, the same anti-join discipline as jaccard_pairs' stop-shingle
+    guard: pair generation is bounded by ``max_bucket``² per block,
+    never O(n²) global. Distance is computed ONLY on candidates, with
+    ``F.levenshtein``'s threshold form (cost caps at max_dist+1
+    internally).
+
+    Returns (id_1, id_2, dist) with id_1 < id_2, dist <= max_dist.
+    """
+    norm = F.lower(F.trim(F.col(text_col)))
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("t"),
+        F.substring(norm, 1, prefix_len).alias("__pfx"),
+        F.expr(f"length({text_col}) div {len_bucket}").alias("__lb"),
+    )
+    blocks = keyed.groupBy("__pfx", "__lb").agg(F.count(F.lit(1)).alias("__n"))
+    hot = blocks.filter(F.col("__n") > max_bucket).select("__pfx", "__lb")
+    guarded = keyed.join(hot, ["__pfx", "__lb"], "left_anti")
+    a = guarded.select(
+        F.col("__pfx"), F.col("__lb"),
+        F.col("id").alias("id_1"), F.col("t").alias("t1"),
+    )
+    b = guarded.select(
+        F.col("__pfx"), F.col("__lb"),
+        F.col("id").alias("id_2"), F.col("t").alias("t2"),
+    )
+    return (
+        a.join(b, ["__pfx", "__lb"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select(
+            "id_1",
+            "id_2",
+            F.levenshtein("t1", "t2", max_dist + 1).cast("bigint").alias("dist"),
+        )
+        # the threshold form returns -1 when the distance exceeds the
+        # cap — exclude it explicitly, -1 <= max_dist would pass
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )

@@ -115,3 +115,93 @@ def range_join_points_in_intervals(
         )
         .drop("__bucket")
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis: per user, the earliest timestamp at which
+    each successive stage was reached, where stage k counts only if it
+    happens STRICTLY AFTER the user's stage-(k-1) time — the classic
+    product-analytics conversion funnel, which plain per-type MIN(ts)
+    gets wrong (a purchase before the first click must not count).
+
+    Plan: one filtered per-(user, stage) MIN aggregation per stage, each
+    constrained by the previous stage's time via an equi join on the
+    user — stage cardinality is a small constant, every join key is the
+    user id, and each aggregation is map-side combined, so the whole
+    funnel is a k-deep chain of user-keyed hash aggregations (AQE picks
+    broadcast when a stage's survivor set collapses). No window over
+    whole user histories, no per-user collect.
+
+    Returns one row per user that entered the funnel:
+    (``user_col``, t_1..t_k nullable timestamps, stages_reached).
+    """
+    if not stages:
+        raise ValueError("funnel_stages: need at least one stage")
+    cur = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    out = cur
+    for k, stage in enumerate(stages[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == stage)
+            .join(out.select(user_col, f"t_{k - 1}"), user_col)
+            .filter(F.col(ts_col) > F.col(f"t_{k - 1}"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{k}"))
+        )
+        out = out.join(nxt, user_col, "left")
+    reached = F.lit(0)
+    for k in range(1, len(stages) + 1):
+        reached = reached + F.when(F.col(f"t_{k}").isNotNull(), 1).otherwise(0)
+    return out.select(
+        user_col,
+        *[f"t_{k}" for k in range(1, len(stages) + 1)],
+        reached.cast("int").alias("stages_reached"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention analysis: bucket users by their first-activity
+    week (the cohort), then count how many of each cohort were active
+    again N weeks later — the standard growth-analytics triangle.
+
+    Plan: one per-user MIN aggregation (map-side combined) for the
+    cohort assignment, a user-keyed join back onto the per-(user, week)
+    distinct activity, and one (cohort, offset) count — all shuffles on
+    the user id or on the tiny (cohort, offset) pair; nothing is
+    collected or windowed over full histories.
+
+    Weeks are epoch-day div 7 (engine-neutral integer bucketing — SQL
+    week truncation differs between engines on week-start conventions).
+
+    Returns (cohort_week, week_offset, n_users) with week_offset 0 being
+    the cohort-defining week (so n_users at offset 0 = cohort size).
+    """
+    week = F.expr(
+        f"cast(datediff(to_date({ts_col}), date'1970-01-01') div 7 as int)"
+    )
+    activity = (
+        events.select(F.col(user_col).alias("u"), week.alias("week"))
+        .distinct()
+    )
+    first = activity.groupBy("u").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(first, "u")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("u").alias("n_users"))
+    )

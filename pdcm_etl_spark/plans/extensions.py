@@ -1894,6 +1894,108 @@ def _sql_pagerank(iterations: int = 3) -> str:
     )
 
 
+def x_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → view → click → purchase ordered funnel per user: each
+    stage's earliest time strictly after the previous stage's. k-deep
+    chain of user-keyed filtered MIN aggregations — no history windows,
+    no collects."""
+    from pdcm_etl_spark.operators.temporal import funnel_stages
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    return funnel_stages(ev, ["signup", "view", "click", "purchase"])
+
+
+SQL_FUNNEL_STAGES = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t_1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t_1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s2.t_2
+  GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_4
+  FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t_3
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.t_1, s2.t_2, s3.t_3, s4.t_4,
+       CAST(CASE WHEN s1.t_1 IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN s2.t_2 IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN s3.t_3 IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN s4.t_4 IS NOT NULL THEN 1 ELSE 0 END
+          AS INTEGER) AS stages_reached
+FROM s1
+LEFT JOIN s2 ON s2.user_id = s1.user_id
+LEFT JOIN s3 ON s3.user_id = s1.user_id
+LEFT JOIN s4 ON s4.user_id = s1.user_id
+"""
+
+
+def x_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-activity-week cohorts × week-offset active-user counts (the
+    growth-analytics retention triangle). Engine-neutral integer week
+    bucketing (epoch-day div 7)."""
+    from pdcm_etl_spark.operators.temporal import cohort_retention
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    return cohort_retention(load_events(spark, sf_dir))
+
+
+SQL_COHORT_RETENTION = """
+WITH activity AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+              AS INTEGER) AS week
+  FROM events
+),
+first AS (SELECT u, MIN(week) AS cohort_week FROM activity GROUP BY u)
+SELECT f.cohort_week,
+       a.week - f.cohort_week AS week_offset,
+       COUNT(DISTINCT a.u) AS n_users
+FROM activity a JOIN first f USING (u)
+GROUP BY f.cohort_week, week_offset
+"""
+
+
+def x_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein near-dup pairs: (prefix, length-bucket)
+    blocking + hot-block anti-join guard, distance only on candidates.
+    Exact oracle — both engines implement standard edit distance."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return dedup.edit_distance_pairs(docs)
+
+
+SQL_DEDUP_EDIT_DISTANCE = """
+WITH keyed AS (
+  SELECT doc_id AS id, lower(trim(text)) AS t,
+         substring(lower(trim(text)), 1, 16) AS pfx,
+         length(text) // 64 AS lb
+  FROM documents
+),
+blocks AS (SELECT pfx, lb, COUNT(*) AS n FROM keyed GROUP BY pfx, lb),
+guarded AS (
+  SELECT k.id, k.t, k.pfx, k.lb
+  FROM keyed k JOIN blocks b USING (pfx, lb)
+  WHERE b.n <= 200
+)
+SELECT a.id AS id_1, b.id AS id_2,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+FROM guarded a JOIN guarded b USING (pfx, lb)
+WHERE a.id < b.id AND levenshtein(a.t, b.t) <= 16
+"""
+
+
 def x_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style sub-document dedup (arXiv:1911.00359): 16-word
     segments deduped across the whole corpus (first occurrence by
@@ -2024,6 +2126,9 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "stump_train": (x_stump_train, SQL_STUMP_TRAIN),
     "zorder_layout": (x_zorder_layout, _sql_zorder_layout()),
     "pagerank": (x_pagerank, _sql_pagerank(3)),
+    "funnel_stages": (x_funnel_stages, SQL_FUNNEL_STAGES),
+    "cohort_retention": (x_cohort_retention, SQL_COHORT_RETENTION),
+    "dedup_edit_distance": (x_dedup_edit_distance, SQL_DEDUP_EDIT_DISTANCE),
     "multimodal_meta": (x_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (x_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_frames": (x_multimodal_frames, SQL_MULTIMODAL_FRAMES),

@@ -132,7 +132,11 @@ def main() -> None:
         )
 
     results = {}
-    names = list(qs)[:first_n]
+    only = os.environ.get("GATE_ONLY")
+    if only:
+        names = [n for n in only.split(",") if n in qs]
+    else:
+        names = list(qs)[:first_n]
     for name in names:
         t0 = time.time()
         row: dict = {}

@@ -316,3 +316,34 @@ def test_zorder_layout_is_map_side_plus_one_agg(spark, sf_dir, queries):
     assert "Window" not in plan and "Sort" not in plan and "Join" not in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert "partial" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_edit_distance_pairs_blocked_equi_join(spark, sf_dir, queries):
+    """Candidate generation must be an equi join on the (prefix, length
+    bucket) block key — never a cartesian text×text scan — and the
+    hot-block guard must appear as a LeftAnti join before pairing."""
+    plan = _plan(queries["dedup_edit_distance"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_funnel_stages_user_keyed_joins_only(spark, sf_dir, queries):
+    """Every stage constraint is a user-keyed equi join around a
+    map-side-combined MIN aggregation; no history window, no
+    nested-loop joins, no Python."""
+    plan = _plan(queries["funnel_stages"](spark, sf_dir), mode="simple")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_min" in plan, plan
+
+
+def test_cohort_retention_all_shuffles_keyed(spark, sf_dir, queries):
+    """Cohort assignment and offset counts shuffle on the user id /
+    (cohort, offset) pair only — no window over full histories, no
+    nested-loop joins."""
+    plan = _plan(queries["cohort_retention"](spark, sf_dir), mode="simple")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

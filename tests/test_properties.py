@@ -718,3 +718,53 @@ def test_pagerank_matches_python_fold(spark, edges, iters):
             inflow[d] += (pr[s] * 85) // (100 * outdeg[s])
         pr = {n: 150_000 + inflow[n] for n in nodes}
     assert got == pr
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),      # user
+            st.sampled_from(["a", "b", "c"]),            # stage type
+            st.integers(min_value=0, max_value=50),      # ts (seconds)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_funnel_stages_matches_sequential_scan(spark, evs):
+    """The join-chain funnel must equal a per-user sequential scan of
+    the time-sorted history (strictly-after semantics at every stage)."""
+    import datetime
+
+    from pdcm_etl_spark.operators.temporal import funnel_stages
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (u, t, base + datetime.timedelta(seconds=s)) for u, t, s in evs
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp"
+    ).repartition(3)
+    got = {
+        r["user_id"]: (r["t_1"], r["t_2"], r["t_3"], r["stages_reached"])
+        for r in funnel_stages(df, ["a", "b", "c"]).collect()
+    }
+    want = {}
+    users = {u for u, _, _ in rows}
+    for u in users:
+        hist = sorted((ts, t) for uu, t, ts in rows if uu == u)
+        t1 = min((ts for ts, t in hist if t == "a"), default=None)
+        t2 = (
+            min((ts for ts, t in hist if t == "b" and ts > t1), default=None)
+            if t1 is not None
+            else None
+        )
+        t3 = (
+            min((ts for ts, t in hist if t == "c" and ts > t2), default=None)
+            if t2 is not None
+            else None
+        )
+        if t1 is not None:
+            want[u] = (t1, t2, t3, sum(x is not None for x in (t1, t2, t3)))
+    assert got == want

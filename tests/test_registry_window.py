@@ -12,7 +12,7 @@ ROTATED_IN = [
     "dedup_paragraph", "sample_domain_mix", "stream_events_sliding",
     "bpe_pair_counts", "bpe_train", "bpe_encode",
     "unigram_lm_score", "inverted_index", "stump_train", "zorder_layout",
-    "pagerank",
+    "pagerank", "funnel_stages", "cohort_retention", "dedup_edit_distance",
     # round-3 rotations kept in-window one more round (sessionize per r3
     # verdict item 3; the rest are family representatives)
     "stream_sessionize", "stream_dedup", "stream_scd2_upsert",
@@ -38,9 +38,9 @@ def test_first_50_covers_every_family():
         "json": ["json_agg_struct"],
         "sketch": ["approx_distinct"],
         "pivot": ["pivot_status"],
-        "timeseries": ["events_daily"],
+        "timeseries": ["events_daily", "cohort_retention"],
         "recursion": ["recursive_closure", "pagerank"],
-        "dedup": ["dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup": ["dedup_edit_distance", "dedup_minhash_lsh",
                   "dedup_minhash_incremental", "dedup_keeper_quality",
                   "dedup_semantic", "dedup_groups",
                   "dedup_paragraph"],
@@ -52,7 +52,7 @@ def test_first_50_covers_every_family():
                  "unigram_lm_score"],
         "multimodal": ["multimodal_decode", "multimodal_frames",
                        "multimodal_resize"],
-        "temporal": ["asof_join", "range_join"],
+        "temporal": ["asof_join", "range_join", "funnel_stages"],
         "sampling": ["sample_stratified", "shuffle_shards"],
         "corpus-stats": ["ngram_topk", "inverted_index"],
         "tokenizer": ["bpe_pair_counts", "bpe_train", "bpe_encode"],
