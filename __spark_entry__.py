@@ -68,6 +68,11 @@ _PRIORITY: list[str] = [
     # out — r3 driver-proven; pagerank keeps the iterative-graph family)
     "cohort_retention",
     "pagerank",
+    # graph + association analytics (new round-4 additions, windowed
+    # immediately; the slots come from stream_events_daily +
+    # stream_stream_join, both r3 driver-proven)
+    "triangle_count",
+    "itemset_pairs",
     # training-data: dedup family (exact/minhash_lsh proven; the
     # incremental + keeper variants take their slots)
     # (dedup_ngram_jaccard rotated out — r3 driver-proven; the new
@@ -110,12 +115,10 @@ _PRIORITY: list[str] = [
     "zorder_layout",
     "pack_sequences",
     "quality_percentile",
-    # streaming: all seven paths in-window this round (sliding windows
-    # new in round 4)
-    "stream_events_daily",
+    # streaming: five paths in-window (sliding windows new in round 4;
+    # events_daily + stream_stream_join rotated out — r3 driver-proven)
     "stream_events_sliding",
     "session_window",
-    "stream_stream_join",
     "stream_sessionize",
     "stream_dedup",
 ]

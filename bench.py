@@ -81,6 +81,8 @@ HEADLINE = [
     "funnel_stages",
     "cohort_retention",
     "dedup_edit_distance",
+    "triangle_count",
+    "itemset_pairs",
 ]
 
 

@@ -231,3 +231,68 @@ def pagerank(
     ew.unpersist()
     nodes.unpersist()
     return out
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph —
+    the clustering/community primitive next to components and PageRank.
+
+    Uses the degree-orientation algorithm (Schank & Wagner 2005; the
+    standard MapReduce/Spark formulation): orient every undirected edge
+    from its lower-(degree, id) endpoint to the higher, so each triangle
+    is generated EXACTLY ONCE as a wedge at its lowest-ordered corner
+    and the wedge count is O(m^1.5) regardless of skew — a hub of degree
+    d contributes wedges only through its (rare) higher-ordered
+    neighbors, never d² pairs. This is the difference between "works on
+    a mesh" and "works on a power-law web graph at 100 TB".
+
+    Plan: canonical-edge distinct, one degree aggregation, two
+    hash joins to attach ordering keys, the wedge self-join on the
+    oriented source, and one semi-ish closing join — every shuffle is
+    keyed on a node id, no window, no collect.
+
+    Returns (node, n_triangles) for nodes in at least one triangle.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # total order: ok = deg * 2^40 + node  (node ids < 2^40, deg < 2^23)
+    okey = (F.col("deg") * F.lit(1 << 40) + F.col("node")).cast("bigint")
+    keyed = deg.select("node", okey.alias("ok"))
+    oe = (
+        e.join(keyed.select(F.col("node").alias("a"), F.col("ok").alias("oa")), "a")
+        .join(keyed.select(F.col("node").alias("b"), F.col("ok").alias("ob")), "b")
+        .select(
+            F.when(F.col("oa") < F.col("ob"), F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(F.col("oa") < F.col("ob"), F.col("ob")).otherwise(F.col("oa")).alias("ov"),
+            F.when(F.col("oa") < F.col("ob"), F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    # wedges at the lowest-ordered corner u: neighbor pair (v, w), ov < ow
+    p = oe.select(F.col("u"), F.col("v"), F.col("ov"))
+    q = oe.select(F.col("u"), F.col("v").alias("w"), F.col("ov").alias("ow"))
+    wedges = p.join(q, "u").filter(F.col("ov") < F.col("ow"))
+    closing = oe.select(F.col("v").alias("cv"), F.col("u").alias("cu"))
+    tris = wedges.join(
+        closing, (F.col("v") == F.col("cu")) & (F.col("w") == F.col("cv"))
+    ).select("u", "v", "w")
+    return (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -2089,6 +2089,96 @@ FROM h
 """
 
 
+def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over a synthetic bounded-degree graph on
+    the part keys (path edge k→k+1, skip edge k→k+2 — these two alone
+    tile the line with triangles — plus a scatter edge
+    k→1+((7k+3) mod N) for irregularity). Degree-oriented wedge
+    generation (O(m^1.5) even under skew); the oracle counts the same
+    triangles via the canonical a<b<c triple join."""
+    from pdcm_etl_spark.operators.graph import triangle_count
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") >= 1)
+    n = part.count()  # scalar — the graph's node-count modulus
+    pk = part.select(F.col("p_partkey").cast("bigint").alias("k"))
+    e1 = pk.filter(F.expr(f"k + 1 <= {n}")).select(
+        F.col("k").alias("src"), F.expr("k + 1").alias("dst")
+    )
+    e2 = pk.filter(F.expr(f"k + 2 <= {n}")).select(
+        F.col("k").alias("src"), F.expr("k + 2").alias("dst")
+    )
+    e3 = pk.select(
+        F.col("k").alias("src"), F.expr(f"1 + ((7 * k + 3) % {n})").alias("dst")
+    )
+    return triangle_count(e1.unionByName(e2).unionByName(e3))
+
+
+SQL_TRIANGLE_COUNT = """
+WITH nn AS (SELECT COUNT(*) AS n FROM part WHERE p_partkey >= 1),
+pk AS (
+  SELECT CAST(p_partkey AS BIGINT) AS k FROM part WHERE p_partkey >= 1
+),
+raw AS (
+  SELECT k AS u, k + 1 AS v FROM pk, nn WHERE k + 1 <= nn.n
+  UNION ALL
+  SELECT k, k + 2 FROM pk, nn WHERE k + 2 <= nn.n
+  UNION ALL
+  SELECT k, 1 + ((7 * k + 3) % nn.n) FROM pk, nn
+),
+e AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM raw WHERE u <> v
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, COUNT(*) AS n_triangles
+FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+GROUP BY node
+"""
+
+
+def x_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket 2-itemsets over orders: parts co-ordered in the
+    same order, support >= 2, integer-ppm lift. Basket-size guard via
+    anti-join; total-basket scalar via a broadcast one-row join."""
+    from pdcm_etl_spark.operators.assoc import itemset_pairs
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return itemset_pairs(
+        li, basket_col="l_orderkey", item_col="l_partkey",
+        min_support=2, max_basket=64,
+    )
+
+
+SQL_ITEMSET_PAIRS = """
+WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+sizes AS (SELECT bk, COUNT(*) AS n_items FROM bi GROUP BY bk),
+g AS (
+  SELECT bi.bk, bi.it FROM bi JOIN sizes USING (bk)
+  WHERE sizes.n_items <= 64
+),
+item_n AS (SELECT it, COUNT(*) AS n_it FROM g GROUP BY it),
+nb AS (SELECT COUNT(DISTINCT bk) AS n_baskets FROM g),
+pairs AS (
+  SELECT a.it AS item_1, b.it AS item_2, COUNT(*) AS n_pair
+  FROM g a JOIN g b ON a.bk = b.bk AND a.it < b.it
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT item_1, item_2, n_pair,
+       i1.n_it AS n_1, i2.n_it AS n_2,
+       CAST((1000000 * n_pair * nb.n_baskets) // (i1.n_it * i2.n_it)
+            AS BIGINT) AS lift_ppm
+FROM pairs
+JOIN item_n i1 ON i1.it = pairs.item_1
+JOIN item_n i2 ON i2.it = pairs.item_2, nb
+"""
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -2126,6 +2216,8 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "stump_train": (x_stump_train, SQL_STUMP_TRAIN),
     "zorder_layout": (x_zorder_layout, _sql_zorder_layout()),
     "pagerank": (x_pagerank, _sql_pagerank(3)),
+    "triangle_count": (x_triangle_count, SQL_TRIANGLE_COUNT),
+    "itemset_pairs": (x_itemset_pairs, SQL_ITEMSET_PAIRS),
     "funnel_stages": (x_funnel_stages, SQL_FUNNEL_STAGES),
     "cohort_retention": (x_cohort_retention, SQL_COHORT_RETENTION),
     "dedup_edit_distance": (x_dedup_edit_distance, SQL_DEDUP_EDIT_DISTANCE),

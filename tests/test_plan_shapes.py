@@ -347,3 +347,22 @@ def test_cohort_retention_all_shuffles_keyed(spark, sf_dir, queries):
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_triangle_count_all_joins_keyed(spark, sf_dir, queries):
+    """Wedge generation and closure are node-keyed equi joins — never a
+    cartesian/nested-loop scan — and no window appears anywhere."""
+    plan = _plan(queries["triangle_count"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_itemset_pairs_guarded_basket_join(spark, sf_dir, queries):
+    """The basket-size guard must appear as a LeftAnti join before the
+    in-basket pair self-join, and the only non-equi operator allowed is
+    the one-row total broadcast."""
+    plan = _plan(queries["itemset_pairs"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan

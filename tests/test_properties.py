@@ -768,3 +768,37 @@ def test_funnel_stages_matches_sequential_scan(spark, evs):
         if t1 is not None:
             want[u] = (t1, t2, t3, sum(x is not None for x in (t1, t2, t3)))
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_triangle_count_matches_bruteforce(spark, raw_edges):
+    """Degree-oriented wedge counting must equal the brute-force
+    all-triples scan on small random graphs (self-loops and multi-edges
+    in the input must be ignored)."""
+    from itertools import combinations
+
+    from pdcm_etl_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(raw_edges, "src bigint, dst bigint").repartition(3)
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(df).collect()
+    }
+    adj = {tuple(sorted(e)) for e in raw_edges if e[0] != e[1]}
+    nodes = sorted({n for e in adj for n in e})
+    want: dict[int, int] = {}
+    for x, y, z in combinations(nodes, 3):
+        if ((x, y) in adj) and ((x, z) in adj) and ((y, z) in adj):
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    assert got == want

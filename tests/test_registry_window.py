@@ -13,6 +13,7 @@ ROTATED_IN = [
     "bpe_pair_counts", "bpe_train", "bpe_encode",
     "unigram_lm_score", "inverted_index", "stump_train", "zorder_layout",
     "pagerank", "funnel_stages", "cohort_retention", "dedup_edit_distance",
+    "triangle_count", "itemset_pairs",
     # round-3 rotations kept in-window one more round (sessionize per r3
     # verdict item 3; the rest are family representatives)
     "stream_sessionize", "stream_dedup", "stream_scd2_upsert",
@@ -40,6 +41,8 @@ def test_first_50_covers_every_family():
         "pivot": ["pivot_status"],
         "timeseries": ["events_daily", "cohort_retention"],
         "recursion": ["recursive_closure", "pagerank"],
+        "graph-analytics": ["triangle_count", "pagerank"],
+        "assoc": ["itemset_pairs"],
         "dedup": ["dedup_edit_distance", "dedup_minhash_lsh",
                   "dedup_minhash_incremental", "dedup_keeper_quality",
                   "dedup_semantic", "dedup_groups",
