@@ -47,12 +47,13 @@ _PRIORITY: list[str] = [
     "harmonisation_cascade",
     "array_equality_group",
     "join_salted_skew",
-    # grouping / window / set ops — never-checked variants in, proven
-    # grouping_sets / window_lag_delta / intersect_keys out
-    "rollup_totals",
+    # grouping / window / set ops (rollup_totals + text_chunk rotated
+    # out — r3 driver-proven; global_agg / unigram_lm_score keep their
+    # families; the slots go to the round-4 gapfill + anomaly queries)
     "window_ntile",
     "except_keys",
-    "text_chunk",
+    "timeseries_gapfill",
+    "anomaly_iqr",
     # CDC family: batch merge + the streaming upsert twin
     "scd2_merge",
     "stream_scd2_upsert",

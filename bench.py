@@ -83,6 +83,8 @@ HEADLINE = [
     "dedup_edit_distance",
     "triangle_count",
     "itemset_pairs",
+    "timeseries_gapfill",
+    "anomaly_iqr",
 ]
 
 

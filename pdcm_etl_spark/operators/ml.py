@@ -113,3 +113,76 @@ def stump_train(
             F.expr("((total - errors) * 10000) div total").alias("acc_bp"),
         )
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_micro,
+    k_iqr: int = 3,
+) -> DataFrame:
+    """Per-group outlier detection by the Tukey IQR fence, on an integer
+    metric so the fences — and therefore the flag set — are bit-exact
+    across engines (float quantile interpolation is not).
+
+    Quartiles are DISCRETE (a value present in the data): q1 is the
+    value at sorted position ceil(n/4), q3 at ceil(3n/4), ties broken by
+    the row id so both engines pick the same row. A row is an outlier
+    when its metric falls outside [q1 - k·(q3-q1), q3 + k·(q3-q1)] —
+    all integer arithmetic.
+
+    Plan: one per-group sort window assigns positions (parallelism =
+    group count — the quantile-by-histogram two-pass in
+    ``operators/sampling.py::quality_percentile_filter`` is the
+    alternative when groups are few and huge), a conditional aggregation
+    extracts the two quartile rows, and a broadcastable group-keyed join
+    flags the outliers. No collects.
+
+    ``value_micro`` is a Column producing a BIGINT metric.
+
+    Returns the outlier rows: (id, key, value_micro, q1_micro, q3_micro).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("key"),
+        value_micro.cast("bigint").alias("m"),
+        # null metrics are excluded OUTSIDE the rank, not sorted to an
+        # end: engines disagree on null sort order (Spark NULLS FIRST,
+        # DuckDB NULLS LAST), which would shift every quantile position
+    ).filter(F.col("m").isNotNull())
+    w = Window.partitionBy("key").orderBy("m", "id")
+    ranked = base.withColumn("rn", F.row_number().over(w))
+    counts = base.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        ranked.join(counts, "key")
+        .filter(
+            (F.col("rn") == F.expr("(n + 3) div 4"))
+            | (F.col("rn") == F.expr("(3 * n + 3) div 4"))
+        )
+        .groupBy("key")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("m"))
+            ).alias("q1_micro"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("m"))
+            ).alias("q3_micro"),
+        )
+    )
+    return (
+        base.join(q, "key")
+        .filter(
+            (F.col("m") > F.col("q3_micro") + k_iqr * (F.col("q3_micro") - F.col("q1_micro")))
+            | (F.col("m") < F.col("q1_micro") - k_iqr * (F.col("q3_micro") - F.col("q1_micro")))
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("key").alias(key_col),
+            F.col("m").alias("value_micro"),
+            "q1_micro",
+            "q3_micro",
+        )
+    )

@@ -205,3 +205,64 @@ def cohort_retention(
         )
         .agg(F.count_distinct("u").alias("n_users"))
     )
+
+
+def gapfill_daily(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-series gap filling: densify each series to a complete daily
+    calendar between its first and last observation, with missing-day
+    counts zero-filled and the running metric carried forward (the
+    resample + ffill primitive every monitoring/feature pipeline needs;
+    Spark has no native equivalent).
+
+    Plan: one (key, day) aggregation → per-key span aggregation →
+    calendar expansion via ``sequence`` + ``explode`` (generated
+    map-side from the tiny span table, never a driver loop) → left join
+    back → one per-key ordered window for the forward fill. Days are
+    epoch-day integers (engine-neutral; DATE columns hash apart across
+    engines). The forward-fill window partitions by the series key:
+    parallelism equals series count, the natural unit — a pipeline with
+    few huge series should pre-split on (key, month) and stitch
+    boundaries, the standard two-pass trick; with many series (the
+    100 TB regime) this plan is already balanced.
+
+    Returns (key, day, n_events, filled_value_micro) — one row per
+    series per calendar day in its span.
+    """
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date"))
+    daily = (
+        events.groupBy(F.col(key_col).alias("key"), day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col(value_col).cast("decimal(18,6)")) * 1000000)
+            .cast("bigint")
+            .alias("sum_value_micro"),
+        )
+    )
+    cal = (
+        daily.groupBy("key")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "key", F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+        )
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cal.join(daily, ["key", "day"], "left")
+        .select(
+            F.col("key").alias(key_col),
+            F.col("day").cast("int").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("sum_value_micro", ignorenulls=True)
+            .over(w)
+            .alias("filled_value_micro"),
+        )
+    )

@@ -2179,6 +2179,83 @@ JOIN item_n i2 ON i2.it = pairs.item_2, nb
 """
 
 
+def x_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily calendar densification + forward fill per event_type:
+    zero-filled counts, carried-forward decimal-exact micro sums,
+    epoch-day integer axis."""
+    from pdcm_etl_spark.operators.temporal import gapfill_daily
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    return gapfill_daily(load_events(spark, sf_dir))
+
+
+SQL_TIMESERIES_GAPFILL = """
+WITH daily AS (
+  SELECT event_type AS key,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS INTEGER) AS day,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+           AS sum_value_micro
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT key, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY key),
+cal AS (
+  SELECT key, CAST(unnest(range(d0, d1 + 1)) AS INTEGER) AS day FROM span
+)
+SELECT c.key AS event_type, c.day,
+       COALESCE(d.n_events, 0) AS n_events,
+       LAST_VALUE(d.sum_value_micro IGNORE NULLS) OVER (
+         PARTITION BY c.key ORDER BY c.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_value_micro
+FROM cal c LEFT JOIN daily d USING (key, day)
+"""
+
+
+def x_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outliers on the event value (micro-quantized) per
+    event_type: discrete integer quartiles (position-picked, tie-broken
+    by event_id), k=3 fences, all-integer arithmetic — exact."""
+    from pdcm_etl_spark.operators.ml import iqr_outliers
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    metric = (F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint")
+    return iqr_outliers(
+        ev, key_col="event_type", id_col="event_id", value_micro=metric,
+        k_iqr=3,
+    )
+
+
+SQL_ANOMALY_IQR = """
+WITH base AS (
+  SELECT event_id AS id, event_type AS key,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m
+  FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT id, key, m,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY m, id) AS rn,
+         COUNT(*) OVER (PARTITION BY key) AS n
+  FROM base
+),
+q AS (
+  SELECT key,
+         MAX(CASE WHEN rn = (n + 3) // 4 THEN m END) AS q1_micro,
+         MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN m END) AS q3_micro
+  FROM ranked
+  WHERE rn = (n + 3) // 4 OR rn = (3 * n + 3) // 4
+  GROUP BY key
+)
+SELECT b.id AS event_id, b.key AS event_type, b.m AS value_micro,
+       q.q1_micro, q.q3_micro
+FROM base b JOIN q USING (key)
+WHERE b.m > q.q3_micro + 3 * (q.q3_micro - q.q1_micro)
+   OR b.m < q.q1_micro - 3 * (q.q3_micro - q.q1_micro)
+"""
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -2218,6 +2295,8 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "pagerank": (x_pagerank, _sql_pagerank(3)),
     "triangle_count": (x_triangle_count, SQL_TRIANGLE_COUNT),
     "itemset_pairs": (x_itemset_pairs, SQL_ITEMSET_PAIRS),
+    "timeseries_gapfill": (x_timeseries_gapfill, SQL_TIMESERIES_GAPFILL),
+    "anomaly_iqr": (x_anomaly_iqr, SQL_ANOMALY_IQR),
     "funnel_stages": (x_funnel_stages, SQL_FUNNEL_STAGES),
     "cohort_retention": (x_cohort_retention, SQL_COHORT_RETENTION),
     "dedup_edit_distance": (x_dedup_edit_distance, SQL_DEDUP_EDIT_DISTANCE),

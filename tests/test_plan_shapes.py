@@ -366,3 +366,23 @@ def test_itemset_pairs_guarded_basket_join(spark, sf_dir, queries):
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_gapfill_single_forward_fill_window(spark, sf_dir, queries):
+    """Calendar expansion is generated (sequence+explode from the tiny
+    span aggregate) and forward fill is ONE per-series window — no
+    cartesian calendar join, no extra windows."""
+    plan = _plan(queries["timeseries_gapfill"](spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Window") == 1, plan
+    assert "Generate" in plan, plan  # sequence+explode calendar
+
+
+def test_anomaly_iqr_rank_window_and_keyed_joins(spark, sf_dir, queries):
+    """One per-group rank window; quartile extraction and the flag join
+    are group-keyed equi joins."""
+    plan = _plan(queries["anomaly_iqr"](spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Window") == 1, plan

@@ -802,3 +802,92 @@ def test_triangle_count_matches_bruteforce(spark, raw_edges):
             for n in (x, y, z):
                 want[n] = want.get(n, 0) + 1
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),       # series key
+            st.integers(min_value=0, max_value=15),      # day offset
+            st.integers(min_value=-5, max_value=5),      # integral value
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_gapfill_daily_matches_python_fold(spark, evs):
+    """Calendar densification + forward fill must equal a per-series
+    Python scan: every day in [min, max] present, counts zero-filled,
+    micro sums carried forward."""
+    import datetime
+
+    from pdcm_etl_spark.operators.temporal import gapfill_daily
+
+    base = datetime.datetime(2024, 1, 1)
+    epoch0 = (base.date() - datetime.date(1970, 1, 1)).days
+    rows = [
+        (f"k{k}", base + datetime.timedelta(days=d, hours=1), float(v))
+        for k, d, v in evs
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    ).repartition(3)
+    got = {
+        (r["event_type"], r["day"]): (r["n_events"], r["filled_value_micro"])
+        for r in gapfill_daily(df).collect()
+    }
+    want = {}
+    for key in {r[0] for r in rows}:
+        days = {}
+        for k, ts, v in rows:
+            if k == key:
+                d = epoch0 + (ts.date() - base.date()).days
+                n, s = days.get(d, (0, 0))
+                days[d] = (n + 1, s + int(v * 1_000_000))
+        last = None
+        for d in range(min(days), max(days) + 1):
+            if d in days:
+                last = days[d][1]
+                want[(key, d)] = (days[d][0], last)
+            else:
+                want[(key, d)] = (0, last)
+    assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),        # group
+            st.integers(min_value=-1000, max_value=1000), # metric
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_iqr_outliers_matches_python(spark, rows):
+    """Discrete-quartile Tukey fences must equal the Python formula
+    (q1 at ceil(n/4), q3 at ceil(3n/4), id tie-break, k=3)."""
+    from pyspark.sql import functions as F
+
+    from pdcm_etl_spark.operators.ml import iqr_outliers
+
+    data = [(i, f"g{g}", m) for i, (g, m) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id bigint, grp string, m bigint").repartition(3)
+    got = {
+        r["id"]: (r["q1_micro"], r["q3_micro"])
+        for r in iqr_outliers(
+            df, key_col="grp", id_col="id", value_micro=F.col("m"), k_iqr=3
+        ).collect()
+    }
+    want = {}
+    for g in {d[1] for d in data}:
+        grp = sorted((m, i) for i, gg, m in data if gg == g)
+        n = len(grp)
+        q1 = grp[(n + 3) // 4 - 1][0]
+        q3 = grp[(3 * n + 3) // 4 - 1][0]
+        for m, i in grp:
+            if m > q3 + 3 * (q3 - q1) or m < q1 - 3 * (q3 - q1):
+                want[i] = (q1, q3)
+    assert got == want

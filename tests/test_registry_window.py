@@ -13,7 +13,7 @@ ROTATED_IN = [
     "bpe_pair_counts", "bpe_train", "bpe_encode",
     "unigram_lm_score", "inverted_index", "stump_train", "zorder_layout",
     "pagerank", "funnel_stages", "cohort_retention", "dedup_edit_distance",
-    "triangle_count", "itemset_pairs",
+    "triangle_count", "itemset_pairs", "timeseries_gapfill", "anomaly_iqr",
     # round-3 rotations kept in-window one more round (sessionize per r3
     # verdict item 3; the rest are family representatives)
     "stream_sessionize", "stream_dedup", "stream_scd2_upsert",
@@ -39,7 +39,9 @@ def test_first_50_covers_every_family():
         "json": ["json_agg_struct"],
         "sketch": ["approx_distinct"],
         "pivot": ["pivot_status"],
-        "timeseries": ["events_daily", "cohort_retention"],
+        "timeseries": ["events_daily", "cohort_retention",
+                       "timeseries_gapfill"],
+        "anomaly": ["anomaly_iqr"],
         "recursion": ["recursive_closure", "pagerank"],
         "graph-analytics": ["triangle_count", "pagerank"],
         "assoc": ["itemset_pairs"],
