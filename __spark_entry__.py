@@ -46,7 +46,9 @@ _PRIORITY: list[str] = [
     "correlated_count",
     "harmonisation_cascade",
     "array_equality_group",
-    "join_salted_skew",
+    # (join_salted_skew rotated out — r3 driver-proven; the cascade
+    # keeps the join family. Its slot goes to the skyline query)
+    "pareto_frontier",
     # grouping / window / set ops (rollup_totals + text_chunk rotated
     # out — r3 driver-proven; global_agg / unigram_lm_score keep their
     # families; the slots go to the round-4 gapfill + anomaly queries)
@@ -54,8 +56,9 @@ _PRIORITY: list[str] = [
     "except_keys",
     "timeseries_gapfill",
     "anomaly_iqr",
-    # CDC family: batch merge + the streaming upsert twin
-    "scd2_merge",
+    # CDC family: the streaming upsert twin keeps it (scd2_merge rotated
+    # out — r3 driver-proven; its slot goes to the containment dedup)
+    "dedup_containment",
     "stream_scd2_upsert",
     # scalar kit / JSON / profiling / pivot representatives
     # (collect_set_markers rotated out for the round-4 additions — r1+r3

@@ -85,6 +85,8 @@ HEADLINE = [
     "itemset_pairs",
     "timeseries_gapfill",
     "anomaly_iqr",
+    "dedup_containment",
+    "pareto_frontier",
 ]
 
 

@@ -1,0 +1,82 @@
+"""Order-statistics analytics: the 2-D Pareto frontier (skyline).
+
+The skyline operator (Börzsönyi, Kossmann & Stocker, ICDE 2001) returns
+the points not dominated by any other — for two minimized dimensions,
+"no other point is <= on both and < on one". Databases implement it
+with a dedicated operator; on Spark the scale-safe shape is the
+partition-prune-then-resolve plan below, never the naive O(n²)
+self-join the textbook definition suggests (that IS the oracle, run by
+DuckDB at test scale only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_INF = 1 << 62
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Skyline of distinct (x, y) points, both dimensions MINIMIZED.
+
+    Plan, O(n log n) work and one O(n_buckets) resolve instead of O(n²):
+
+    1. dedup to distinct points with multiplicities (one hash agg);
+    2. range-bucket on x (bounds from a two-scalar min/max agg — the
+       only collect, bounded at two values);
+    3. per-bucket running min of y over (x asc, y asc) order — a window
+       PARTITIONED by bucket, so parallelism is n_buckets and each task
+       sorts ~n/n_buckets points (grow n_buckets with data; an extra
+       in-bucket sub-split doesn't change the math);
+    4. cross-bucket carry: each bucket's min-y, cumulated over STRICTLY
+       earlier buckets by an unpartitioned window over the n_buckets-row
+       aggregate (bounded — never over data);
+    5. a point survives iff every earlier point's y (in-bucket prefix
+       min and earlier-bucket carry) is strictly above its y. Sorted by
+       (x asc, y asc), a distinct point is dominated exactly when some
+       predecessor has y <= its y — predecessors have x <= x with
+       inequality strict on x or (same x) strict on y.
+
+    Returns (x, y, n_rows) — the non-dominated distinct points.
+    """
+    pts = (
+        df.groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    lo, hi = df.agg(F.min(x_col), F.max(x_col)).first()
+    if lo is None:
+        return pts.select("x", "y", "n_rows")  # empty input
+    width = (float(hi) - float(lo)) / n_buckets or 1.0
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col("x") - F.lit(lo)) / F.lit(width)).cast("int"),
+    )
+    b = pts.withColumn("__bk", bucket)
+    w_in = (
+        Window.partitionBy("__bk")
+        .orderBy("x", "y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = b.withColumn("__pmin", F.min("y").over(w_in))
+    bmin = b.groupBy("__bk").agg(F.min("y").alias("__bymin"))
+    w_b = (
+        Window.orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = bmin.select(
+        "__bk", F.min("__bymin").over(w_b).alias("__carry")
+    )
+    return (
+        local.join(carry, "__bk")
+        .filter(
+            F.coalesce(F.least("__pmin", "__carry"), F.lit(_INF))
+            > F.col("y")
+        )
+        .select("x", "y", "n_rows")
+    )

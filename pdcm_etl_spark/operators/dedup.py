@@ -78,18 +78,40 @@ def jaccard_pairs(
     Returns (id_a, id_b, inter, jaccard_bp) with id_a < id_b and
     jaccard_bp = floor(10000 * |A∩B| / |A∪B|) ≥ min_bp.
     """
-    # Candidate pairs come from in-bucket generation after a groupBy on
-    # the shingle. The stop-shingle guard runs BEFORE the posting-list
-    # collect: a count-only aggregate finds hot shingles (freq > guard)
-    # and an anti-join drops their rows, so no aggregation buffer ever
-    # materializes a data-sized array (round-3 advice — filtering
-    # size(ids) AFTER collect_list bounds the *output*, not the buffer:
-    # one shingle shared by millions of docs would OOM the executor
-    # during the collect). The hot set is tiny by construction (only
-    # shingles above the guard), so AQE broadcasts the anti-join side;
-    # count aggregation is map-side partial — both scale. No data-sized
-    # frequency table is ever joined (round-2 verdict item 5: pair
-    # counting itself needs no frequency side at all).
+    inter, sizes = _guarded_intersections(sh, max_shingle_freq)
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac_bp = F.floor(
+        F.col("inter") * F.lit(10000.0) / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    ).cast("bigint")
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn("jaccard_bp", jac_bp)
+        .filter(F.col("jaccard_bp") >= min_bp)
+        .select("id_a", "id_b", "inter", "jaccard_bp")
+    )
+
+
+def _guarded_intersections(
+    sh: DataFrame, max_shingle_freq: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate-generation core for set-overlap dedup (Jaccard /
+    containment): per-pair intersection counts + per-doc set sizes.
+
+    Candidate pairs come from in-bucket generation after a groupBy on
+    the shingle. The stop-shingle guard runs BEFORE the posting-list
+    collect: a count-only aggregate finds hot shingles (freq > guard)
+    and an anti-join drops their rows, so no aggregation buffer ever
+    materializes a data-sized array (round-3 advice — filtering
+    size(ids) AFTER collect_list bounds the *output*, not the buffer:
+    one shingle shared by millions of docs would OOM the executor
+    during the collect). The hot set is tiny by construction (only
+    shingles above the guard), so AQE broadcasts the anti-join side;
+    count aggregation is map-side partial — both scale. No data-sized
+    frequency table is ever joined (round-2 verdict item 5: pair
+    counting itself needs no frequency side at all).
+    """
     if max_shingle_freq is not None:
         hot = (
             sh.groupBy("shingle")
@@ -125,17 +147,43 @@ def jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    return inter, sizes
+
+
+def containment_pairs(
+    sh: DataFrame, min_ppm: int = 800_000, max_shingle_freq: int | None = 1000
+) -> DataFrame:
+    """Near-dup pairs by set CONTAINMENT — C(A,B) = |A∩B| / |A| — the
+    asymmetric overlap measure that catches a short document embedded
+    verbatim inside a long one, which Jaccard scores near zero (the
+    union is dominated by the long side). This is the Broder (1997)
+    containment companion to resemblance, and the right filter for
+    quote/boilerplate inclusion in a training corpus.
+
+    Same guarded in-bucket candidate generation as ``jaccard_pairs``
+    (one shingle groupBy, stop-shingle anti-join before the posting-list
+    collect, pair explode bounded by the guard). Containment is emitted
+    in integer parts-per-million via floor division — exact across
+    engines, no float surface.
+
+    Returns (id_a, id_b, inter, cont_a_ppm, cont_b_ppm) with
+    id_a < id_b and max(cont_a_ppm, cont_b_ppm) >= min_ppm; cont_a_ppm
+    is the share of A's shingles also in B.
+    """
+    inter, sizes = _guarded_intersections(sh, max_shingle_freq)
     sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    jac_bp = F.floor(
-        F.col("inter") * F.lit(10000.0) / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-    ).cast("bigint")
     return (
         inter.join(sz_a, "id_a")
         .join(sz_b, "id_b")
-        .withColumn("jaccard_bp", jac_bp)
-        .filter(F.col("jaccard_bp") >= min_bp)
-        .select("id_a", "id_b", "inter", "jaccard_bp")
+        .withColumn(
+            "cont_a_ppm", F.expr("(1000000 * inter) div sz_a").cast("bigint")
+        )
+        .withColumn(
+            "cont_b_ppm", F.expr("(1000000 * inter) div sz_b").cast("bigint")
+        )
+        .filter(F.greatest("cont_a_ppm", "cont_b_ppm") >= min_ppm)
+        .select("id_a", "id_b", "inter", "cont_a_ppm", "cont_b_ppm")
     )
 
 

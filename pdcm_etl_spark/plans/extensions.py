@@ -2256,6 +2256,71 @@ WHERE b.m > q.q3_micro + 3 * (q.q3_micro - q.q1_micro)
 """
 
 
+def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric set-containment near-dups (short doc embedded in a
+    long one — Jaccard-blind): same guarded in-bucket candidates as
+    jaccard, integer-ppm containment both directions, keep pairs with
+    max direction >= 0.5."""
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingles(docs, n=3)
+    return dedup.containment_pairs(sh, min_ppm=500_000, max_shingle_freq=1000)
+
+
+SQL_DEDUP_CONTAINMENT = """
+WITH ws AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), sh0 AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+  FROM (
+    SELECT doc_id, w, unnest(range(greatest(len(w) - 2, 0))) AS i FROM ws
+  )
+), sh AS (
+  SELECT sh0.doc_id, sh0.shingle FROM sh0
+  JOIN (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 1000) f
+  USING (shingle)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter,
+       CAST((1000000 * inter) // sa.sz AS BIGINT) AS cont_a_ppm,
+       CAST((1000000 * inter) // sb.sz AS BIGINT) AS cont_b_ppm
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE greatest((1000000 * inter) // sa.sz, (1000000 * inter) // sb.sz)
+      >= 500000
+"""
+
+
+def x_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline of parts minimizing (retail price, size): distinct
+    points not dominated by any cheaper-and-smaller point. Bucketed
+    prefix-min plan (O(n log n)); the oracle is the textbook NOT EXISTS
+    definition — feasible only at test scale, which is the point."""
+    from pdcm_etl_spark.operators.analytics import pareto_frontier
+
+    part = _t(spark, sf_dir, "part")
+    return pareto_frontier(part, "p_retailprice", "p_size")
+
+
+SQL_PARETO_FRONTIER = """
+WITH pts AS (
+  SELECT p_retailprice AS x, p_size AS y, COUNT(*) AS n_rows
+  FROM part GROUP BY 1, 2
+)
+SELECT x, y, n_rows FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y)
+)
+"""
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -2297,6 +2362,8 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "itemset_pairs": (x_itemset_pairs, SQL_ITEMSET_PAIRS),
     "timeseries_gapfill": (x_timeseries_gapfill, SQL_TIMESERIES_GAPFILL),
     "anomaly_iqr": (x_anomaly_iqr, SQL_ANOMALY_IQR),
+    "dedup_containment": (x_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    "pareto_frontier": (x_pareto_frontier, SQL_PARETO_FRONTIER),
     "funnel_stages": (x_funnel_stages, SQL_FUNNEL_STAGES),
     "cohort_retention": (x_cohort_retention, SQL_COHORT_RETENTION),
     "dedup_edit_distance": (x_dedup_edit_distance, SQL_DEDUP_EDIT_DISTANCE),

@@ -386,3 +386,23 @@ def test_anomaly_iqr_rank_window_and_keyed_joins(spark, sf_dir, queries):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("Window") == 1, plan
+
+
+def test_pareto_frontier_bounded_windows(spark, sf_dir, queries):
+    """The in-bucket prefix min partitions by the bucket; the only
+    unpartitioned window runs over the n_buckets-row aggregate. No
+    nested-loop dominance join anywhere (that is the oracle's job)."""
+    plan = _plan(queries["pareto_frontier"](spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Window") == 2, plan
+
+
+def test_containment_pairs_same_guarded_core_as_jaccard(spark, sf_dir, queries):
+    """Containment reuses the guarded in-bucket candidate core: the
+    stop-shingle anti-join must sit below the posting-list collect."""
+    plan = _plan(queries["dedup_containment"](spark, sf_dir), mode="simple")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    first_collect = plan.index("partial_collect_list")
+    assert "LeftAnti" in plan[first_collect:], plan

@@ -891,3 +891,75 @@ def test_iqr_outliers_matches_python(spark, rows):
             if m > q3 + 3 * (q3 - q1) or m < q1 - 3 * (q3 - q1):
                 want[i] = (q1, q3)
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pareto_frontier_matches_bruteforce(spark, pts):
+    """The bucketed prefix-min skyline must equal the O(n²) dominance
+    scan, including duplicate points and the cross-bucket carry path
+    (n_buckets=3 forces it)."""
+    from pdcm_etl_spark.operators.analytics import pareto_frontier
+
+    df = spark.createDataFrame(pts, "x bigint, y bigint").repartition(3)
+    got = {
+        (r["x"], r["y"]): r["n_rows"]
+        for r in pareto_frontier(df, "x", "y", n_buckets=3).collect()
+    }
+    from collections import Counter
+
+    mult = Counter(pts)
+    want = {
+        (x, y): c
+        for (x, y), c in mult.items()
+        if not any(
+            bx <= x and by <= y and (bx < x or by < y) for bx, by in mult
+        )
+    }
+    assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=12), min_size=3, max_size=12),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_containment_pairs_matches_python_sets(spark, docs):
+    """Integer-ppm containment over guarded shingle candidates must equal
+    the Python set formula for every pair sharing a shingle."""
+    from pdcm_etl_spark.operators.dedup import containment_pairs, shingles
+
+    rows = [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string").repartition(3)
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["cont_a_ppm"], r["cont_b_ppm"])
+        for r in containment_pairs(
+            shingles(df), min_ppm=0, max_shingle_freq=None
+        ).collect()
+    }
+    def sh(toks):
+        return {tuple(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sh(docs[a]) & sh(docs[b]))
+            if inter:
+                want[(a, b)] = (
+                    inter,
+                    1_000_000 * inter // len(sh(docs[a])),
+                    1_000_000 * inter // len(sh(docs[b])),
+                )
+    assert got == want

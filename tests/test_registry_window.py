@@ -14,6 +14,7 @@ ROTATED_IN = [
     "unigram_lm_score", "inverted_index", "stump_train", "zorder_layout",
     "pagerank", "funnel_stages", "cohort_retention", "dedup_edit_distance",
     "triangle_count", "itemset_pairs", "timeseries_gapfill", "anomaly_iqr",
+    "dedup_containment", "pareto_frontier",
     # round-3 rotations kept in-window one more round (sessionize per r3
     # verdict item 3; the rest are family representatives)
     "stream_sessionize", "stream_dedup", "stream_scd2_upsert",
@@ -48,7 +49,8 @@ def test_first_50_covers_every_family():
         "dedup": ["dedup_edit_distance", "dedup_minhash_lsh",
                   "dedup_minhash_incremental", "dedup_keeper_quality",
                   "dedup_semantic", "dedup_groups",
-                  "dedup_paragraph"],
+                  "dedup_paragraph", "dedup_containment"],
+        "skyline": ["pareto_frontier"],
         "domain-mix": ["sample_domain_mix"],
         "similarity": ["ann_ivf_trained_topk"],
         "ann-eval": ["ann_recall"],
