@@ -82,7 +82,9 @@ _PRIORITY: list[str] = [
     # (dedup_ngram_jaccard rotated out — r3 driver-proven; the new
     # edit-distance verifier takes its slot)
     "dedup_edit_distance",
-    "dedup_groups",
+    # (dedup_groups rotated out — r3 driver-proven; seven dedup reps
+    # remain. Its slot goes to the bucketed co-located join)
+    "bucket_cojoin",
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
     "dedup_keeper_quality",

@@ -87,6 +87,7 @@ HEADLINE = [
     "anomaly_iqr",
     "dedup_containment",
     "pareto_frontier",
+    "bucket_cojoin",
 ]
 
 

@@ -78,3 +78,38 @@ def zorder_stats(
             F.max("zval").alias("z_max"),
         )
     )
+
+
+def bucketize(
+    df: DataFrame,
+    key: str,
+    n_buckets: int,
+    table_name: str,
+    path: str,
+) -> DataFrame:
+    """Write ``df`` as a bucketed parquet table and read it back.
+
+    Bucketing is Spark's persistent co-partitioning: rows are hashed on
+    ``key`` into ``n_buckets`` files per write task, and the catalog
+    remembers it, so every later join or aggregation keyed on ``key``
+    between same-bucket-count tables plans with ZERO Exchange — the
+    shuffle is paid once at layout time, not per query. At 100 TB this
+    is the difference between re-shuffling fact tables on every join
+    and reading co-located buckets; ``n_buckets`` should be sized so a
+    bucket of the biggest table fits an executor core (thousands for a
+    real lake — the same knob as shuffle partitions, but durable).
+
+    Writes with mode=overwrite to a STABLE path + table name (re-runs
+    replace, nothing accumulates) and sorts within buckets so merge
+    joins skip their sort too.
+    """
+    spark = df.sparkSession
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table_name)
+    )
+    return spark.table(table_name)

@@ -2321,6 +2321,65 @@ WHERE NOT EXISTS (
 """
 
 
+def x_bucket_cojoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join via bucketed layout: orders and
+    lineitem are written bucketed on the order key (the one-time layout
+    cost), then joined and aggregated on that key with ZERO Exchange in
+    the plan — the co-located-join pattern that makes repeated 100 TB
+    fact joins affordable. Plan-pinned exchange-free
+    (tests/test_plan_shapes.py)."""
+    import os
+    import tempfile
+
+    from pdcm_etl_spark.operators.layout import bucketize
+
+    base = os.path.join(tempfile.gettempdir(), "pdcm_bucket_tables")
+    o = bucketize(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        "o_orderkey", 8, "pdcm_bucket_orders", f"{base}/orders",
+    )
+    li = bucketize(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+        ),
+        "l_orderkey", 8, "pdcm_bucket_lineitem", f"{base}/lineitem",
+    )
+    d182 = "decimal(18,2)"
+    disc = F.col("l_extendedprice").cast(d182) * (
+        F.lit(1).cast(d182) - F.col("l_discount").cast(d182)
+    )
+    return (
+        # hint("merge"): at test scale Catalyst would broadcast the
+        # orders side, which also avoids the shuffle but proves nothing —
+        # at 100 TB neither fact side broadcasts. The hint forces the
+        # sort-merge path the big cluster would take, and the plan pin
+        # asserts it runs on the bucketed distribution with no Exchange.
+        o.hint("merge").join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.max("o_orderstatus").alias("order_status"),
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(F.col("l_quantity").cast(d182)) * 100)
+            .cast("bigint")
+            .alias("sum_qty_c"),
+            (F.sum(disc) * 10000).cast("bigint").alias("revenue_x10k"),
+        )
+    )
+
+
+SQL_BUCKET_COJOIN = """
+SELECT o_orderkey, MAX(o_orderstatus) AS order_status,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS sum_qty_c,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+         AS revenue_x10k
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey
+"""
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -2364,6 +2423,7 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "anomaly_iqr": (x_anomaly_iqr, SQL_ANOMALY_IQR),
     "dedup_containment": (x_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "pareto_frontier": (x_pareto_frontier, SQL_PARETO_FRONTIER),
+    "bucket_cojoin": (x_bucket_cojoin, SQL_BUCKET_COJOIN),
     "funnel_stages": (x_funnel_stages, SQL_FUNNEL_STAGES),
     "cohort_retention": (x_cohort_retention, SQL_COHORT_RETENTION),
     "dedup_edit_distance": (x_dedup_edit_distance, SQL_DEDUP_EDIT_DISTANCE),

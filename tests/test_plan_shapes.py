@@ -406,3 +406,14 @@ def test_containment_pairs_same_guarded_core_as_jaccard(spark, sf_dir, queries):
     assert "CartesianProduct" not in plan, plan
     first_collect = plan.index("partial_collect_list")
     assert "LeftAnti" in plan[first_collect:], plan
+
+
+def test_bucket_cojoin_zero_exchange(spark, sf_dir, queries):
+    """The bucketed fact-fact join + same-key aggregation must plan with
+    ZERO Exchange: both scans read the bucketed layout (the shuffle was
+    paid once at write time) and the merge join + aggregate run on that
+    distribution directly."""
+    plan = _plan(queries["bucket_cojoin"](spark, sf_dir), mode="simple")
+    assert "Exchange" not in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "SortMergeJoin" in plan, plan

@@ -14,7 +14,7 @@ ROTATED_IN = [
     "unigram_lm_score", "inverted_index", "stump_train", "zorder_layout",
     "pagerank", "funnel_stages", "cohort_retention", "dedup_edit_distance",
     "triangle_count", "itemset_pairs", "timeseries_gapfill", "anomaly_iqr",
-    "dedup_containment", "pareto_frontier",
+    "dedup_containment", "pareto_frontier", "bucket_cojoin",
     # round-3 rotations kept in-window one more round (sessionize per r3
     # verdict item 3; the rest are family representatives)
     "stream_sessionize", "stream_dedup", "stream_scd2_upsert",
@@ -66,7 +66,7 @@ def test_first_50_covers_every_family():
         "pipeline": ["corpus_curation"],
         "clustering": ["kmeans_assign"],
         "tree-train": ["stump_train"],
-        "layout": ["zorder_layout"],
+        "layout": ["zorder_layout", "bucket_cojoin"],
         "packing": ["pack_sequences"],
         "quality-filter": ["quality_percentile"],
         "streaming": ["stream_events_daily", "stream_events_sliding",
