@@ -85,7 +85,9 @@ _PRIORITY: list[str] = [
     # (dedup_groups rotated out — r3 driver-proven; seven dedup reps
     # remain. Its slot goes to the bucketed co-located join)
     "bucket_cojoin",
-    "dedup_minhash_lsh",
+    # (dedup_minhash_lsh rotated out — r1/r2 driver-proven; six dedup
+    # reps remain. Its slot goes to the batch sessionizer)
+    "sessionize_batch",
     "dedup_minhash_incremental",
     "dedup_keeper_quality",
     # (dedup_simhash rotated out — r3 driver-proven; seven dedup reps
@@ -121,10 +123,11 @@ _PRIORITY: list[str] = [
     "zorder_layout",
     "pack_sequences",
     "quality_percentile",
-    # streaming: five paths in-window (sliding windows new in round 4;
-    # events_daily + stream_stream_join rotated out — r3 driver-proven)
+    # streaming: four paths in-window (sliding windows new in round 4;
+    # events_daily + stream_stream_join + session_window rotated out —
+    # r3 driver-proven; the slot goes to the IVM merge)
+    "ivm_merge",
     "stream_events_sliding",
-    "session_window",
     "stream_sessionize",
     "stream_dedup",
 ]

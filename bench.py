@@ -88,6 +88,8 @@ HEADLINE = [
     "dedup_containment",
     "pareto_frontier",
     "bucket_cojoin",
+    "sessionize_batch",
+    "ivm_merge",
 ]
 
 

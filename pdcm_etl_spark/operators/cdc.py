@@ -134,3 +134,36 @@ def scd2_merge(
         .unionByName(close_old)
         .unionByName(insert_new)
     )
+
+
+def merge_aggregates(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    min_cols: list[str] = (),
+    max_cols: list[str] = (),
+) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: combine
+    an aggregated SNAPSHOT with an aggregated DELTA into the aggregate
+    of the union — without touching the base data again. This is the
+    core of every incremental rollup / materialized-view refresh: at
+    100 TB you re-aggregate the day's delta (GBs) and merge, instead of
+    re-scanning the lake.
+
+    Correct for distributive/algebraic aggregates only (sum, count as a
+    sum, min, max — exactly the mergeable kind); holistic ones (count
+    distinct, exact quantiles) are not mergeable and must use sketches.
+    Both inputs must share the (keys + measure columns) schema; counts
+    ride as sum columns.
+
+    Plan: unionByName + one keyed hash aggregation — map-side combined,
+    one shuffle on the group keys.
+    """
+    merged = snapshot.unionByName(delta)
+    aggs = (
+        [F.sum(c).alias(c) for c in sum_cols]
+        + [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols]
+    )
+    return merged.groupBy(*keys).agg(*aggs)

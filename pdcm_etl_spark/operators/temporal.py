@@ -266,3 +266,63 @@ def gapfill_daily(
             .alias("filled_value_micro"),
         )
     )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Batch sessionization: split each user's event stream into
+    sessions wherever the gap to the previous event exceeds
+    ``gap_seconds`` — the batch twin of ``streaming/sessionize.py``
+    (which does the same with applyInPandasWithState; batch needs no
+    state, just windows).
+
+    Plan: ONE shuffle on the user id serves both windows (lag to detect
+    the gap, running sum of the boundary flags to number sessions —
+    same partitioning and ordering, so Catalyst plans a single Window
+    operator pair over one Exchange), then a (user, session) hash
+    aggregation. Gap arithmetic is integer microseconds. Parallelism is
+    user count — the natural key for this operator at any scale.
+
+    Returns (user, session_seq, start_ts, end_ts, n_events,
+    sum_value_micro).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev = F.lag(ts_col).over(w)
+    # boundary = first event of the user OR gap above the threshold;
+    # integer-microsecond arithmetic, no float time
+    # unix_micros rejects TIMESTAMP_NTZ (how parquet µs timestamps read
+    # in an untuned session); the cast shifts both operands identically
+    # so the difference is unaffected
+    is_new = F.when(
+        prev.isNull()
+        | (
+            (
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                - F.unix_micros(prev.cast("timestamp"))
+            )
+            > gap_seconds * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    flagged = events.withColumn(
+        "session_seq",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy(F.col(user_col), F.col("session_seq").cast("bigint").alias("session_seq"))
+        .agg(
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+            .cast("bigint")
+            .alias("sum_value_micro"),
+        )
+    )

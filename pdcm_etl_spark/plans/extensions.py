@@ -2380,6 +2380,88 @@ GROUP BY o_orderkey
 """
 
 
+def x_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (30-min gap) — the windowed batch
+    twin of the applyInPandasWithState streaming sessionizer: one
+    user-keyed shuffle serves the lag + running-sum windows, then a
+    (user, session) aggregation. Integer-microsecond gap arithmetic."""
+    from pdcm_etl_spark.operators.temporal import sessionize
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    return sessionize(load_events(spark, sf_dir), gap_seconds=1800)
+
+
+SQL_SESSIONIZE_BATCH = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev IS NULL
+                   OR epoch_us(ts) - epoch_us(prev) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+         AS sum_value_micro
+FROM sess
+GROUP BY 1, 2
+"""
+
+
+def x_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: per-type rollup maintained as
+    aggregate(snapshot) ⊕ aggregate(delta) — the merge must equal the
+    full recompute (which is exactly what the oracle runs), proving the
+    split point cannot leak into the result. Counts/sums merge as sums,
+    first/last as min/max."""
+    from pdcm_etl_spark.operators.cdc import merge_aggregates
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    cutoff = "2024-01-16"
+
+    def agg_part(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+            .cast("bigint")
+            .alias("sum_value_micro"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    snap = agg_part(ev.filter(F.col("ts") < F.lit(cutoff)))
+    delta = agg_part(ev.filter(F.col("ts") >= F.lit(cutoff)))
+    return merge_aggregates(
+        snap, delta, ["event_type"],
+        sum_cols=["n_events", "sum_value_micro"],
+        min_cols=["first_ts"], max_cols=["last_ts"],
+    )
+
+
+SQL_IVM_MERGE = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+         AS sum_value_micro,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM events GROUP BY 1
+"""
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -2424,6 +2506,8 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_containment": (x_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "pareto_frontier": (x_pareto_frontier, SQL_PARETO_FRONTIER),
     "bucket_cojoin": (x_bucket_cojoin, SQL_BUCKET_COJOIN),
+    "sessionize_batch": (x_sessionize_batch, SQL_SESSIONIZE_BATCH),
+    "ivm_merge": (x_ivm_merge, SQL_IVM_MERGE),
     "funnel_stages": (x_funnel_stages, SQL_FUNNEL_STAGES),
     "cohort_retention": (x_cohort_retention, SQL_COHORT_RETENTION),
     "dedup_edit_distance": (x_dedup_edit_distance, SQL_DEDUP_EDIT_DISTANCE),

@@ -417,3 +417,22 @@ def test_bucket_cojoin_zero_exchange(spark, sf_dir, queries):
     assert "Exchange" not in plan, plan
     assert plan.count("Bucketed: true") == 2, plan
     assert "SortMergeJoin" in plan, plan
+
+
+def test_sessionize_batch_single_user_shuffle(spark, sf_dir, queries):
+    """The lag + running-sum windows share one user-keyed partitioning:
+    exactly one hashpartitioning Exchange feeds the window pair (the
+    final per-(user, session) aggregation reuses it map-side)."""
+    plan = _plan(queries["sessionize_batch"](spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "partial_" in plan, plan
+
+
+def test_ivm_merge_is_union_plus_one_agg(spark, sf_dir, queries):
+    """Snapshot ⊕ delta merges with a union + ONE keyed aggregation —
+    no join, no window."""
+    plan = _plan(queries["ivm_merge"](spark, sf_dir), mode="simple")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Union" in plan, plan

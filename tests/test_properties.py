@@ -963,3 +963,53 @@ def test_containment_pairs_matches_python_sets(spark, docs):
                     1_000_000 * inter // len(sh(docs[b])),
                 )
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),       # user
+            st.integers(min_value=0, max_value=40_000),  # ts seconds
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_sessionize_batch_matches_python_scan(spark, evs):
+    """Window-based sessionization must equal a per-user sequential scan
+    with the same 30-min gap rule."""
+    import datetime
+
+    from pdcm_etl_spark.operators.temporal import sessionize
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + datetime.timedelta(seconds=s), 1.0)
+        for i, (u, s) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, value double"
+    ).repartition(3)
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["start_ts"], r["end_ts"], r["n_events"]
+        )
+        for r in sessionize(df, gap_seconds=1800).collect()
+    }
+    want = {}
+    for u in {r[1] for r in rows}:
+        hist = sorted((ts, i) for i, uu, ts, _v in rows if uu == u)
+        seq = 0
+        prev = None
+        cur: list = []
+        for ts, _i in hist:
+            if prev is None or (ts - prev).total_seconds() > 1800:
+                if cur:
+                    want[(u, seq)] = (cur[0], cur[-1], len(cur))
+                seq += 1
+                cur = []
+            cur.append(ts)
+            prev = ts
+        want[(u, seq)] = (cur[0], cur[-1], len(cur))
+    assert got == want

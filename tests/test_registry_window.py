@@ -15,6 +15,7 @@ ROTATED_IN = [
     "pagerank", "funnel_stages", "cohort_retention", "dedup_edit_distance",
     "triangle_count", "itemset_pairs", "timeseries_gapfill", "anomaly_iqr",
     "dedup_containment", "pareto_frontier", "bucket_cojoin",
+    "sessionize_batch", "ivm_merge",
     # round-3 rotations kept in-window one more round (sessionize per r3
     # verdict item 3; the rest are family representatives)
     "stream_sessionize", "stream_dedup", "stream_scd2_upsert",
@@ -35,7 +36,7 @@ def test_first_50_covers_every_family():
         "array-join": ["array_equality_group"],
         "window": ["window_ntile"],
         "set-op": ["except_keys"],
-        "cdc": ["scd2_merge", "stream_scd2_upsert"],
+        "cdc": ["scd2_merge", "stream_scd2_upsert", "ivm_merge"],
         "collect": ["collect_set_markers", "global_agg"],
         "json": ["json_agg_struct"],
         "sketch": ["approx_distinct"],
@@ -59,7 +60,8 @@ def test_first_50_covers_every_family():
                  "unigram_lm_score"],
         "multimodal": ["multimodal_decode", "multimodal_frames",
                        "multimodal_resize"],
-        "temporal": ["asof_join", "range_join", "funnel_stages"],
+        "temporal": ["asof_join", "range_join", "funnel_stages",
+                     "sessionize_batch"],
         "sampling": ["sample_stratified", "shuffle_shards"],
         "corpus-stats": ["ngram_topk", "inverted_index"],
         "tokenizer": ["bpe_pair_counts", "bpe_train", "bpe_encode"],
