@@ -89,10 +89,11 @@ _PRIORITY: list[str] = [
     # reps remain. Its slot goes to the batch sessionizer)
     "sessionize_batch",
     "dedup_minhash_incremental",
-    "dedup_keeper_quality",
-    # (dedup_simhash rotated out — r3 driver-proven; seven dedup reps
-    # remain in-window)
-    "dedup_semantic",
+    # (dedup_simhash / dedup_semantic / dedup_keeper_quality rotated
+    # out — r3 driver-proven; four dedup reps remain in-window. The
+    # slots go to the bloom-pruned join + per-group top-k)
+    "bloom_prune_join",
+    "grouped_topk",
     # similarity search: trained-IVF variant in, plain IVF out
     "ann_ivf_trained_topk",
     "ann_recall",

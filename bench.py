@@ -90,6 +90,8 @@ HEADLINE = [
     "bucket_cojoin",
     "sessionize_batch",
     "ivm_merge",
+    "bloom_prune_join",
+    "grouped_topk",
 ]
 
 

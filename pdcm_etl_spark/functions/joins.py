@@ -160,3 +160,86 @@ def merge_keyed_aggregates(
     return unioned.groupBy(key).agg(
         *[F.first(c, ignorenulls=True).alias(c) for c in value_cols]
     )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    keys_key: str,
+    num_bits: int = 1_048_576,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Semi-join the fact table against a key set with a BLOOM-FILTER
+    pre-prune built entirely from Catalyst expressions (Spark's own
+    BloomFilterAggregate is optimizer-internal, not a registered
+    function — so we build the same structure declaratively):
+
+    1. each key sets ``num_hashes`` bit positions (xxhash64 with per-
+       hash seeds, mod ``num_bits``);
+    2. positions fold into 32-bit words via one bit_or aggregation —
+       the bitmap is ≤ num_bits/32 rows, bounded by a PARAMETER, never
+       by data;
+    3. the word map collapses to ONE row (map_from_arrays) that
+       broadcasts to every fact partition;
+    4. the probe is pure map-side arithmetic — element_at + bitwise
+       AND per hash — so non-matching fact rows die in the scan stage
+       and never reach the semi-join shuffle.
+
+    This is the manual form of Spark's runtime row-level filtering
+    (InjectRuntimeFilter), exposed as an operator so the prune applies
+    regardless of optimizer heuristics. At 100 TB the win is the
+    shuffle delta: a 1% selective key set means ~99% of the fact never
+    leaves its scan (modulo the false-positive rate set by
+    num_bits/num_hashes). The exact semi-join afterwards removes false
+    positives, so the RESULT is exact; only the transport is
+    approximate — which is why the oracle is a plain IN-subquery.
+
+    Returns the fact rows whose key is in ``keys``.
+    """
+
+    def positions(col):
+        return [
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+
+    # 32-bit words held in bigints: the bit mask is pow(2, b) which is
+    # integer-exact in a double for b < 32 (F.shiftleft takes only a
+    # Python-literal shift, so a column-valued shift needs this form)
+    def bit_of(p):
+        return F.pow(F.lit(2.0), F.pmod(p, F.lit(32))).cast("bigint")
+
+    def word_of(p):
+        return F.floor(p / 32).cast("bigint")
+
+    pos = keys.select(
+        F.explode(F.array(*positions(F.col(keys_key)))).alias("pos")
+    )
+    bitmap = (
+        pos.select(
+            word_of(F.col("pos")).alias("w"),
+            bit_of(F.col("pos")).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    blob = bitmap.agg(
+        F.map_from_arrays(
+            F.collect_list("w"), F.collect_list("word")
+        ).alias("__bf")
+    )
+    hit = None
+    for p in positions(F.col(fact_key)):
+        this = (
+            F.coalesce(F.element_at("__bf", word_of(p)), F.lit(0))
+            .bitwiseAND(bit_of(p))
+            != 0
+        )
+        hit = this if hit is None else (hit & this)
+    pruned = fact.join(F.broadcast(blob)).filter(hit).drop("__bf")
+    return pruned.join(
+        keys.select(F.col(keys_key).alias(fact_key)).distinct(),
+        fact_key,
+        "left_semi",
+    )

@@ -817,3 +817,40 @@ EXTRA_CATALOG: dict[str, tuple] = {
     "window_ntile": (q_window_ntile, SQL_WINDOW_NTILE),
     "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
 }
+
+
+def q_grouped_topk(spark, sf_dir):
+    """Top-3 parts by retail price per brand (id tie-break) — the
+    per-group top-k every leaderboard/sampling pipeline needs. Window
+    rank partitions by the group key: with many groups the sort is
+    fully parallel, and rank<=k prunes before anything else runs
+    (WindowGroupLimit pushes the limit into the sort at scale)."""
+    from pyspark.sql import Window
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.select(
+            "p_brand", "p_partkey", "p_retailprice",
+            F.row_number().over(w).alias("rank_in_brand"),
+        )
+        .filter(F.col("rank_in_brand") <= 3)
+    )
+
+
+SQL_GROUPED_TOPK = """
+SELECT p_brand, p_partkey, p_retailprice, rank_in_brand
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
+         ) AS INTEGER) AS rank_in_brand
+  FROM part
+)
+WHERE rank_in_brand <= 3
+"""
+
+
+EXTRA_CATALOG["grouped_topk"] = (q_grouped_topk, SQL_GROUPED_TOPK)

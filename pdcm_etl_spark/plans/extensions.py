@@ -2462,6 +2462,43 @@ FROM events GROUP BY 1
 """
 
 
+def x_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join: lineitem restricted to urgent orders via
+    a broadcast bloom filter BEFORE the exact semi-join — only
+    bloom-surviving rows reach the shuffle; the exact join makes the
+    result exact (false positives removed), so the oracle is the plain
+    IN-subquery aggregate."""
+    from pdcm_etl_spark.functions.joins import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    semi = bloom_semi_join(
+        li, urgent, "l_orderkey", "o_orderkey", num_bits=1_048_576,
+    )
+    return semi.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("sum_qty_c"),
+    )
+
+
+SQL_BLOOM_PRUNE_JOIN = """
+SELECT l_returnflag, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS sum_qty_c
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag
+"""
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -2508,6 +2545,7 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "bucket_cojoin": (x_bucket_cojoin, SQL_BUCKET_COJOIN),
     "sessionize_batch": (x_sessionize_batch, SQL_SESSIONIZE_BATCH),
     "ivm_merge": (x_ivm_merge, SQL_IVM_MERGE),
+    "bloom_prune_join": (x_bloom_prune_join, SQL_BLOOM_PRUNE_JOIN),
     "funnel_stages": (x_funnel_stages, SQL_FUNNEL_STAGES),
     "cohort_retention": (x_cohort_retention, SQL_COHORT_RETENTION),
     "dedup_edit_distance": (x_dedup_edit_distance, SQL_DEDUP_EDIT_DISTANCE),

@@ -436,3 +436,28 @@ def test_ivm_merge_is_union_plus_one_agg(spark, sf_dir, queries):
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
     assert "Union" in plan, plan
+
+
+def test_bloom_prune_probe_is_map_side(spark, sf_dir, queries):
+    """The bloom probe must be scan-side arithmetic: xxhash64 + map
+    lookup against the ONE-ROW broadcast blob, then the exact semi-join.
+    No cartesian against anything data-sized (the single BNLJ is the
+    1-row blob broadcast)."""
+    plan = _plan(queries["bloom_prune_join"](spark, sf_dir), mode="simple")
+    assert "xxhash64" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_grouped_topk_single_window(spark, sf_dir, queries):
+    """Per-group top-k is one partitioned rank window + filter — no
+    join, no global sort — and the rank<=k limit must push MAP-SIDE
+    (a Partial WindowGroupLimit below the exchange), so each scan task
+    forwards at most k rows per group instead of whole groups."""
+    plan = _plan(queries["grouped_topk"](spark, sf_dir), mode="simple")
+    assert plan.count("Window [") == 1, plan
+    assert "Join" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    partial = plan.index("WindowGroupLimit")
+    assert "Partial" in plan[partial:], plan

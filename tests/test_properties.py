@@ -1013,3 +1013,28 @@ def test_sessionize_batch_matches_python_scan(spark, evs):
             prev = ts
         want[(u, seq)] = (cur[0], cur[-1], len(cur))
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=30),
+    st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=10),
+)
+def test_bloom_semi_join_exact_even_at_high_fpr(spark, fact_keys, key_set):
+    """The bloom prune must never lose a true match, and the exact
+    semi-join must scrub every false positive — stress with a 64-bit
+    filter (massive FPR) so both properties actually bite."""
+    from pdcm_etl_spark.functions.joins import bloom_semi_join
+
+    fact = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(fact_keys)], "row_id bigint, k bigint"
+    ).repartition(3)
+    keys = spark.createDataFrame(
+        [(k,) for k in key_set] or [(-(10 ** 9),)], "kk bigint"
+    )
+    got = sorted(
+        r["row_id"]
+        for r in bloom_semi_join(fact, keys, "k", "kk", num_bits=64).collect()
+    )
+    want = sorted(i for i, k in enumerate(fact_keys) if k in set(key_set))
+    assert got == want

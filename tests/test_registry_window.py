@@ -15,7 +15,7 @@ ROTATED_IN = [
     "pagerank", "funnel_stages", "cohort_retention", "dedup_edit_distance",
     "triangle_count", "itemset_pairs", "timeseries_gapfill", "anomaly_iqr",
     "dedup_containment", "pareto_frontier", "bucket_cojoin",
-    "sessionize_batch", "ivm_merge",
+    "sessionize_batch", "ivm_merge", "bloom_prune_join", "grouped_topk",
     # round-3 rotations kept in-window one more round (sessionize per r3
     # verdict item 3; the rest are family representatives)
     "stream_sessionize", "stream_dedup", "stream_scd2_upsert",
@@ -30,11 +30,12 @@ def test_first_50_covers_every_family():
         "flagship": ["etl_search_index"],
         "flagship-oracle": ["etl_search_index_spine", "etl_search_index_wide"],
         "aggregation": ["global_agg", "rollup_totals", "cube_counts"],
-        "join": ["join_salted_skew", "harmonisation_cascade"],
+        "join": ["join_salted_skew", "harmonisation_cascade",
+                 "bloom_prune_join"],
         "subquery": ["correlated_count"],
         "cascade": ["harmonisation_cascade"],
         "array-join": ["array_equality_group"],
-        "window": ["window_ntile"],
+        "window": ["window_ntile", "grouped_topk"],
         "set-op": ["except_keys"],
         "cdc": ["scd2_merge", "stream_scd2_upsert", "ivm_merge"],
         "collect": ["collect_set_markers", "global_agg"],
