@@ -51,8 +51,10 @@ _PRIORITY: list[str] = [
     "pareto_frontier",
     # grouping / window / set ops (rollup_totals + text_chunk rotated
     # out — r3 driver-proven; global_agg / unigram_lm_score keep their
-    # families; the slots go to the round-4 gapfill + anomaly queries)
-    "window_ntile",
+    # families; the slots go to the round-4 gapfill + anomaly queries.
+    # window_ntile rotated out — r3 driver-proven, grouped_topk keeps
+    # the window family; its slot goes to the language-mix report)
+    "corpus_language_mix",
     "except_keys",
     "timeseries_gapfill",
     "anomaly_iqr",
@@ -101,10 +103,10 @@ _PRIORITY: list[str] = [
     # additions — all r3 driver-proven, oracle-checked every pytest run;
     # chunk keeps the family; unigram_lm_score is new)
     "unigram_lm_score",
-    # multimodal: decode keeps the family (codec honestly stubbed; the
-    # deterministic fake is SQL-expressed, hash-green since r3; frames +
-    # resize rotated out — r3 driver-proven)
-    "multimodal_decode",
+    # multimodal: the binary-digest dedup keeps the family (decode /
+    # frames / resize rotated out — r3/r4 driver-proven; the codec stub
+    # remains honestly declared and oracle-checked every pytest run)
+    "multimodal_dedup",
     # temporal / sampling / composed pipelines (asof_join, range_join and
     # sample_stratified are r01-r03 driver-proven — their slots go to the
     # round-4 additions; funnel_stages keeps the temporal family)

@@ -92,6 +92,8 @@ HEADLINE = [
     "ivm_merge",
     "bloom_prune_join",
     "grouped_topk",
+    "multimodal_dedup",
+    "corpus_language_mix",
 ]
 
 

@@ -200,3 +200,28 @@ def resize_payload(
         F.col(id_col).cast("long").alias("doc_id"), "payload"
     )
     return bt.mapInPandas(resize_batch, schema=_RESIZE_SCHEMA)
+
+
+def payload_dedup(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup of binary payloads by content digest — the media
+    twin of text ``exact_dup_groups``: a multimodal lake dedups images/
+    audio on the blob's sha256 BEFORE any decode, so only 32-byte
+    digests + ids ever shuffle (the payloads stay in their scan tasks —
+    at 100 TB of media that is the entire game).
+
+    Returns (payload_sha256, byte_len, keep_id, n_payloads) — one row
+    per distinct blob.
+    """
+    bt = to_binary_table(df, id_col)
+    return (
+        bt.select(
+            F.col("meta.sha256").alias("payload_sha256"),
+            F.col("meta.byte_len").alias("byte_len"),
+            F.col(id_col),
+        )
+        .groupBy("payload_sha256", "byte_len")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_payloads"),
+        )
+    )

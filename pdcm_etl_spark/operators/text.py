@@ -716,3 +716,36 @@ def inverted_index(
         .join(postings, "term")
         .select("term", "df", "cf", "postings")
     )
+
+
+def language_mix(df: DataFrame, lang_col: str = "lang", text_col: str = "text") -> DataFrame:
+    """Corpus composition report: per-language document and whitespace-
+    token counts plus each language's integer-ppm share of all tokens —
+    the summary every multilingual training-mix decision starts from
+    (and the denominator sample_domain_mix rebalances against).
+
+    One hash aggregation over the corpus; the total arrives via a
+    broadcast one-row join (never a collect); share is floor-divided
+    ppm so the report hashes identically across engines.
+    """
+    per = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.lower(F.col(text_col)), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("__total")).withColumn(
+        "__one", F.lit(1)
+    )
+    return (
+        per.withColumn("__one", F.lit(1))
+        .join(F.broadcast(total), "__one")
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.expr("(1000000 * n_tokens) div __total")
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+    )

@@ -2499,6 +2499,44 @@ GROUP BY l_returnflag
 """
 
 
+def x_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload exact dedup on the blob digest: only 32-byte
+    sha256s + ids shuffle; payloads never leave their scan tasks."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.payload_dedup(docs)
+
+
+SQL_MULTIMODAL_DEDUP = """
+SELECT sha256(text) AS payload_sha256,
+       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_payloads
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def x_corpus_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus composition (docs, whitespace tokens,
+    integer-ppm token share) — one hash agg + a one-row broadcast
+    total."""
+    docs = _docs(spark, sf_dir).select("lang", "text")
+    return text.language_mix(docs)
+
+
+SQL_CORPUS_LANGUAGE_MIX = """
+WITH per AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT SUM(n_tokens) AS total FROM per)
+SELECT lang, n_docs, n_tokens,
+       CAST((1000000 * n_tokens) // tot.total AS BIGINT) AS share_ppm
+FROM per, tot
+"""
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -2546,6 +2584,8 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "sessionize_batch": (x_sessionize_batch, SQL_SESSIONIZE_BATCH),
     "ivm_merge": (x_ivm_merge, SQL_IVM_MERGE),
     "bloom_prune_join": (x_bloom_prune_join, SQL_BLOOM_PRUNE_JOIN),
+    "multimodal_dedup": (x_multimodal_dedup, SQL_MULTIMODAL_DEDUP),
+    "corpus_language_mix": (x_corpus_language_mix, SQL_CORPUS_LANGUAGE_MIX),
     "funnel_stages": (x_funnel_stages, SQL_FUNNEL_STAGES),
     "cohort_retention": (x_cohort_retention, SQL_COHORT_RETENTION),
     "dedup_edit_distance": (x_dedup_edit_distance, SQL_DEDUP_EDIT_DISTANCE),

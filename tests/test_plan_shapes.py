@@ -461,3 +461,23 @@ def test_grouped_topk_single_window(spark, sf_dir, queries):
     assert "WindowGroupLimit" in plan, plan
     partial = plan.index("WindowGroupLimit")
     assert "Partial" in plan[partial:], plan
+
+
+def test_multimodal_dedup_shuffles_digests_only(spark, sf_dir, queries):
+    """Payload dedup must aggregate on the digest — the payload bytes
+    must not appear in the exchange: project before the partial agg."""
+    plan = _plan(queries["multimodal_dedup"](spark, sf_dir), mode="simple")
+    assert "partial_" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_language_mix_one_agg_plus_broadcast_total(spark, sf_dir, queries):
+    """One corpus aggregation; the total joins back as a broadcast
+    one-row table — Catalyst folds the constant-key join into a single
+    one-row BroadcastNestedLoopJoin, which is the intended shape (never
+    a collect, never a data-sized window)."""
+    plan = _plan(queries["corpus_language_mix"](spark, sf_dir), mode="simple")
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

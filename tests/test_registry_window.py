@@ -16,6 +16,7 @@ ROTATED_IN = [
     "triangle_count", "itemset_pairs", "timeseries_gapfill", "anomaly_iqr",
     "dedup_containment", "pareto_frontier", "bucket_cojoin",
     "sessionize_batch", "ivm_merge", "bloom_prune_join", "grouped_topk",
+    "multimodal_dedup", "corpus_language_mix",
     # round-3 rotations kept in-window one more round (sessionize per r3
     # verdict item 3; the rest are family representatives)
     "stream_sessionize", "stream_dedup", "stream_scd2_upsert",
@@ -60,11 +61,12 @@ def test_first_50_covers_every_family():
                  "text_pii_scrub", "text_contamination", "text_repetition",
                  "unigram_lm_score"],
         "multimodal": ["multimodal_decode", "multimodal_frames",
-                       "multimodal_resize"],
+                       "multimodal_resize", "multimodal_dedup"],
         "temporal": ["asof_join", "range_join", "funnel_stages",
                      "sessionize_batch"],
         "sampling": ["sample_stratified", "shuffle_shards"],
-        "corpus-stats": ["ngram_topk", "inverted_index"],
+        "corpus-stats": ["ngram_topk", "inverted_index",
+                         "corpus_language_mix"],
         "tokenizer": ["bpe_pair_counts", "bpe_train", "bpe_encode"],
         "pipeline": ["corpus_curation"],
         "clustering": ["kmeans_assign"],
