@@ -224,15 +224,32 @@ def bloom_semi_join(
         .groupBy("w")
         .agg(F.bit_or("bit").alias("word"))
     )
-    blob = bitmap.agg(
-        F.map_from_arrays(
-            F.collect_list("w"), F.collect_list("word")
+    # Densify the sparse word set into a position-indexed ARRAY: a
+    # runtime MAP is ArrayBasedMapData, whose element_at is a LINEAR
+    # scan — probing a 32k-entry map per fact row is O(words) per
+    # probe, and even a one-time sequence+map fill is O(words²) inside
+    # a single task. Instead scatter distributedly: range(n_words)
+    # left-joins the sparse words (both sides parameter-bounded), and
+    # an array_sort(collect_list(struct)) assembles the dense vector —
+    # O(n_words log n_words) total, then every probe is an O(1) array
+    # index.
+    n_words = (num_bits + 31) // 32
+    spark = fact.sparkSession
+    dense = (
+        spark.range(n_words)
+        .join(bitmap, F.col("id") == F.col("w"), "left")
+        .select(F.col("id"), F.coalesce("word", F.lit(0)).alias("word"))
+    )
+    blob = dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("id", "word"))),
+            lambda s: s["word"],
         ).alias("__bf")
     )
     hit = None
     for p in positions(F.col(fact_key)):
         this = (
-            F.coalesce(F.element_at("__bf", word_of(p)), F.lit(0))
+            F.element_at("__bf", (word_of(p) + 1).cast("int"))
             .bitwiseAND(bit_of(p))
             != 0
         )
