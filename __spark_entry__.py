@@ -68,16 +68,18 @@ _PRIORITY: list[str] = [
     "global_agg",
     "json_agg_struct",
     "pivot_status",
-    "approx_distinct",
-    # (events_daily rotated out — r3 driver-proven; cohort_retention
-    # keeps the timeseries family in-window. recursive_closure rotated
-    # out — r3 driver-proven; pagerank keeps the iterative-graph family)
-    "cohort_retention",
+    # (approx_distinct rotated out — r4 driver-proven; the round-5
+    # sketch pair keeps (and grows) the sketch family in-window)
+    "heavy_hitters",
+    "approx_quantile",
+    # (cohort_retention rotated out — r4 driver-proven;
+    # timeseries_gapfill keeps the timeseries family in-window.
+    # triangle_count rotated out — r4 driver-proven; pagerank keeps the
+    # graph family. Their slots go to the round-5 star components +
+    # broadcast-centroid kmeans, windowed immediately)
+    "dedup_groups_star",
+    "kmeans_assign_bcast",
     "pagerank",
-    # graph + association analytics (new round-4 additions, windowed
-    # immediately; the slots come from stream_events_daily +
-    # stream_stream_join, both r3 driver-proven)
-    "triangle_count",
     "itemset_pairs",
     # training-data: dedup family (exact/minhash_lsh proven; the
     # incremental + keeper variants take their slots)
@@ -103,15 +105,18 @@ _PRIORITY: list[str] = [
     # additions — all r3 driver-proven, oracle-checked every pytest run;
     # chunk keeps the family; unigram_lm_score is new)
     "unigram_lm_score",
-    # multimodal: the binary-digest dedup keeps the family (decode /
-    # frames / resize rotated out — r3/r4 driver-proven; the codec stub
-    # remains honestly declared and oracle-checked every pytest run)
+    # multimodal: decode is BACK in-window for round 5 — its codec is
+    # now a real byte-level BMP encode/parse (the stub is retired), so
+    # the new behavior needs a driver hash row; digest-dedup keeps the
+    # family alongside (frames / resize stay r3/r4-proven)
+    "multimodal_decode",
     "multimodal_dedup",
     # temporal / sampling / composed pipelines (asof_join, range_join and
     # sample_stratified are r01-r03 driver-proven — their slots go to the
     # round-4 additions; funnel_stages keeps the temporal family)
     "funnel_stages",
-    "ngram_topk",
+    # (ngram_topk rotated out — r4 driver-proven; heavy_hitters is its
+    # sketch twin and inverted_index keeps corpus-stats in-window)
     "inverted_index",
     "shuffle_shards",
     # round-4 additions, windowed immediately (never driver-checked)
@@ -132,7 +137,8 @@ _PRIORITY: list[str] = [
     "ivm_merge",
     "stream_events_sliding",
     "stream_sessionize",
-    "stream_dedup",
+    # (stream_dedup rotated out — r3/r4 driver-proven; three streaming
+    # paths remain in-window)
 ]
 
 

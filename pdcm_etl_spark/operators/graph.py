@@ -98,24 +98,36 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str = "id",
     max_iterations: int = 30,
+    method: str = "minlabel",
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation.
+    """Connected components. Two methods, identical output contract:
 
-    Each round every node takes the minimum label over itself and its
-    neighbors; convergence (no label changed) is detected from the sum of
-    labels, which strictly decreases while any node still changes — one
-    scalar aggregate action per round instead of a join-and-compare.
-    Rounds needed = component diameter; near-dup clusters are shallow
-    (a duplicate "ball" around a source text), so this converges in a
-    handful of rounds. For adversarially long path graphs at 100 TB the
-    large-star/small-star variant (Kiveris et al., "Connected Components
-    in MapReduce and Beyond") halves diameter per round; not needed for
-    the dedup workload this serves.
+    - ``minlabel`` (default): iterative min-label propagation. Each
+      round every node takes the minimum label over itself and its
+      neighbors; convergence (no label changed) is detected from the sum
+      of labels, which strictly decreases while any node still changes —
+      one scalar aggregate action per round instead of a
+      join-and-compare. Rounds needed = component DIAMETER; near-dup
+      clusters are shallow (a duplicate "ball" around a source text), so
+      this converges in a handful of rounds.
+    - ``star``: the alternating large-star/small-star algorithm
+      (Kiveris et al. 2014, "Connected Components in MapReduce and
+      Beyond") — converges in O(log² n) rounds INDEPENDENT of diameter,
+      the 100 TB path for adversarial graphs (long chains, huge
+      components). Each half-round is ONE node-keyed shuffle (a window
+      min — no groupBy+join pair); see ``_cc_star``.
 
     ``nodes`` (optional) adds isolated nodes — they come out as singleton
     components. Returns (``node_col``, component) where component is the
     minimum node id in the component.
     """
+    if method == "star":
+        labels, _rounds = _cc_star(
+            edges, src, dst, nodes, node_col, max_iterations
+        )
+        return labels
+    if method != "minlabel":
+        raise ValueError(f"connected_components: unknown method {method!r}")
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -149,6 +161,113 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels
+
+
+def _cc_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    node_col: str = "id",
+    max_iterations: int = 30,
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al. 2014, §3 Alg. 2) — round count O(log² n) regardless of
+    component diameter, vs. diameter rounds for min-label propagation.
+
+    Edge-rewriting semantics (ids must be orderable; component = min id):
+
+    - **large-star**: per node u with neighborhood N(u), let
+      m = min(N(u) ∪ {u}); rewrite every STRICTLY LARGER neighbor
+      v > u to (v, m). Expressed as one window min over the
+      symmetrized edge list — one shuffle, no groupBy+join pair.
+    - **small-star**: orient each edge (larger, smaller); per node u
+      let m = min of its smaller neighbors; rewrite (v, m) for each
+      smaller neighbor and attach (u, m). Again one window min.
+
+    Every emitted edge is (larger, smaller), never a self-loop, so the
+    edge list is its own parent-pointer forest at convergence: each
+    non-root points straight at its component min. Convergence = the
+    (count, Σu, Σv) triple of the edge set unchanged over a full round
+    — two scalar aggregates piggybacked on the round's checkpoint (the
+    exact-equality guarantee comes from the property tests against
+    min-label, which this must match row-for-row).
+
+    Returns (labels DataFrame, rounds used).
+    """
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    all_nodes = edges.select(F.col(src).alias(node_col)).unionByName(
+        edges.select(F.col(dst).alias(node_col))
+    )
+    if nodes is not None:
+        all_nodes = all_nodes.unionByName(nodes.select(node_col))
+    all_nodes = all_nodes.distinct().localCheckpoint(eager=False)
+
+    def _sig(df: DataFrame) -> tuple:
+        # multiset signature of the edge set: count + Σ xxhash64 of each
+        # endpoint (type-generic — works for string ids where a raw sum
+        # would not; collision probability ~2^-64 per round)
+        row = df.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("u").cast("decimal(38,0)")),
+            F.sum(F.xxhash64("v").cast("decimal(38,0)")),
+        ).collect()[0]
+        return tuple(row)
+
+    prev = _sig(e)
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
+        # large-star: symmetrize, window-min per node (ONE shuffle)
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        w = Window.partitionBy("u")
+        ls = (
+            sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: edges already (larger, smaller); min smaller
+        # neighbor per larger endpoint (ONE shuffle), reattach u
+        ss_base = ls.withColumn("m", F.min("v").over(w))
+        ss = (
+            ss_base.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(ss_base.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        cur = _sig(ss)
+        e = ss
+        if cur == prev:
+            break
+        prev = cur
+    labels = (
+        all_nodes.join(
+            e.groupBy(F.col("u").alias(node_col)).agg(
+                F.min("v").alias("__parent")
+            ),
+            node_col,
+            "left",
+        )
+        .select(
+            node_col,
+            F.coalesce("__parent", F.col(node_col)).alias("component"),
+        )
+    )
+    return labels, rounds
 
 
 def pagerank(

@@ -63,8 +63,10 @@ def stump_train(
     # precondition guard: the histogram must be bounded (per-feature
     # distinct-value cap), or the windows below stop being metadata-sized
     card = long.groupBy("feature").agg(
-        F.approx_count_distinct("value").alias("n")
-    ).collect()  # n_features rows — scalar-scale collect
+        F.count_distinct("value").alias("n")
+    ).collect()  # n_features rows — scalar-scale collect; exact count:
+    # approx_count_distinct's estimate could let an over-cap feature
+    # through (unbounded window state) or reject a valid one
     over = {r["feature"]: r["n"] for r in card if r["n"] > max_distinct}
     if over:
         raise ValueError(

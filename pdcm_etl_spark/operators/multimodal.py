@@ -50,54 +50,202 @@ def payload_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _bmp_codec():
+    """Pure-stdlib BMP codec trio, built as NESTED functions so
+    cloudpickle ships them BY VALUE inside the mapInPandas kernels —
+    a module-level helper would pickle by reference and require
+    ``pdcm_etl_spark`` to be importable on every Python worker (the
+    external driver adds the repo to the DRIVER's sys.path only; the
+    round-4 stub kernels were closure-only for exactly this reason).
+
+    Returns (encode, decode, pixels):
+    - encode(gray, w, h): real BMP writer — 24-bit uncompressed BI_RGB,
+      BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows padded to 4
+      bytes, grayscale stored as equal BGR triples;
+    - decode(b): real parser — validates the 'BM' magic, reads the
+      pixel-data offset / width / height / bpp from the headers, walks
+      the padded bottom-up rows; returns (w, h, bpp, top-down row-major
+      gray pixels). Raises on anything that isn't 24-bit BI_RGB;
+    - pixels(text, n): deterministic pixel synth shared with the SQL
+      oracle — pixel i = codepoint of char (i mod len) mod 256, zeros
+      for empty text; char-wise so DuckDB's substr/ord matches.
+    """
+    import struct
+
+    def encode(gray: list, w: int, h: int) -> bytes:
+        row_raw = w * 3
+        pad = (4 - row_raw % 4) % 4
+        img_size = (row_raw + pad) * h
+        offset = 14 + 40
+        header = struct.pack("<2sIHHI", b"BM", offset + img_size, 0, 0, offset)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+        )
+        rows = []
+        for r in range(h - 1, -1, -1):  # bottom-up
+            row = bytearray()
+            for c in range(w):
+                v = gray[r * w + c] & 0xFF
+                row += bytes((v, v, v))  # B, G, R
+            row += b"\x00" * pad
+            rows.append(bytes(row))
+        return header + info + b"".join(rows)
+
+    def decode(b: bytes) -> tuple:
+        if b[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        offset = struct.unpack_from("<I", b, 10)[0]
+        _hdr_sz, w, h = struct.unpack_from("<Iii", b, 14)
+        _planes, bpp, compression = struct.unpack_from("<HHI", b, 26)
+        if bpp != 24 or compression != 0:
+            raise ValueError(
+                f"unsupported BMP: bpp={bpp} compression={compression}"
+            )
+        row_raw = w * 3
+        pad = (4 - row_raw % 4) % 4
+        pixels = [0] * (w * h)
+        for stored_row in range(h):
+            r = h - 1 - stored_row  # bottom-up storage → top-down index
+            base = offset + stored_row * (row_raw + pad)
+            for c in range(w):
+                pixels[r * w + c] = b[base + c * 3]  # blue channel
+        return w, h, bpp, pixels
+
+    def pixels(text: str, n: int) -> list:
+        if not text:
+            return [0] * n
+        return [ord(text[i % len(text)]) % 256 for i in range(n)]
+
+    return encode, decode, pixels
+
+
+# module-level aliases for tests and direct use (still closure-typed, so
+# any kernel capturing them serializes by value)
+_bmp_encode, _bmp_decode, text_pixels = _bmp_codec()
+
+
 _DECODE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("byte_len", T.IntegerType()),
-        T.StructField("n_frames", T.IntegerType()),
-        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bpp", T.IntegerType()),
+        T.StructField("mean_pixel_milli", T.LongType()),
+        T.StructField("pixel_checksum", T.LongType()),
     ]
 )
 
 
-def decode_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Decode/feature-extract via mapInPandas (the multimodal slow path,
-    Arrow-batched).
+def decode_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    height: int = 8,
+) -> DataFrame:
+    """Image decode/feature-extract via mapInPandas (the multimodal slow
+    path, Arrow-batched) — with a REAL codec: each document is rendered
+    into an actual BMP file (``_bmp_encode``; pixel values derived
+    deterministically from the text) and the feature kernel byte-level
+    PARSES that BMP back (``_bmp_decode``: magic, header fields, padded
+    bottom-up rows) without ever seeing the source text. The stub era
+    (rounds 1-4 shipped a first-8-bytes fake because PIL/librosa are
+    absent here) is over: BMP needs only the stdlib.
 
-    The kernel is a closure (not a module-level function) so cloudpickle
-    ships it by value — Python workers need no importable copy of this
-    package regardless of where the driver process started.
+    Features: header facts (width/height/bpp + total byte length) plus
+    floor-mean pixel intensity in milli-units and a position-weighted
+    pixel checksum Σ p_i·(i+1) — the checksum proves pixel ORDER survives
+    the bottom-up encode/decode round trip, not just the value multiset.
+
+    The kernels are closures so cloudpickle ships them by value; batch
+    plumbing is Arrow in/out with bounded memory. Scale: payload bytes
+    travel scan → encode → decode within one stage (no shuffle touches
+    the binary column); parallelism = input partitions.
     """
-
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # STUB: a real deployment calls the codec here (PIL/librosa/pyav)
-        # on ``payload``. Those libs are absent in this container, so we
-        # emit a deterministic fake: 8 'frames' summarised by the first 8
-        # payload bytes scaled to [0,1). The batch plumbing (Arrow in/out,
-        # vectorized per batch, bounded memory) is the real thing.
         import pandas as _pd
 
         for pdf in batches:
-            feats = []
-            lens = []
-            for buf in pdf["payload"]:
-                b = bytes(buf)
-                lens.append(len(b))
-                head = (b + b"\x00" * 8)[:8]
-                feats.append([x / 255.0 for x in head])
+            out = {k: [] for k in (
+                "doc_id", "byte_len", "width", "height", "bpp",
+                "mean_pixel_milli", "pixel_checksum",
+            )}
+            for did, buf in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(buf)
+                w, h, bpp, px = _bmp_decode(payload)
+                out["doc_id"].append(int(did))
+                out["byte_len"].append(len(payload))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bpp"].append(bpp)
+                out["mean_pixel_milli"].append(sum(px) * 1000 // (w * h))
+                out["pixel_checksum"].append(
+                    sum(p * (i + 1) for i, p in enumerate(px))
+                )
             yield _pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "byte_len": _pd.Series(lens, dtype="int32"),
-                    "n_frames": _pd.Series([8] * len(pdf), dtype="int32"),
-                    "feature": feats,
+                    "doc_id": _pd.Series(out["doc_id"], dtype="int64"),
+                    "byte_len": _pd.Series(out["byte_len"], dtype="int32"),
+                    "width": _pd.Series(out["width"], dtype="int32"),
+                    "height": _pd.Series(out["height"], dtype="int32"),
+                    "bpp": _pd.Series(out["bpp"], dtype="int32"),
+                    "mean_pixel_milli": _pd.Series(
+                        out["mean_pixel_milli"], dtype="int64"
+                    ),
+                    "pixel_checksum": _pd.Series(
+                        out["pixel_checksum"], dtype="int64"
+                    ),
                 }
             )
 
-    bt = to_binary_table(df, id_col, text_col).select(
-        F.col(id_col).cast("long").alias("doc_id"), "payload"
+    return encode_bmp(df, id_col, text_col, width, height).mapInPandas(
+        decode_batch, schema=_DECODE_SCHEMA
     )
-    return bt.mapInPandas(decode_batch, schema=_DECODE_SCHEMA)
+
+
+_BMP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def encode_bmp(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    height: int = 8,
+) -> DataFrame:
+    """Render each document into a real BMP binary payload (pixels from
+    ``text_pixels``) — the encoder half of the codec pipeline, its own
+    mapInPandas stage so downstream consumers see ONLY (doc_id, binary):
+    the decode stage structurally cannot peek at the source text. Both
+    stages pipeline within one task — the payload never crosses a
+    shuffle."""
+    n_px = width * height
+
+    def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = [
+                _bmp_encode(text_pixels(txt or "", n_px), width, height)
+                for txt in pdf["text"]
+            ]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(encode_batch, schema=_BMP_SCHEMA)
 
 
 _FRAME_SCHEMA = T.StructType(

@@ -236,12 +236,19 @@ def embedding_near_dup_pairs(
     )
 
 
+#: Above this k the assignment switches from the from_json plan literal
+#: (O(k×dim) plan bytes — fine for small k, degenerate at SemDeDup's
+#: k=⌈√n⌉ regime) to a broadcast centroid-table hash join.
+KMEANS_BROADCAST_K = 256
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     k: int = 4,
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_method: str = "auto",
 ) -> tuple[list[tuple[int, list[float]]], DataFrame]:
     """Deterministic distributed k-means: fixed iteration count, exact
     cross-engine semantics (DuckDB oracle in plans/extensions.py).
@@ -276,7 +283,25 @@ def kmeans_fit(
     cents = [(i, [float(x) for x in row["v"]]) for i, row in enumerate(centroids)]
 
 
-    def assign(cents_local):
+    def _scored(cents_col):
+        # per-candidate struct(d, cid): squared L2 summed in array-index
+        # order (deterministic, engine-comparable); struct compare is
+        # lexicographic → (dist asc, cid asc) everywhere it's ordered
+        return F.transform(
+            cents_col,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"), c["cv"], lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+
+    def assign_literal(cents_local):
         # Argmin semantics: dist asc, ties to the lower cid — identical
         # to the oracle's ROW_NUMBER(ORDER BY dist, cid).
         #
@@ -302,22 +327,65 @@ def kmeans_fit(
         cents_col = F.from_json(
             F.lit(cents_json), "array<struct<cid: int, cv: array<double>>>"
         )
-        scored = F.transform(
-            cents_col,
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("v"), c["cv"], lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                c["cid"].alias("cid"),
-            ),
-        )
         return vecs.select(
-            "id", "v", F.array_sort(scored)[0]["cid"].alias("cid")
+            "id", "v", F.array_sort(_scored(cents_col))[0]["cid"].alias("cid")
         )
+
+    def assign_broadcast(cents_local):
+        # Large-k path: the from_json literal is O(k×dim) plan BYTES —
+        # serialized, re-parsed, and constant-folded on every executor
+        # task setup; at SemDeDup's own k=⌈√n⌉ regime (k≈31k for n=1e9)
+        # that's a ~16 MB string inside the plan. Here the centroids ride
+        # a BROADCAST table instead (shipped once per executor via the
+        # torrent broadcast, never in the plan):
+        #   - centroids are packed into G = ⌈k/256⌉ rows of
+        #     array<struct<cid,cv>> keyed by a group id g;
+        #   - the vector side explodes ×G over sequence(0, G-1) — a
+        #     non-constant, multi-valued key, so the join stays a
+        #     BroadcastHashJoin (the documented trap: a single-row /
+        #     constant-key build side constant-folds the key and
+        #     degenerates to BroadcastNestedLoopJoin — G ≥ 2 rows with
+        #     a real column key avoids it; plan-pinned);
+        #   - per joined row, best-of-group via the same struct compare;
+        #   - global argmin = min(struct(d, cid)) groupBy id. Each id's
+        #     G rows are co-partitioned (narrow explode), so the partial
+        #     aggregation collapses them map-side — the exchange carries
+        #     ~n rows, not n×G.
+        # Bit-identical to the literal path: same squared-L2 expression,
+        # same binary64 doubles (createDataFrame ships Python floats as
+        # exact DoubleType), same (d asc, cid asc) total order.
+        spark = embeddings.sparkSession
+        kk = len(cents_local)
+        n_groups = max(2, -(-kk // 256))  # ⌈k/256⌉, ≥2 (no constant key)
+        packed: dict[int, list] = {}
+        for idx, (cid, cvec) in enumerate(cents_local):
+            packed.setdefault(idx % n_groups, []).append(
+                (int(cid), [float(x) for x in cvec])
+            )
+        build = spark.createDataFrame(
+            [(g, cs) for g, cs in packed.items()],
+            "g int, cs array<struct<cid: int, cv: array<double>>>",
+        )
+        exploded = vecs.select(
+            "id",
+            "v",
+            F.explode(F.sequence(F.lit(0), F.lit(n_groups - 1))).alias("g"),
+        )
+        per_group = exploded.join(F.broadcast(build), "g").select(
+            "id", "v", F.array_sort(_scored(F.col("cs")))[0].alias("best")
+        )
+        return (
+            per_group.groupBy("id")
+            .agg(F.min("best").alias("b"), F.first("v").alias("v"))
+            .select("id", "v", F.col("b.cid").alias("cid"))
+        )
+
+    def assign(cents_local):
+        if assign_method == "broadcast" or (
+            assign_method == "auto" and len(cents_local) > KMEANS_BROADCAST_K
+        ):
+            return assign_broadcast(cents_local)
+        return assign_literal(cents_local)
 
     for _ in range(iterations):
         assigned = assign(cents)
@@ -364,10 +432,13 @@ def kmeans_assign(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_method: str = "auto",
 ) -> DataFrame:
     """Final (id, cid) assignment of the deterministic Lloyd loop
     (see kmeans_fit)."""
-    _, assigned = kmeans_fit(embeddings, k, iterations, id_col, vec_col)
+    _, assigned = kmeans_fit(
+        embeddings, k, iterations, id_col, vec_col, assign_method
+    )
     return assigned
 
 
@@ -468,6 +539,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_ppm: int = 950000,
+    assign_method: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, compare
@@ -483,7 +555,9 @@ def semantic_dedup(
 
     Returns (``id_col``, cid, removed).
     """
-    _, assigned = kmeans_fit(embeddings, k, iterations, id_col, vec_col)
+    _, assigned = kmeans_fit(
+        embeddings, k, iterations, id_col, vec_col, assign_method
+    )
     labeled = embeddings.select(id_col, vec_col).join(assigned, id_col)
     pairs = embedding_near_dup_pairs(
         labeled, id_col=id_col, vec_col=vec_col, block_col="cid", min_ppm=min_ppm

@@ -274,6 +274,7 @@ def sessionize(
     ts_col: str = "ts",
     id_col: str = "event_id",
     gap_seconds: int = 1800,
+    value_col: str = "value",
 ) -> DataFrame:
     """Batch sessionization: split each user's event stream into
     sessions wherever the gap to the previous event exceeds
@@ -321,7 +322,7 @@ def sessionize(
             F.min(ts_col).alias("start_ts"),
             F.max(ts_col).alias("end_ts"),
             F.count(F.lit(1)).alias("n_events"),
-            (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+            (F.sum(F.col(value_col).cast("decimal(18,6)")) * 1000000)
             .cast("bigint")
             .alias("sum_value_micro"),
         )

@@ -787,7 +787,14 @@ def _sql_etl_search_index_full() -> str:
     portable_hash_id)."""
     from pdcm_etl_spark.operators.dedup import DUCK_H60
 
-    h = DUCK_H60.format(col="concat_ws(chr(31), external_model_id, data_source)")
+    # coalesce each key to chr(0) — mirrors portable_hash_id's NULL
+    # encoding (functions/ids.py: NULL → '\x00' so NULL ≠ '')
+    key = (
+        "concat_ws(chr(31), "
+        "coalesce(CAST(external_model_id AS VARCHAR), chr(0)), "
+        "coalesce(CAST(data_source AS VARCHAR), chr(0)))"
+    )
+    h = DUCK_H60.format(col=key)
     # VARCHAR: the flagship projects every column to string (synth.py
     # _project_columns), so the re-derived id must be string-typed too
     return (

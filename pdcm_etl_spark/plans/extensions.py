@@ -148,6 +148,27 @@ SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id
 """
 
 
+def x_dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_groups via the alternating large-star/small-star components
+    algorithm (Kiveris et al. 2014; operators/graph._cc_star) — round
+    count O(log² n) independent of component diameter, the 100 TB path
+    for adversarial dup graphs. Same pair graph, same oracle as
+    dedup_groups: the driver hash proves both methods agree."""
+    from pdcm_etl_spark.operators.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingles(docs, n=3)
+    pairs = dedup.jaccard_pairs(sh, min_bp=2000, max_shingle_freq=1000)
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b", node_col="id", method="star"
+    )
+    return docs.select("doc_id").join(
+        comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("group_id")
+    )
+
+
 def x_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keeper selection after near-dup grouping: per connected component,
     keep the highest-quality member (stopword ratio, then length, then
@@ -731,35 +752,39 @@ FROM documents
 
 
 def x_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The mapInPandas decode path; the array<float> feature vector is
-    serialized (integer milli-units, '|'-joined) in the final projection.
-
-    The codec itself is still an honestly-declared stub (PIL/librosa are
-    absent here), but its deterministic fake — first 8 payload bytes
-    scaled to [0,1) — IS SQL-expressible, so since round 3 the oracle
-    re-derives it exactly (byte i = ord of char i: the fixture text is
-    ASCII, byte_len == char length). Milli-unit rounding is safe across
-    the float32 feature column: b*1000/255 is never within float32
-    epsilon of a .5 boundary (nearest fraction is 25/51 ≈ 0.49)."""
+    """The two-stage mapInPandas codec pipeline with a REAL byte-level
+    decode (round-5: the stub is retired): stage 1 renders each document
+    into an actual 8×8 24-bit BMP file (operators/multimodal._bmp_encode
+    — headers, padding, bottom-up rows), stage 2 PARSES those BMP bytes
+    back (magic + BITMAPINFOHEADER + padded row walk) seeing only the
+    binary column. The oracle re-derives the expected features from the
+    shared deterministic pixel rule (text_pixels: pixel i = codepoint of
+    char i mod len, mod 256) — integer-exact, incl. a position-weighted
+    checksum that pins pixel ORDER through the bottom-up round trip."""
     docs = _t(spark, sf_dir, "documents")
-    out = multimodal.decode_features(docs)
-    feature_m = F.transform(
-        "feature", lambda x: F.round(x * 1000).cast("int").cast("string")
-    )
-    return out.withColumn("feature", F.array_join(feature_m, "|"))
+    return multimodal.decode_features(docs)
 
 
 SQL_MULTIMODAL_DECODE = """
+WITH px AS (
+  SELECT doc_id,
+         list_transform(range(64), i ->
+           CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+                ELSE ord(substr(text,
+                         CAST(i % length(text) + 1 AS INTEGER), 1)) % 256
+           END) AS p
+  FROM documents
+)
 SELECT doc_id,
-       CAST(length(text) AS INTEGER) AS byte_len,
-       CAST(8 AS INTEGER) AS n_frames,
-       array_to_string(list_transform(range(8), i ->
-         CAST(CAST(round(
-           (CASE WHEN i < length(text)
-                 THEN ord(substr(text, CAST(i + 1 AS INTEGER), 1))
-                 ELSE 0 END) * 1000.0 / 255, 0) AS INTEGER) AS VARCHAR)
-       ), '|') AS feature
-FROM documents
+       CAST(246 AS INTEGER) AS byte_len,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       CAST(24 AS INTEGER) AS bpp,
+       CAST(list_sum(p) * 1000 // 64 AS BIGINT) AS mean_pixel_milli,
+       CAST(list_sum(list_transform(range(64),
+            i -> p[CAST(i + 1 AS INTEGER)] * (i + 1))) AS BIGINT)
+         AS pixel_checksum
+FROM px
 """
 
 
@@ -1181,6 +1206,22 @@ def _sql_kmeans_assign(k_sql: str = "4", iterations: int = 1) -> str:
 SQL_KMEANS_ASSIGN = _sql_kmeans_assign("4", 1)
 
 
+def x_kmeans_assign_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LARGE-k assignment path forced on: centroids ride a broadcast
+    table (G grouped rows, BroadcastHashJoin — never a from_json plan
+    literal, never a BroadcastNestedLoopJoin) + min(struct(dist, cid))
+    argmin (operators/similarity.kmeans_fit::assign_broadcast). Same
+    oracle as the literal path — the driver hash proves the two plans
+    are bit-identical; the plan shape is pinned in test_plan_shapes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_assign(
+        emb, k=8, iterations=1, assign_method="broadcast"
+    )
+
+
+SQL_KMEANS_ASSIGN_BCAST = _sql_kmeans_assign("8", 1)
+
+
 def x_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF recipe: k-means-trained cells + 2-probe search + exact
     in-cell re-rank (operators/similarity.py::ivf_trained_topk). The
@@ -1532,6 +1573,65 @@ ORDER BY n DESC, ngram LIMIT 20
 """
 
 
+def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the corpus word stream
+    (operators/sketches.heavy_hitters): the real Spark CMS aggregate is
+    built and queried; the oracle pins the exact top-20 plus the
+    sketch's one-sided-error and eps-bound guarantees as TRUE (the
+    approx_distinct pattern — sketch internals aren't engine-portable,
+    the sketch CONTRACT is)."""
+    from pdcm_etl_spark.operators import sketches
+
+    docs = _docs(spark, sf_dir).select("text")
+    return sketches.heavy_hitters(docs, k=20, eps=0.001)
+
+
+SQL_HEAVY_HITTERS = """
+WITH w AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS cms_est_ok, TRUE AS cms_within_eps
+FROM w WHERE term != ''
+GROUP BY term
+ORDER BY n DESC, term LIMIT 20
+"""
+
+
+def x_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-summary quantiles (percentile_approx) next to the exact
+    discrete percentile per group (operators/sketches.approx_quantiles):
+    exact p50/p95 in bigint cents hash-check cross-engine; the sketch's
+    rank-error contract is emitted as pinned-TRUE booleans."""
+    from pdcm_etl_spark.operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    return sketches.approx_quantiles(
+        li, "l_extendedprice", "l_returnflag", percentiles=(50, 95)
+    ).withColumnRenamed("g", "l_returnflag")
+
+
+SQL_APPROX_QUANTILE = """
+WITH b AS (
+  SELECT l_returnflag AS g,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM lineitem
+), r AS (
+  SELECT g, v,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM b
+)
+SELECT g AS l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(n * 50 / 100) AS BIGINT)
+                THEN v END) AS BIGINT) AS p50_cents,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(n * 95 / 100) AS BIGINT)
+                THEN v END) AS BIGINT) AS p95_cents,
+       TRUE AS p50_ok, TRUE AS p95_ok
+FROM r GROUP BY g
+"""
+
+
 def x_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One round of distributed BPE training statistics: corpus word
     frequencies → per-vocabulary-word adjacent character pairs weighted
@@ -1594,13 +1694,13 @@ def _sql_bpe_train(n_merges: int = 4) -> str:
   FROM p{r} GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1
 ), m{r} AS (
   SELECT e.w, e.freq, e.i, e.syms[e.i + 1] AS sym,
-         (e.i < len(e.syms) - 1 AND e.syms[e.i + 1] = wr.a
-          AND e.syms[e.i + 2] = wr.b) AS is_match
-  FROM (SELECT w, freq, syms, unnest(range(len(syms))) AS i FROM v{p}) e,
-       w{r} wr
+         COALESCE(e.i < len(e.syms) - 1 AND e.syms[e.i + 1] = wr.a
+          AND e.syms[e.i + 2] = wr.b, FALSE) AS is_match
+  FROM (SELECT w, freq, syms, unnest(range(len(syms))) AS i FROM v{p}) e
+       LEFT JOIN w{r} wr ON TRUE
 ), k{r} AS (
   SELECT *, CASE WHEN is_match THEN
-      (ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY i)) % 2 = 1
+      (ROW_NUMBER() OVER (PARTITION BY w, is_match, grp ORDER BY i)) % 2 = 1
     ELSE FALSE END AS kept
   FROM (
     SELECT *, i - ROW_NUMBER() OVER (PARTITION BY w, is_match ORDER BY i)
@@ -2541,6 +2641,7 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_groups": (x_dedup_groups, SQL_DEDUP_GROUPS),
+    "dedup_groups_star": (x_dedup_groups_star, SQL_DEDUP_GROUPS),
     "dedup_minhash_lsh": (x_dedup_minhash_lsh, _sql_dedup_minhash_lsh()),
     "dedup_minhash_incremental": (
         x_dedup_minhash_incremental, _sql_dedup_minhash_incremental()),
@@ -2563,6 +2664,8 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "text_repetition": (x_text_repetition, SQL_TEXT_REPETITION),
     "text_chunk": (x_text_chunk, SQL_TEXT_CHUNK),
     "ngram_topk": (x_ngram_topk, SQL_NGRAM_TOPK),
+    "heavy_hitters": (x_heavy_hitters, SQL_HEAVY_HITTERS),
+    "approx_quantile": (x_approx_quantile, SQL_APPROX_QUANTILE),
     "shuffle_shards": (x_shuffle_shards, SQL_SHUFFLE_SHARDS),
     "dedup_paragraph": (x_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
     "sample_domain_mix": (x_sample_domain_mix, SQL_SAMPLE_DOMAIN_MIX),
@@ -2601,6 +2704,7 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "sample_stratified": (x_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "corpus_curation": (x_corpus_curation, SQL_CORPUS_CURATION),
     "kmeans_assign": (x_kmeans_assign, SQL_KMEANS_ASSIGN),
+    "kmeans_assign_bcast": (x_kmeans_assign_bcast, SQL_KMEANS_ASSIGN_BCAST),
     "pack_sequences": (x_pack_sequences, SQL_PACK_SEQUENCES),
     "quality_percentile": (x_quality_percentile, SQL_QUALITY_PERCENTILE),
     "stream_sessionize": (x_stream_sessionize, SQL_STREAM_SESSIONIZE),

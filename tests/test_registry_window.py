@@ -4,22 +4,20 @@ inside that window (round-1 verdict requirement), and that the round-3
 rotation actually landed every previously-unchecked query inside it
 (round-2 verdict item 2)."""
 
-# queries that have never had a driver row as of this round (the round-4
-# additions) — all must sit inside the 50-row window so they get one;
-# everything rotated out is cumulatively driver-proven in r1-r3 and stays
-# oracle-checked every pytest run (tests/test_oracle_parity.py)
+# queries that need a driver row THIS round — round-5 additions plus
+# rows whose behavior or oracle changed since their last green hash —
+# all must sit inside the 50-row window; everything rotated out is
+# cumulatively driver-proven in r1-r4 and stays oracle-checked every
+# pytest run (tests/test_oracle_parity.py)
 ROTATED_IN = [
-    "dedup_paragraph", "sample_domain_mix", "stream_events_sliding",
-    "bpe_pair_counts", "bpe_train", "bpe_encode",
-    "unigram_lm_score", "inverted_index", "stump_train", "zorder_layout",
-    "pagerank", "funnel_stages", "cohort_retention", "dedup_edit_distance",
-    "triangle_count", "itemset_pairs", "timeseries_gapfill", "anomaly_iqr",
-    "dedup_containment", "pareto_frontier", "bucket_cojoin",
-    "sessionize_batch", "ivm_merge", "bloom_prune_join", "grouped_topk",
-    "multimodal_dedup", "corpus_language_mix",
-    # round-3 rotations kept in-window one more round (sessionize per r3
-    # verdict item 3; the rest are family representatives)
-    "stream_sessionize", "stream_dedup", "stream_scd2_upsert",
+    # round-5 additions (never driver-checked)
+    "heavy_hitters", "approx_quantile",
+    "dedup_groups_star", "kmeans_assign_bcast",
+    # codec rewritten in round 5 (real BMP decode) — re-prove
+    "multimodal_decode",
+    # oracle rewritten in round 5 (kept-window partition + empty-winner
+    # fallback per r4 ADVICE) — re-prove
+    "bpe_train", "bpe_encode",
 ]
 
 
@@ -41,7 +39,7 @@ def test_first_50_covers_every_family():
         "cdc": ["scd2_merge", "stream_scd2_upsert", "ivm_merge"],
         "collect": ["collect_set_markers", "global_agg"],
         "json": ["json_agg_struct"],
-        "sketch": ["approx_distinct"],
+        "sketch": ["approx_distinct", "heavy_hitters", "approx_quantile"],
         "pivot": ["pivot_status"],
         "timeseries": ["events_daily", "cohort_retention",
                        "timeseries_gapfill"],
@@ -51,7 +49,7 @@ def test_first_50_covers_every_family():
         "assoc": ["itemset_pairs"],
         "dedup": ["dedup_edit_distance", "dedup_minhash_lsh",
                   "dedup_minhash_incremental", "dedup_keeper_quality",
-                  "dedup_semantic", "dedup_groups",
+                  "dedup_semantic", "dedup_groups", "dedup_groups_star",
                   "dedup_paragraph", "dedup_containment"],
         "skyline": ["pareto_frontier"],
         "domain-mix": ["sample_domain_mix"],
@@ -69,7 +67,7 @@ def test_first_50_covers_every_family():
                          "corpus_language_mix"],
         "tokenizer": ["bpe_pair_counts", "bpe_train", "bpe_encode"],
         "pipeline": ["corpus_curation"],
-        "clustering": ["kmeans_assign"],
+        "clustering": ["kmeans_assign", "kmeans_assign_bcast"],
         "tree-train": ["stump_train"],
         "layout": ["zorder_layout", "bucket_cojoin"],
         "packing": ["pack_sequences"],
