@@ -79,8 +79,7 @@ def jaccard_pairs(
     jaccard_bp = floor(10000 * |A∩B| / |A∪B|) ≥ min_bp.
     """
     inter, sizes = _guarded_intersections(sh, max_shingle_freq)
-    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    sz_a, sz_b = _size_sides(sizes)
     jac_bp = F.floor(
         F.col("inter") * F.lit(10000.0) / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     ).cast("bigint")
@@ -91,6 +90,31 @@ def jaccard_pairs(
         .filter(F.col("jaccard_bp") >= min_bp)
         .select("id_a", "id_b", "inter", "jaccard_bp")
     )
+
+
+def _size_sides(sizes: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The per-doc size table keyed for each pair endpoint, with the
+    join strategy PINNED to shuffle-hash.
+
+    Why pinned: Catalyst's static size estimate of the pair-intersection
+    aggregate runs through two Generates (posexplode + tail-explode),
+    whose default estimates don't model fan-out — on duplicate-heavy
+    data the planner concludes the PAIR FACT table is broadcast-sized
+    and builds a BroadcastExchange of it (observed at the sf1 stress
+    sweep: 'Cannot broadcast the table that is larger than 8.0 GiB:
+    8.7 GiB' — a hard abort, and even below the limit it would ship the
+    fact side to every executor). Neither side is reliably small at
+    100 TB (pairs ~ dup-ball², sizes ~ corpus), so the scalable plan is
+    a shuffled join on the id; SHUFFLE_HASH builds the per-partition
+    hash from this (smaller-per-partition) sizes side without sorting
+    the pair table."""
+    sz_a = sizes.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a")
+    ).hint("shuffle_hash")
+    sz_b = sizes.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b")
+    ).hint("shuffle_hash")
+    return sz_a, sz_b
 
 
 def _guarded_intersections(
@@ -171,8 +195,7 @@ def containment_pairs(
     is the share of A's shingles also in B.
     """
     inter, sizes = _guarded_intersections(sh, max_shingle_freq)
-    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    sz_a, sz_b = _size_sides(sizes)
     return (
         inter.join(sz_a, "id_a")
         .join(sz_b, "id_b")

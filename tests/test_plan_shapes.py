@@ -583,3 +583,17 @@ def test_approx_quantiles_single_group_shuffle_and_bounds(spark, sf_dir):
     assert rows and all(r["p50_ok"] and r["p95_ok"] for r in rows)
     for r in rows:
         assert r["p50_cents"] <= r["p95_cents"]
+
+
+def test_jaccard_sizes_joins_never_broadcast_the_pair_facts(spark, sf_dir, queries):
+    """The per-doc size joins must be shuffled: Catalyst's static
+    estimate through the two pair Generates doesn't model fan-out and
+    (observed at the sf1 stress sweep) elects to BROADCAST the pair
+    intersection table — an 8.7 GiB hard abort on duplicate-heavy data.
+    _size_sides pins SHUFFLE_HASH on both size joins for jaccard AND
+    containment (shared core)."""
+    for name in ("dedup_ngram_jaccard", "dedup_containment"):
+        plan = _plan(queries[name](spark, sf_dir), mode="simple")
+        assert plan.count("ShuffledHashJoin") >= 2, (name, plan)
+        for key in ("BroadcastHashJoin [id_a", "BroadcastHashJoin [id_b"):
+            assert key not in plan, (name, plan)
