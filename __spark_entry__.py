@@ -110,14 +110,18 @@ _PRIORITY: list[str] = [
     # the new behavior needs a driver hash row; digest-dedup keeps the
     # family alongside (frames / resize stay r3/r4-proven)
     "multimodal_decode",
-    "multimodal_dedup",
-    # temporal / sampling / composed pipelines (asof_join, range_join and
-    # sample_stratified are r01-r03 driver-proven — their slots go to the
-    # round-4 additions; funnel_stages keeps the temporal family)
-    "funnel_stages",
-    # (ngram_topk rotated out — r4 driver-proven; heavy_hitters is its
-    # sketch twin and inverted_index keeps corpus-stats in-window)
-    "inverted_index",
+    # (multimodal_dedup rotated out — r4 driver-proven; decode keeps
+    # the multimodal family)
+    # temporal / sampling / composed pipelines (asof_join, range_join,
+    # sample_stratified, and funnel_stages are r01-r04 driver-proven —
+    # sessionize_batch keeps the temporal family; the slots go to the
+    # round-5 trailing-window + interval-overlap + skew-profile ops,
+    # windowed immediately)
+    "rolling_window",
+    "interval_overlap_join",
+    "key_skew_profile",
+    # (ngram_topk + inverted_index rotated out — r4 driver-proven;
+    # heavy_hitters + corpus_language_mix keep corpus-stats in-window)
     "shuffle_shards",
     # round-4 additions, windowed immediately (never driver-checked)
     "dedup_paragraph",

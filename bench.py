@@ -94,6 +94,15 @@ HEADLINE = [
     "grouped_topk",
     "multimodal_dedup",
     "corpus_language_mix",
+    # round-5 additions: star components + large-k kmeans + sketches +
+    # trailing window / interval overlap / skew diagnostics
+    "dedup_groups_star",
+    "kmeans_assign_bcast",
+    "heavy_hitters",
+    "approx_quantile",
+    "rolling_window",
+    "interval_overlap_join",
+    "key_skew_profile",
 ]
 
 

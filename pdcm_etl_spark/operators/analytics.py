@@ -80,3 +80,48 @@ def pareto_frontier(
         )
         .select("x", "y", "n_rows")
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Join-key skew diagnostics: the top-N heaviest keys with absolute
+    counts, corpus share, and how many times the average key's weight
+    each carries — the pre-flight check that decides whether a join on
+    ``key_col`` needs salting (``functions/joins.py::salted_join``) or
+    can rely on AQE's skew split. At 100 TB a single 5%-share key means
+    one 5 TB shuffle partition; this is the operator that finds it
+    BEFORE the join does.
+
+    Scale shape: one partial-aggregating groupBy collapses the data to
+    key cardinality; the corpus totals reduce further to ONE row that
+    re-enters by broadcast (never a window over the un-aggregated data);
+    top-N is orderBy+limit → TakeOrderedAndProject (per-partition heaps,
+    no global sort). Shares are integer ppm via bigint floor division —
+    engine-exact.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("key_rows")
+    )
+    totals = counts.agg(
+        F.sum("key_rows").cast("bigint").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "key_rows",
+            F.expr("CAST((key_rows * 1000000) DIV total_rows AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            # per-mille of the average key weight: rows * n_keys / total
+            F.expr(
+                "CAST((key_rows * n_keys * 1000) DIV total_rows AS BIGINT)"
+            ).alias("x_avg_permille"),
+        )
+        .orderBy(F.col("key_rows").desc(), F.col("key").asc())
+        .limit(top_n)
+    )

@@ -327,3 +327,118 @@ def sessionize(
             .alias("sum_value_micro"),
         )
     )
+
+
+def rolling_aggregate(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Event-time moving aggregate: for every event, the count and value
+    sum of the same key's events in ``[ts - window, ts]`` — the trailing
+    RANGE frame (not ROWS: simultaneous events are peers and always
+    enter together, so the result is set-deterministic under any input
+    order).
+
+    Scale shape: ONE shuffle on the key; each partition sorts its own
+    key's events once and the frame is maintained incrementally by
+    Spark's window operator (sliding aggregate buffer — no per-row
+    rescan, no self-join range explosion like the naive
+    ``e1.ts BETWEEN e2.ts - w AND e2.ts`` formulation, which plans as a
+    nested loop). The ORDER BY column is epoch SECONDS as bigint so the
+    frame bound is integer arithmetic in both engines.
+
+    Value sums ride as decimal(18,6) → micros bigint (the engine-exact
+    fixed-point pattern used by sessionize/gapfill).
+    """
+    epoch_s = F.col(ts_col).cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("__epoch_s"))
+        .rangeBetween(-window_seconds, 0)
+    )
+    return (
+        events.withColumn("__epoch_s", epoch_s)
+        .select(
+            "event_id",
+            key_col,
+            ts_col,
+            F.count(F.lit(1)).over(w).alias("roll_events"),
+            (F.sum(F.col(value_col).cast("decimal(18,6)")).over(w) * 1000000)
+            .cast("bigint")
+            .alias("roll_value_micro"),
+        )
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    start_cols: tuple[str, str] = ("start_ts", "start_ts"),
+    end_cols: tuple[str, str] = ("end_ts", "end_ts"),
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval×interval overlap join (``a.start <= b.end AND
+    b.start <= a.end``) without a nested loop — the two-sided companion
+    to ``range_join_points_in_intervals``.
+
+    Both sides explode into the time buckets their interval covers and
+    candidates meet by an equi join on (keys…, bucket); the exact
+    overlap predicate then filters, and pairs that co-occupy several
+    buckets are kept once by crediting the match to the FIRST shared
+    bucket (max(bucket-of-starts) — a pure column predicate, no
+    pair-wide distinct shuffle). Pair work is bounded by per-bucket
+    occupancy; pick ``bucket_seconds`` near the median interval length.
+
+    Left/right columns come back as-is (caller aliases them apart);
+    adds ``overlap_micro`` — the overlap length in integer microseconds.
+    """
+    b = F.lit(bucket_seconds)
+
+    def burst(df: DataFrame, start: str, end: str) -> DataFrame:
+        e = lambda c: F.col(c).cast("timestamp").cast("long")
+        return df.withColumn(
+            "__bucket",
+            F.explode(F.sequence(F.floor(e(start) / b), F.floor(e(end) / b))),
+        )
+
+    l = burst(left, start_cols[0], end_cols[0]).alias("l")
+    r = burst(right, start_cols[1], end_cols[1]).alias("r")
+    l_start, r_start = f"l.{start_cols[0]}", f"r.{start_cols[1]}"
+    l_end, r_end = f"l.{end_cols[0]}", f"r.{end_cols[1]}"
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    first_shared = F.greatest(
+        F.floor(F.col(l_start).cast("timestamp").cast("long") / b),
+        F.floor(F.col(r_start).cast("timestamp").cast("long") / b),
+    )
+    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in on] + [
+        F.col("l.__bucket") == F.col("r.__bucket")
+    ]
+    return (
+        l.join(r, cond)
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("l.__bucket") == first_shared)
+        )
+        .select(
+            *[F.col(f"l.{k}").alias(k) for k in on],
+            *[
+                F.col(f"l.{c}")
+                for c in left.columns
+                if c not in set(on)
+            ],
+            *[
+                F.col(f"r.{c}")
+                for c in right.columns
+                if c not in set(on)
+            ],
+            (
+                F.least(us(l_end), us(r_end))
+                - F.greatest(us(l_start), us(r_start))
+            ).alias("overlap_micro"),
+        )
+    )

@@ -2637,6 +2637,126 @@ FROM per, tot
 """
 
 
+def x_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing 1-hour moving count + value sum over event
+    time — RANGE frame on epoch seconds so simultaneous events enter as
+    peers (set-deterministic). ONE user-keyed shuffle; the frame is
+    maintained incrementally by the window operator, never a range
+    self-join (operators/temporal.py::rolling_aggregate)."""
+    from pdcm_etl_spark.operators.temporal import rolling_aggregate
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    return rolling_aggregate(
+        load_events(spark, sf_dir), window_seconds=3600
+    )
+
+
+SQL_ROLLING_WINDOW = """
+WITH e AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS es
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS roll_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w * 1000000 AS BIGINT)
+         AS roll_value_micro
+FROM e
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY es
+  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+def x_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap: 1-hour purchase attribution windows
+    against 15-minute click sessions of the same user. Both sides burst
+    into covering time buckets, candidates meet by equi join on
+    (user, bucket), the exact overlap predicate filters, and multi-
+    bucket pairs are kept once by the first-shared-bucket rule — a pure
+    column predicate instead of a pair-wide DISTINCT shuffle
+    (operators/temporal.py::interval_overlap_join). Oracle: the plain
+    inequality join."""
+    from pdcm_etl_spark.operators.temporal import interval_overlap_join
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("a_end"),
+    )
+    b = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_start"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTE")).alias("b_end"),
+    )
+    return interval_overlap_join(
+        a,
+        b,
+        on=["user_id"],
+        start_cols=("a_start", "b_start"),
+        end_cols=("a_end", "b_end"),
+        bucket_seconds=3600,
+    )
+
+
+SQL_INTERVAL_OVERLAP_JOIN = """
+WITH a AS (
+  SELECT user_id, event_id AS a_id, ts AS a_start,
+         ts + INTERVAL 1 HOUR AS a_end
+  FROM events WHERE event_type = 'purchase'
+), b AS (
+  SELECT user_id, event_id AS b_id, ts AS b_start,
+         ts + INTERVAL 15 MINUTE AS b_end
+  FROM events WHERE event_type = 'click'
+)
+SELECT a.user_id, a.a_id, a.a_start, a.a_end,
+       b.b_id, b.b_start, b.b_end,
+       CAST(least(epoch_us(a_end), epoch_us(b_end))
+          - greatest(epoch_us(a_start), epoch_us(b_start)) AS BIGINT)
+         AS overlap_micro
+FROM a JOIN b
+  ON a.user_id = b.user_id
+ AND a.a_start <= b.b_end AND b.b_start <= a.a_end
+"""
+
+
+def x_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heaviest join keys on events.user_id with integer-ppm
+    corpus share and per-mille of the average key weight — the
+    diagnostics pass that decides salting vs AQE before a 100 TB
+    shuffle (operators/analytics.py::key_skew_profile). Data collapses
+    to key cardinality in one partial agg; totals re-enter as a 1-row
+    broadcast; top-N is TakeOrderedAndProject."""
+    from pdcm_etl_spark.operators.analytics import key_skew_profile
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    return key_skew_profile(load_events(spark, sf_dir), "user_id")
+
+
+SQL_KEY_SKEW_PROFILE = """
+WITH counts AS (
+  SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS key_rows
+  FROM events GROUP BY 1
+), totals AS (
+  SELECT CAST(SUM(key_rows) AS BIGINT) AS total_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM counts
+)
+SELECT key, key_rows,
+       CAST((key_rows * 1000000) // total_rows AS BIGINT) AS share_ppm,
+       CAST((key_rows * n_keys * 1000) // total_rows AS BIGINT)
+         AS x_avg_permille
+FROM counts, totals
+ORDER BY key_rows DESC, key ASC
+LIMIT 20
+"""
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -2712,4 +2832,7 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "scd2_merge": (x_scd2_merge, SQL_SCD2_MERGE),
     "stream_dedup": (x_stream_dedup, SQL_STREAM_DEDUP),
     "stream_scd2_upsert": (x_stream_scd2_upsert, SQL_SCD2_MERGE),
+    "rolling_window": (x_rolling_window, SQL_ROLLING_WINDOW),
+    "interval_overlap_join": (x_interval_overlap_join, SQL_INTERVAL_OVERLAP_JOIN),
+    "key_skew_profile": (x_key_skew_profile, SQL_KEY_SKEW_PROFILE),
 }

@@ -597,3 +597,39 @@ def test_jaccard_sizes_joins_never_broadcast_the_pair_facts(spark, sf_dir, queri
         assert plan.count("ShuffledHashJoin") >= 2, (name, plan)
         for key in ("BroadcastHashJoin [id_a", "BroadcastHashJoin [id_b"):
             assert key not in plan, (name, plan)
+
+
+def test_rolling_window_one_shuffle_no_join(spark, sf_dir, queries):
+    """The trailing RANGE-frame aggregate is ONE user-keyed exchange
+    feeding one Window — never the naive range self-join (which plans
+    as a nested loop and explodes at any scale)."""
+    plan = _plan(queries["rolling_window"](spark, sf_dir), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window [") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_interval_overlap_join_bucketed_equi_no_bnlj(spark, sf_dir, queries):
+    """Interval×interval overlap must meet on the (user, bucket) equi
+    key — never a BroadcastNestedLoopJoin/CartesianProduct from the raw
+    overlap inequality — and the first-shared-bucket dedup rule must
+    keep the plan free of a pair-wide Distinct aggregate."""
+    plan = _plan(queries["interval_overlap_join"](spark, sf_dir), mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "__bucket" in plan, plan
+    # no pair-wide distinct: the only aggregates allowed are none
+    assert "HashAggregate" not in plan, plan
+
+
+def test_key_skew_profile_topn_heap_and_scalar_totals(spark, sf_dir, queries):
+    """Skew diagnostics collapse to key cardinality (partial agg), the
+    corpus totals re-enter as a ONE-row broadcast (a single 1-row BNLJ
+    is that shape — never a data-sized window), and top-N is a
+    TakeOrderedAndProject per-partition heap, not a global sort."""
+    plan = _plan(queries["key_skew_profile"](spark, sf_dir), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "partial_count" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Sort " not in plan, plan

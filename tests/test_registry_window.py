@@ -18,6 +18,8 @@ ROTATED_IN = [
     # oracle rewritten in round 5 (kept-window partition + empty-winner
     # fallback per r4 ADVICE) — re-prove
     "bpe_train", "bpe_encode",
+    # round-5 session-2 additions (never driver-checked)
+    "rolling_window", "interval_overlap_join", "key_skew_profile",
 ]
 
 
@@ -34,7 +36,7 @@ def test_first_50_covers_every_family():
         "subquery": ["correlated_count"],
         "cascade": ["harmonisation_cascade"],
         "array-join": ["array_equality_group"],
-        "window": ["window_ntile", "grouped_topk"],
+        "window": ["window_ntile", "grouped_topk", "rolling_window"],
         "set-op": ["except_keys"],
         "cdc": ["scd2_merge", "stream_scd2_upsert", "ivm_merge"],
         "collect": ["collect_set_markers", "global_agg"],
@@ -61,7 +63,9 @@ def test_first_50_covers_every_family():
         "multimodal": ["multimodal_decode", "multimodal_frames",
                        "multimodal_resize", "multimodal_dedup"],
         "temporal": ["asof_join", "range_join", "funnel_stages",
-                     "sessionize_batch"],
+                     "sessionize_batch", "interval_overlap_join",
+                     "rolling_window"],
+        "skew-profile": ["key_skew_profile"],
         "sampling": ["sample_stratified", "shuffle_shards"],
         "corpus-stats": ["ngram_topk", "inverted_index",
                          "corpus_language_mix"],
