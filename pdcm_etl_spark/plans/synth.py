@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pdcm_etl_spark.functions.local_table import values_table
 from pdcm_etl_spark.sources.registry import module_columns
 from pdcm_etl_spark.sources.tsv import PROVIDER_COL
 
@@ -295,7 +296,8 @@ def synthesize_provider_modules(
     # molecular metadata: every sample sequenced for mutation; every third
     # also has expression; every 4th/5th/6th cna / immunemarker / biomarker
     platforms = source.select(F.col(PROVIDER_COL).alias("prov")).crossJoin(
-        spark.createDataFrame(
+        values_table(
+            spark,
             [
                 ("pl_mut", "mutation", "Illumina NovaSeq", "WGS"),
                 ("pl_expr", "expression", "Illumina NovaSeq", "RNA-Seq"),
@@ -451,7 +453,8 @@ def synthesize_provider_modules(
     )
     # downloaded annotation-resource entries: fixed gene slices per
     # resource so cancer_annotation_resources is key arithmetic too
-    resource_defs = spark.createDataFrame(
+    resource_defs = values_table(
+        spark,
         [
             ("CIViC", 0, 400),
             ("OncoMX", 200, 700),
@@ -509,7 +512,8 @@ def synthesize_provider_modules(
         " WHEN id % 3 = 1 THEN 'NCIT:TIMMUNO'"
         " ELSE 'NCIT:C1932' END AS is_a",
     )
-    roots = spark.createDataFrame(
+    roots = values_table(
+        spark,
         [
             (
                 "NCIT:C9305",
@@ -552,7 +556,7 @@ def synthesize_provider_modules(
         spark.range(N_DIAGNOSES)
         .crossJoin(source.selectExpr(f"`{PROVIDER_COL}` AS datasource"))
         .crossJoin(
-            spark.createDataFrame([("primary",), ("metastatic",)], ["tumor_type"])
+            values_table(spark, [("primary",), ("metastatic",)], ["tumor_type"])
         )
     )
     diagnosis_mapping = _module(

@@ -141,7 +141,10 @@ def source_database(raw_sharing: DataFrame) -> DataFrame:
 
 def license_table(spark: SparkSession) -> DataFrame:
     """Static license dim (ref license_transformer_job.py:27-34)."""
-    return spark.createDataFrame(
+    from pdcm_etl_spark.functions.local_table import values_table
+
+    return values_table(
+        spark,
         [
             (1, "EMBL-EBI", "https://www.ebi.ac.uk/about/terms-of-use"),
             (2, "CC0", "https://creativecommons.org/publicdomain/zero/1.0/"),

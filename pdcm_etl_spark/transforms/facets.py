@@ -157,8 +157,10 @@ def search_facets(
             )
             frames.append(row)
         else:
-            static = spark.createDataFrame(
-                [tuple(d.get(c) for c in FACET_COLUMNS)], FACET_SCHEMA
+            from pdcm_etl_spark.functions.local_table import values_table
+
+            static = values_table(
+                spark, [tuple(d.get(c) for c in FACET_COLUMNS)], FACET_SCHEMA
             )
             frames.append(static)
     out = frames[0]

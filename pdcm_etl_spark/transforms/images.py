@@ -79,7 +79,8 @@ def molecular_data_restriction(
     """Config dict → (data_source, molecular_data_table) rows."""
     conf = DEFAULT_RESTRICTIONS if restrictions is None else restrictions
     rows = [(p, t) for p, tables in conf.items() for t in tables]
-    return spark.createDataFrame(
-        rows or [(None, None)],
-        "data_source string, molecular_data_table string",
+    from pdcm_etl_spark.functions.local_table import values_table
+
+    return values_table(
+        spark, rows, "data_source string, molecular_data_table string"
     ).where("data_source is not null")

@@ -35,8 +35,10 @@ MOLCHAR_TYPES = [
 def molecular_characterization_type(spark: SparkSession) -> DataFrame:
     """Static molchar-type dim — values are a fixed vocabulary, so the
     table is generated, not ingested."""
-    return spark.createDataFrame(
-        list(enumerate(MOLCHAR_TYPES, start=1)), "id long, name string"
+    from pdcm_etl_spark.functions.local_table import values_table
+
+    return values_table(
+        spark, list(enumerate(MOLCHAR_TYPES, start=1)), "id long, name string"
     )
 
 

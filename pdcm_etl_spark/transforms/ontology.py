@@ -82,8 +82,10 @@ def branch_terms(
         .select(F.col("node").alias("term_id"))
         .distinct()
     )
-    roots_df = under.sparkSession.createDataFrame(
-        [(r,) for r in roots], "term_id string"
+    from pdcm_etl_spark.functions.local_table import values_table
+
+    roots_df = values_table(
+        under.sparkSession, [(r,) for r in roots], "term_id string"
     )
     keep = under.unionByName(roots_df).distinct()
     return ontology_term_df.join(keep, "term_id", "left_semi")
