@@ -165,9 +165,13 @@ def top_percentile_filter(
     if t is None:  # min_pr_bp past the end — nothing qualifies
         return df.withColumn("pr_bp", F.lit(0).cast("bigint")).limit(0)
 
+    from pdcm_etl_spark.functions.local_table import values_table
+
     spark = df.sparkSession
-    cum_df = spark.createDataFrame(
-        [(int(v), int(cb)) for v, cb in cum_before], f"{metric} bigint, __cumb bigint"
+    cum_df = values_table(
+        spark,
+        [(int(v), int(cb)) for v, cb in cum_before],
+        f"{metric} bigint, __cumb bigint",
     )
     w = Window.partitionBy(metric).orderBy(id_col)
     return (

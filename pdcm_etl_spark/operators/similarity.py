@@ -352,8 +352,11 @@ def kmeans_fit(
         #     aggregation collapses them map-side — the exchange carries
         #     ~n rows, not n×G.
         # Bit-identical to the literal path: same squared-L2 expression,
-        # same binary64 doubles (createDataFrame ships Python floats as
-        # exact DoubleType), same (d asc, cid asc) total order.
+        # same binary64 doubles (repr() is the shortest exact round-trip
+        # of the double; the D suffix keeps the literal DoubleType), same
+        # (d asc, cid asc) total order. Rendered as a VALUES LocalRelation
+        # rather than createDataFrame so no PythonRunner stage (and no
+        # per-core Python worker fork) lands inside the assignment query.
         spark = embeddings.sparkSession
         kk = len(cents_local)
         n_groups = max(2, -(-kk // 256))  # ⌈k/256⌉, ≥2 (no constant key)
@@ -362,9 +365,20 @@ def kmeans_fit(
             packed.setdefault(idx % n_groups, []).append(
                 (int(cid), [float(x) for x in cvec])
             )
-        build = spark.createDataFrame(
-            [(g, cs) for g, cs in packed.items()],
-            "g int, cs array<struct<cid: int, cv: array<double>>>",
+
+        def _grp(cs: list) -> str:
+            return "array(" + ", ".join(
+                f"named_struct('cid', CAST({cid} AS INT), 'cv', array("
+                + ", ".join(repr(x) + "D" for x in cv)
+                + "))"
+                for cid, cv in cs
+            ) + ")"
+
+        body = ", ".join(
+            f"(CAST({g} AS INT), {_grp(cs)})" for g, cs in packed.items()
+        )
+        build = spark.sql(
+            f"SELECT __c0 AS g, __c1 AS cs FROM (VALUES {body}) AS T(__c0, __c1)"
         )
         exploded = vecs.select(
             "id",

@@ -86,8 +86,12 @@ def heavy_hitters(
                 est <= r["n"] + slack,
             )
         )
-    return spark.createDataFrame(
-        rows, "term string, n bigint, cms_est_ok boolean, cms_within_eps boolean"
+    from pdcm_etl_spark.functions.local_table import values_table
+
+    return values_table(
+        spark,
+        rows,
+        "term string, n bigint, cms_est_ok boolean, cms_within_eps boolean",
     )
 
 

@@ -465,10 +465,12 @@ def bpe_train(
     matches within each run of consecutive matches (only a==b produces
     runs), which is how the DuckDB oracle expresses it positionally.
     """
+    from pdcm_etl_spark.functions.local_table import values_table
+
     merges, vocab = _bpe_vocab_loop(df, text_col, n_merges)
     vocab.unpersist()
-    return df.sparkSession.createDataFrame(
-        merges, "r int, a string, b string, merged string, n bigint"
+    return values_table(
+        df.sparkSession, merges, "r int, a string, b string, merged string, n bigint"
     )
 
 

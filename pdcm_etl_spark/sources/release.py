@@ -16,7 +16,10 @@ def release_info(
     date: datetime.date | None = None,
 ) -> DataFrame:
     date = date or datetime.date.today()
-    df = spark.createDataFrame(
+    from pdcm_etl_spark.functions.local_table import values_table
+
+    df = values_table(
+        spark,
         [(release_name, date.isoformat(), sorted(providers))],
         "name string, date string, providers array<string>",
     )

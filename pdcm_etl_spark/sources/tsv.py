@@ -42,8 +42,10 @@ def read_module_tsv(
     Returns an empty DataFrame with the declared schema (+provenance col)
     when no path exists (ref spark_reader.py:95-107).
     """
+    from pdcm_etl_spark.functions.local_table import values_table
+
     schema = string_schema(columns)
-    empty = spark.createDataFrame([], schema).withColumn(
+    empty = values_table(spark, [], schema).withColumn(
         PROVIDER_COL, F.lit(None).cast("string")
     )
     existing = _existing(spark, paths)

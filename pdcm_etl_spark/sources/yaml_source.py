@@ -42,8 +42,10 @@ def read_yaml_module(
             rows.append(
                 tuple(_as_str(doc.get(c)) for c in columns) + (provider,)
             )
+    from pdcm_etl_spark.functions.local_table import values_table
+
     schema = string_schema(list(columns) + [PROVIDER_COL])
-    return spark.createDataFrame(rows, schema)
+    return values_table(spark, rows, schema)
 
 
 def _as_str(v) -> str | None:
