@@ -132,7 +132,10 @@ _PRIORITY: list[str] = [
     "corpus_curation",
     "kmeans_assign",
     "stump_train",
-    "zorder_layout",
+    # (zorder_layout rotated out — r4 driver-proven; the round-5
+    # hive-partition-pruned scan keeps the layout family alongside
+    # bucket_cojoin, windowed immediately)
+    "partition_prune",
     "pack_sequences",
     "quality_percentile",
     # streaming: four paths in-window (sliding windows new in round 4;

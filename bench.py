@@ -103,6 +103,7 @@ HEADLINE = [
     "rolling_window",
     "interval_overlap_join",
     "key_skew_profile",
+    "partition_prune",
 ]
 
 

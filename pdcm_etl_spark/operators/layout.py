@@ -113,3 +113,29 @@ def bucketize(
         .saveAsTable(table_name)
     )
     return spark.table(table_name)
+
+
+def partition_layout(df: DataFrame, part_col: str, path: str) -> DataFrame:
+    """Write ``df`` hive-partitioned on ``part_col`` and read it back.
+
+    Directory-per-value layout is the third leg of the skipping story
+    (bucketing = co-located joins, z-order = two-key file stats,
+    partitioning = whole-directory pruning): a predicate on the
+    partition column never touches excluded directories — at 100 TB a
+    one-week query over a year-partitioned event lake lists ~2% of the
+    files and reads zero bytes of the rest, entirely at PLANNING time
+    (``PartitionFilters`` on the scan, before any task launches).
+
+    Rows are repartitioned ON the partition column first so each
+    value's rows arrive at one write task → one file per directory.
+    Without it every write task emits a file into every directory
+    (tasks × partitions small files — the classic 100 TB lake killer).
+    A value so hot its single task spills should instead use
+    ``repartition(part_col, salt)`` for a files-per-partition budget;
+    day-grain event data is uniform enough that one file per day at
+    test scale (and size-split files at lake scale) is the right shape.
+    """
+    df.repartition(F.col(part_col)).write.mode("overwrite").partitionBy(
+        part_col
+    ).parquet(path)
+    return df.sparkSession.read.parquet(path)

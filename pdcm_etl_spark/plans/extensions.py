@@ -2757,6 +2757,51 @@ LIMIT 20
 """
 
 
+def x_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned event lake + partition-pruned scan: events are
+    written ``partitionBy(event_date)`` (the one-time layout cost, one
+    file per day — ``operators/layout.py::partition_layout``), then a
+    one-week aggregate filters on the partition column. Pruning happens
+    at PLANNING time: the scan's ``PartitionFilters`` carry the date
+    bounds and excluded directories are never listed into tasks —
+    plan-pinned to 7 of 30 partitions (tests/test_plan_shapes.py).
+    Oracle: the same aggregate over the unpartitioned table."""
+    import os
+    import tempfile
+
+    from pdcm_etl_spark.operators.layout import partition_layout
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+    part = partition_layout(
+        ev, "event_date",
+        os.path.join(tempfile.gettempdir(), "pdcm_partitioned_events"),
+    )
+    return (
+        part.filter(
+            (F.col("event_date") >= F.lit("2024-01-08").cast("date"))
+            & (F.col("event_date") <= F.lit("2024-01-14").cast("date"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+            .cast("bigint")
+            .alias("sum_value_micro"),
+        )
+    )
+
+
+SQL_PARTITION_PRUNE = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+         AS sum_value_micro
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+GROUP BY event_type
+"""
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -2835,4 +2880,5 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "rolling_window": (x_rolling_window, SQL_ROLLING_WINDOW),
     "interval_overlap_join": (x_interval_overlap_join, SQL_INTERVAL_OVERLAP_JOIN),
     "key_skew_profile": (x_key_skew_profile, SQL_KEY_SKEW_PROFILE),
+    "partition_prune": (x_partition_prune, SQL_PARTITION_PRUNE),
 }

@@ -633,3 +633,18 @@ def test_key_skew_profile_topn_heap_and_scalar_totals(spark, sf_dir, queries):
     assert "partial_count" in plan, plan
     assert "Window" not in plan, plan
     assert "Sort " not in plan, plan
+
+
+def test_partition_prune_scan_prunes_at_planning_time(spark, sf_dir, queries):
+    """The one-week filter must live ENTIRELY in the scan's
+    PartitionFilters — directory pruning decided before any task runs.
+    DataFilters must be empty (nothing re-checked row-wise) and no
+    separate Filter node may touch the partition column."""
+    plan = _plan(queries["partition_prune"](spark, sf_dir), mode="simple")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    pf = scan.split("PartitionFilters:")[1]
+    assert "event_date" in pf and "2024-01-08" in pf and "2024-01-14" in pf, scan
+    assert "DataFilters: []" in scan, scan
+    assert "Filter (" not in plan or "event_date" not in plan.split(
+        "FileScan"
+    )[0], plan

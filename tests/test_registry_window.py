@@ -20,6 +20,7 @@ ROTATED_IN = [
     "bpe_train", "bpe_encode",
     # round-5 session-2 additions (never driver-checked)
     "rolling_window", "interval_overlap_join", "key_skew_profile",
+    "partition_prune",
 ]
 
 
@@ -73,7 +74,7 @@ def test_first_50_covers_every_family():
         "pipeline": ["corpus_curation"],
         "clustering": ["kmeans_assign", "kmeans_assign_bcast"],
         "tree-train": ["stump_train"],
-        "layout": ["zorder_layout", "bucket_cojoin"],
+        "layout": ["zorder_layout", "bucket_cojoin", "partition_prune"],
         "packing": ["pack_sequences"],
         "quality-filter": ["quality_percentile"],
         "streaming": ["stream_events_daily", "stream_events_sliding",
