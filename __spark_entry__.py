@@ -92,7 +92,10 @@ _PRIORITY: list[str] = [
     # (dedup_minhash_lsh rotated out — r1/r2 driver-proven; six dedup
     # reps remain. Its slot goes to the batch sessionizer)
     "sessionize_batch",
-    "dedup_minhash_incremental",
+    # (dedup_minhash_incremental rotated out — r4 driver-proven; the
+    # round-5 winnowing fingerprinter keeps the dedup family growing,
+    # windowed immediately)
+    "dedup_winnow",
     # (dedup_simhash / dedup_semantic / dedup_keeper_quality rotated
     # out — r3 driver-proven; four dedup reps remain in-window. The
     # slots go to the bloom-pruned join + per-group top-k)

@@ -104,6 +104,7 @@ HEADLINE = [
     "interval_overlap_join",
     "key_skew_profile",
     "partition_prune",
+    "dedup_winnow",
 ]
 
 

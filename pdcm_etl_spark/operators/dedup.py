@@ -174,6 +174,81 @@ def _guarded_intersections(
     return inter, sizes
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS fingerprinter): hash every character k-gram,
+    slide a w-window over the hash sequence, keep each window's MINIMUM.
+    Guarantee: any substring match of length ≥ k+w-1 between two docs
+    contributes at least one SHARED fingerprint, while only ~2/(w+1) of
+    the k-gram hashes are kept — position-robust overlap detection
+    (insertions shift positions but not the selected minima), where
+    word-shingle Jaccard needs token-aligned edits.
+
+    Scale shape: the whole per-doc pipeline — k-gram hashing, window
+    minima, dedup — is ARRAY EXPRESSIONS inside whole-stage codegen
+    (transform/slice/array_min); the full hash stream never explodes
+    into rows and nothing shuffles until the ~n/w selected fingerprints
+    post into the pair join. Hashes are portable_hash60 so the DuckDB
+    oracle is exact. Docs shorter than one window keep their single
+    global minimum (standard winnowing edge rule).
+
+    Returns (id, shingle) posting rows — column-compatible with the
+    guarded pair core shared by jaccard/containment.
+    """
+    hash_expr = (
+        f"CASE WHEN length(__t) >= {k} THEN "
+        f"transform(sequence(1, length(__t) - {k - 1}), "
+        f"i -> CAST(conv(substring(md5(substring(__t, i, {k})), 1, 15), "
+        f"16, 10) AS BIGINT)) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    fp_expr = (
+        f"CASE WHEN size(__h) >= {w} THEN "
+        f"array_distinct(transform(sequence(1, size(__h) - {w - 1}), "
+        f"j -> array_min(slice(__h, j, {w})))) "
+        f"WHEN size(__h) > 0 THEN array(array_min(__h)) "
+        f"ELSE __h END"
+    )
+    return (
+        df.selectExpr(f"{id_col} AS id", f"lower({text_col}) AS __t")
+        .selectExpr("id", f"{hash_expr} AS __h")
+        .selectExpr("id", f"explode({fp_expr}) AS shingle")
+    )
+
+
+def winnow_pairs(
+    fps: DataFrame, min_ppm: int = 600_000, max_fp_freq: int | None = 1000
+) -> DataFrame:
+    """Near-dup pairs over winnowed fingerprints: same guarded in-bucket
+    candidate core as jaccard/containment (hot-fingerprint anti-join
+    BEFORE the posting-list collect, shuffle-hash-pinned size joins),
+    scored by shared-fingerprint coverage of the SMALLER doc in integer
+    ppm — the containment-style measure matching winnowing's use case
+    (a short doc lifted into a long one).
+
+    Returns (id_a, id_b, inter, overlap_ppm), id_a < id_b,
+    overlap_ppm = floor(1e6 · |A∩B| / min(|A|, |B|)) ≥ ``min_ppm``.
+    """
+    inter, sizes = _guarded_intersections(fps, max_fp_freq)
+    sz_a, sz_b = _size_sides(sizes)
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "overlap_ppm",
+            F.expr("(1000000 * inter) div least(sz_a, sz_b)").cast("bigint"),
+        )
+        .filter(F.col("overlap_ppm") >= min_ppm)
+        .select("id_a", "id_b", "inter", "overlap_ppm")
+    )
+
+
 def containment_pairs(
     sh: DataFrame, min_ppm: int = 800_000, max_shingle_freq: int | None = 1000
 ) -> DataFrame:

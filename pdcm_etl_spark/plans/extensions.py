@@ -2757,6 +2757,63 @@ LIMIT 20
 """
 
 
+def x_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint near-dup: per-doc k-gram hash
+    stream → w-window minima, all as codegen array expressions (the
+    hash stream never explodes); only the ~n/w selected fingerprints
+    post into the guarded pair core (hot-fingerprint anti-join before
+    collect, shuffle-hash-pinned size joins — shared with jaccard).
+    Guarantees any ≥ k+w-1 char substring match shares a fingerprint
+    (operators/dedup.py::winnow_fingerprints). Oracle: the identical
+    portable-md5 pipeline in DuckDB list expressions."""
+    docs = _docs(spark, sf_dir)
+    fps = dedup.winnow_fingerprints(docs, k=8, w=4)
+    return dedup.winnow_pairs(fps, min_ppm=600_000, max_fp_freq=1000)
+
+
+_H60_SUB = (
+    "list_reduce(list_transform("
+    "string_split(substring(md5(substr(t, CAST(i AS INT), 8)),1,15),''),"
+    " c -> strpos('0123456789abcdef', c) - 1), (a,b) -> a*16 + b)::BIGINT"
+)
+
+SQL_DEDUP_WINNOW = f"""
+WITH d AS (
+  SELECT doc_id AS id, lower(text) AS t FROM documents
+), h AS (
+  SELECT id, CASE WHEN length(t) >= 8 THEN
+      list_transform(generate_series(1, length(t) - 7), i -> {_H60_SUB})
+    ELSE [] END AS hs
+  FROM d
+), fp0 AS (
+  SELECT id, CASE WHEN len(hs) >= 4 THEN
+      list_distinct(list_transform(generate_series(1, len(hs) - 3),
+        j -> list_min(list_slice(hs, CAST(j AS INT), CAST(j + 3 AS INT)))))
+    WHEN len(hs) > 0 THEN [list_min(hs)] ELSE [] END AS fps
+  FROM h
+), post AS (
+  SELECT id, unnest(fps) AS fp FROM fp0
+), hot AS (
+  SELECT fp FROM post GROUP BY fp HAVING count(*) > 1000
+), g AS (
+  SELECT post.* FROM post ANTI JOIN hot USING (fp)
+), sz AS (
+  SELECT id, count(*) AS sz FROM g GROUP BY id
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM g a JOIN g b ON a.fp = b.fp AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter,
+       CAST((1000000 * inter) // least(sa.sz, sb.sz) AS BIGINT)
+         AS overlap_ppm
+FROM pairs
+JOIN sz sa ON sa.id = pairs.id_a
+JOIN sz sb ON sb.id = pairs.id_b
+WHERE (1000000 * inter) // least(sa.sz, sb.sz) >= 600000
+"""
+
+
 def x_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned event lake + partition-pruned scan: events are
     written ``partitionBy(event_date)`` (the one-time layout cost, one
@@ -2881,4 +2938,5 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "interval_overlap_join": (x_interval_overlap_join, SQL_INTERVAL_OVERLAP_JOIN),
     "key_skew_profile": (x_key_skew_profile, SQL_KEY_SKEW_PROFILE),
     "partition_prune": (x_partition_prune, SQL_PARTITION_PRUNE),
+    "dedup_winnow": (x_dedup_winnow, SQL_DEDUP_WINNOW),
 }

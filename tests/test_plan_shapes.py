@@ -592,7 +592,8 @@ def test_jaccard_sizes_joins_never_broadcast_the_pair_facts(spark, sf_dir, queri
     intersection table — an 8.7 GiB hard abort on duplicate-heavy data.
     _size_sides pins SHUFFLE_HASH on both size joins for jaccard AND
     containment (shared core)."""
-    for name in ("dedup_ngram_jaccard", "dedup_containment"):
+    for name in ("dedup_ngram_jaccard", "dedup_containment",
+                 "dedup_winnow"):
         plan = _plan(queries[name](spark, sf_dir), mode="simple")
         assert plan.count("ShuffledHashJoin") >= 2, (name, plan)
         for key in ("BroadcastHashJoin [id_a", "BroadcastHashJoin [id_b"):
@@ -648,3 +649,19 @@ def test_partition_prune_scan_prunes_at_planning_time(spark, sf_dir, queries):
     assert "Filter (" not in plan or "event_date" not in plan.split(
         "FileScan"
     )[0], plan
+
+
+def test_winnow_hash_stream_never_explodes(spark, sf_dir, queries):
+    """Winnowing's k-gram hash stream and window minima must stay array
+    expressions inside the scan projection: every Generate explodes
+    over SELECTED window minima (the candidate core re-derives the
+    posting branch, so the fps explode appears once per branch — fine:
+    each is ~n/w elements). What must NEVER happen is a Generate whose
+    input is the raw k-gram hash transform itself — that would put ≈
+    text-length rows per doc on the row stream. The md5/conv hashing
+    must stay inside Project nodes."""
+    plan = _plan(queries["dedup_winnow"](spark, sf_dir), mode="simple")
+    for line in plan.splitlines():
+        if "Generate " in line:
+            assert "md5(" not in line and "conv(" not in line, line
+    assert "array_min" in plan and "md5(" in plan, plan

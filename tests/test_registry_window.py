@@ -20,7 +20,7 @@ ROTATED_IN = [
     "bpe_train", "bpe_encode",
     # round-5 session-2 additions (never driver-checked)
     "rolling_window", "interval_overlap_join", "key_skew_profile",
-    "partition_prune",
+    "partition_prune", "dedup_winnow",
 ]
 
 
@@ -53,7 +53,7 @@ def test_first_50_covers_every_family():
         "dedup": ["dedup_edit_distance", "dedup_minhash_lsh",
                   "dedup_minhash_incremental", "dedup_keeper_quality",
                   "dedup_semantic", "dedup_groups", "dedup_groups_star",
-                  "dedup_paragraph", "dedup_containment"],
+                  "dedup_paragraph", "dedup_containment", "dedup_winnow"],
         "skyline": ["pareto_frontier"],
         "domain-mix": ["sample_domain_mix"],
         "similarity": ["ann_ivf_trained_topk"],
