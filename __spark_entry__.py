@@ -96,6 +96,10 @@ _PRIORITY: list[str] = [
     # round-5 winnowing fingerprinter keeps the dedup family growing,
     # windowed immediately)
     "dedup_winnow",
+    # round-5 addition: EXACT Jaccard join via prefix filtering —
+    # windowed immediately; its brute-force all-pairs oracle proves
+    # filter completeness, not just cross-engine pipeline agreement
+    "dedup_prefix_filter",
     # (dedup_simhash / dedup_semantic / dedup_keeper_quality rotated
     # out — r3 driver-proven; four dedup reps remain in-window. The
     # slots go to the bloom-pruned join + per-group top-k)

@@ -682,3 +682,143 @@ def edit_distance_pairs(
         # cap — exclude it explicitly, -1 <= max_dist would pass
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtering exact set-similarity join (PPJoin family)
+# ---------------------------------------------------------------------------
+
+
+def prefix_filter_pairs(
+    sh: DataFrame, min_ppm: int = 300_000
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering
+    (Chaudhuri/Ganti/Kaushik ICDE'06; Xiao et al. WWW'08 "PPJoin") —
+    the exact counterpart to the MinHash APPROXIMATION: no candidate
+    pair is missed, guaranteed by construction rather than
+    probabilistically.
+
+    The filter: order every document's shingle set by GLOBAL RARITY
+    (corpus frequency asc, shingle asc — one deterministic total order
+    for the whole corpus). For Jaccard(A, B) >= t, A and B must agree
+    on at least one element inside each one's PREFIX of length
+    ``|X| - ceil(t * |X|) + 1`` (if they disagreed on all prefix
+    elements, the overlap is too small to reach t). So candidates only
+    need to meet in a prefix-element bucket, and prefixes are by
+    construction the RAREST elements — bucket sizes shrink exactly
+    where full-posting buckets (jaccard_pairs' shared-shingle core)
+    blow up. A length filter inside the bucket
+    (``min(|A|,|B|) * 1e6 >= max(|A|,|B|) * t_ppm``) prunes further.
+
+    Contrast with ``jaccard_pairs``: that core buckets on EVERY shared
+    shingle and needs a stop-shingle guard (lossy — hot shingles stop
+    contributing evidence); this one buckets only on prefix elements
+    and stays exact. The trade: verification re-joins the full sorted
+    shingle-key arrays per surviving pair (PPJoin's verify step), so
+    pair verification carries doc-sized arrays — candidates, not the
+    corpus, dominate that cost. A mega-duplicate-ball still yields
+    quadratic candidates, but those pairs ARE the output (true dups) —
+    candidate count tracks output size, the optimum for an exact join.
+    (PPJoin's positional + suffix filters trim constants further; not
+    needed until profiles say so.)
+
+    Scale shape: one shuffle each for the frequency agg, the
+    freq-keyed join, the per-doc sort-agg, the prefix-bucket agg, the
+    pair distinct, and two SHUFFLE_HASH verify joins (same pin +
+    rationale as ``_size_sides``: Catalyst cannot estimate pair
+    fan-out through the Generates, and a broadcast of a fact-scale
+    side is a hard abort at 100 TB). Nothing driver-side; nothing
+    O(n^2) outside true-duplicate balls.
+
+    Input: (id, shingle) distinct posting rows (from ``shingles``).
+    Returns (id_a, id_b, inter, jaccard_ppm), id_a < id_b,
+    jaccard_ppm = floor(1e6 * |A inter B| / |A union B|) >= min_ppm.
+    """
+    # global rarity order as ONE engine-portable string key:
+    # zero-padded frequency || 0x1f || shingle sorts exactly like
+    # (freq asc, shingle asc) and survives the trip through array_sort
+    # on both engines (no struct-ordering semantics to align)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    keyed = sh.join(freq.hint("shuffle_hash"), "shingle").select(
+        "id",
+        F.concat(
+            F.format_string("%012d", F.col("freq")),
+            F.lit("\x1f"),
+            F.col("shingle"),
+        ).alias("k"),
+    )
+    docs = (
+        keyed.groupBy("id")
+        .agg(F.array_sort(F.collect_list("k")).alias("toks"))
+        .select(
+            "id",
+            "toks",
+            F.size("toks").alias("n"),
+            # prefix length |X| - ceil(t|X|) + 1, exact in integers
+            F.expr(
+                f"size(toks) - CAST((size(toks) * {min_ppm} + 999999) "
+                f"DIV 1000000 AS INT) + 1"
+            ).alias("p"),
+        )
+    )
+    postings = docs.select(
+        F.col("id"),
+        F.col("n"),
+        F.explode(F.slice("toks", 1, F.col("p"))).alias("k"),
+    )
+    buckets = postings.groupBy("k").agg(
+        F.collect_list(F.struct("id", "n")).alias("ms")
+    )
+    pair_src = buckets.filter(F.size("ms") >= 2).select(
+        F.posexplode("ms").alias("i", "x"), "ms"
+    )
+    cands = (
+        pair_src.select(
+            "x",
+            F.explode(
+                F.slice(F.col("ms"), F.col("i") + 2, F.size("ms"))
+            ).alias("y"),
+        )
+        # length filter: Jaccard >= t forces t * max(|A|,|B|) <= min
+        .filter(
+            F.least(F.col("x.n"), F.col("y.n")) * F.lit(1_000_000)
+            >= F.greatest(F.col("x.n"), F.col("y.n")) * F.lit(min_ppm)
+        )
+        .select(
+            F.least(F.col("x.id"), F.col("y.id")).alias("id_a"),
+            F.greatest(F.col("x.id"), F.col("y.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    ta = docs.select(
+        F.col("id").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("sz_a"),
+    ).hint("shuffle_hash")
+    tb = docs.select(
+        F.col("id").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("sz_b"),
+    ).hint("shuffle_hash")
+    verified = (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("toks_a", "toks_b"))
+            .cast("bigint")
+            .alias("inter"),
+            (F.col("sz_a") + F.col("sz_b")).alias("ssum"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            F.expr(
+                "CAST((inter * 1000000) DIV (ssum - inter) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .filter(F.col("jaccard_ppm") >= min_ppm)
+    )
+    return verified

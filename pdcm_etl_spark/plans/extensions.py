@@ -2859,6 +2859,42 @@ GROUP BY event_type
 """
 
 
+def x_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.3 self-join over 3-gram shingle sets via
+    prefix filtering (PPJoin family) — candidates bucket only on each
+    doc's rarest ``|X| - ceil(t|X|) + 1`` shingles, then exact verify
+    (operators/dedup.py::prefix_filter_pairs). The oracle is the
+    BRUTE-FORCE all-pairs Jaccard: matching it proves the filter
+    missed nothing, not merely that both engines agree on a pipeline."""
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingles(docs, n=3)
+    return dedup.prefix_filter_pairs(sh, min_ppm=300_000)
+
+
+SQL_DEDUP_PREFIX_FILTER = """
+WITH ws AS (
+  SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
+), d AS (
+  -- identical shingle construction to SQL_DEDUP_NGRAM_JACCARD (mirrors
+  -- operators/dedup.py::shingles: split on ' ', empties kept)
+  SELECT id, list_distinct(list_transform(
+           range(greatest(len(w) - 2, 0)),
+           i -> array_to_string(list_slice(w, i + 1, i + 3), ' '))) AS toks
+  FROM ws
+), p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         len(list_intersect(a.toks, b.toks)) AS i,
+         len(a.toks) AS na, len(b.toks) AS nb
+  FROM d a JOIN d b ON a.id < b.id
+  WHERE len(a.toks) > 0 AND len(b.toks) > 0
+)
+SELECT id_a, id_b, CAST(i AS BIGINT) AS inter,
+       CAST((i * 1000000) // (na + nb - i) AS BIGINT) AS jaccard_ppm
+FROM p
+WHERE (i * 1000000) // (na + nb - i) >= 300000
+"""
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -2939,4 +2975,5 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "key_skew_profile": (x_key_skew_profile, SQL_KEY_SKEW_PROFILE),
     "partition_prune": (x_partition_prune, SQL_PARTITION_PRUNE),
     "dedup_winnow": (x_dedup_winnow, SQL_DEDUP_WINNOW),
+    "dedup_prefix_filter": (x_dedup_prefix_filter, SQL_DEDUP_PREFIX_FILTER),
 }

@@ -665,3 +665,23 @@ def test_winnow_hash_stream_never_explodes(spark, sf_dir, queries):
         if "Generate " in line:
             assert "md5(" not in line and "conv(" not in line, line
     assert "array_min" in plan and "md5(" in plan, plan
+
+
+def test_prefix_filter_verify_joins_shuffled_no_bnlj(spark, sf_dir, queries):
+    """PPJoin plan shape: the two full-array verify joins must be
+    SHUFFLE_HASH (same broadcast-the-pair-fact hazard as _size_sides:
+    Catalyst can't estimate candidate fan-out through the bucket
+    Generates), and the prefix-bucket candidate generation must never
+    degrade to a BroadcastNestedLoopJoin/CartesianProduct. The prefix
+    slice must happen BEFORE the posting explode (the Generate's input
+    is slice(toks...), so only prefix elements ever become rows)."""
+    plan = _plan(queries["dedup_prefix_filter"](spark, sf_dir), mode="simple")
+    assert plan.count("ShuffledHashJoin") >= 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for key in ("BroadcastHashJoin [id_a", "BroadcastHashJoin [id_b"):
+        assert key not in plan, plan
+    assert any(
+        "Generate " in line and "slice(" in line
+        for line in plan.splitlines()
+    ), plan

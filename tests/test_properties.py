@@ -1101,3 +1101,45 @@ def test_bmp_kernels_pickle_by_value():
         assert pickle.loads(blob) is not None
     enc = pickle.loads(cloudpickle.dumps(mm._bmp_encode))
     assert enc([0] * 4, 2, 2)[:2] == b"BM"
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=8), min_size=0, max_size=14),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([150_000, 300_000, 500_000, 900_000]),
+)
+def test_prefix_filter_pairs_matches_bruteforce(spark, docs, t_ppm):
+    """Prefix filtering is EXACT: for every threshold, the candidate
+    prefix buckets + length filter + verify must reproduce the
+    brute-force all-pairs Jaccard exactly — including duplicate balls
+    (identical docs), frequency ties in the global rarity order, and
+    docs too short to shingle. Misses here mean the prefix-length
+    arithmetic (|X| - ceil(t|X|) + 1) or the rarity ordering is off."""
+    from pdcm_etl_spark.operators.dedup import prefix_filter_pairs, shingles
+
+    rows = [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string").repartition(3)
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["jaccard_ppm"])
+        for r in prefix_filter_pairs(shingles(df), min_ppm=t_ppm).collect()
+    }
+
+    def sh(toks):
+        return {tuple(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sa, sb = sh(docs[a]), sh(docs[b])
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            jac = 1_000_000 * inter // union
+            if jac >= t_ppm:
+                want[(a, b)] = (inter, jac)
+    assert got == want
