@@ -105,6 +105,7 @@ HEADLINE = [
     "key_skew_profile",
     "partition_prune",
     "dedup_winnow",
+    "dedup_prefix_filter",
 ]
 
 
