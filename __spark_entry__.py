@@ -100,6 +100,9 @@ _PRIORITY: list[str] = [
     # windowed immediately; its brute-force all-pairs oracle proves
     # filter completeness, not just cross-engine pipeline agreement
     "dedup_prefix_filter",
+    # round-5 addition: quota-filling curriculum selector (two-level
+    # running sum vs the oracle's naive per-domain window)
+    "token_budget_select",
     # (dedup_simhash / dedup_semantic / dedup_keeper_quality rotated
     # out — r3 driver-proven; four dedup reps remain in-window. The
     # slots go to the bloom-pruned join + per-group top-k)

@@ -106,6 +106,7 @@ HEADLINE = [
     "partition_prune",
     "dedup_winnow",
     "dedup_prefix_filter",
+    "token_budget_select",
 ]
 
 

@@ -257,3 +257,83 @@ def domain_mix_sample(
         .filter(bucket < F.col("rate_ppm"))
         .select(*df.columns, "weight", "rate_ppm")
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    domain_col: str,
+    quality_col: str,
+    tokens_col: str,
+    id_col: str,
+    budget_tokens: int,
+    quality_bucket: int = 1000,
+) -> DataFrame:
+    """Budget-capped curriculum selection: per domain, keep the
+    best-quality documents until the domain's TOKEN budget is filled —
+    the data-mixing step where each source contributes a fixed token
+    count to a training run, filled in quality order (contrast
+    ``domain_mix_sample``, which thins by a RATE; this op fills a
+    QUOTA). A row is kept iff the running token total, over
+    ``(quality desc, id asc)`` within its domain, stays <= the budget —
+    the greedy prefix of the quality ordering, deterministic and
+    integer-exact.
+
+    Scale: the naive form is one window over each domain — a single
+    task per domain no matter how large the domain (the hot-domain
+    trap: one crawl source can be half the corpus). Here the running
+    sum is TWO-LEVEL, the shuffle_shards trick: rows split into
+    quality-range buckets (``quality div quality_bucket``), the
+    within-bucket running sum sorts only its bucket's rows, and bucket
+    OFFSETS come from a bucket-cardinality-sized window that re-enters
+    on a broadcast join. Sort parallelism = domains x buckets, not
+    domains; no data-sized single-task sort anywhere. (A domain whose
+    rows all share ONE quality value still lands in one bucket — pick
+    ``quality_bucket`` below the quality spread.)
+
+    ``quality_col`` must be non-negative (bucket order uses integer
+    division). Returns kept rows: (domain, id, quality, n_tokens,
+    cum_tokens)."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(domain_col).alias("domain"),
+        F.col(id_col).alias("id"),
+        F.col(quality_col).cast("bigint").alias("q"),
+        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        # ascending bucket id == descending quality range; integer DIV
+        # (double `/` + cast would lose exactness past 2^53)
+        F.expr(
+            f"-(CAST({quality_col} AS BIGINT) DIV {int(quality_bucket)})"
+        ).alias("__qb"),
+    )
+    w_in = (
+        Window.partitionBy("domain", "__qb")
+        .orderBy(F.desc("q"), F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = base.withColumn("__cum_in", F.sum("n_tokens").over(w_in))
+    # bucket totals: domains x buckets rows — tiny next to the corpus
+    totals = base.groupBy("domain", "__qb").agg(
+        F.sum("n_tokens").alias("__tot")
+    )
+    w_off = (
+        Window.partitionBy("domain")
+        .orderBy(F.asc("__qb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "domain",
+        "__qb",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        within.join(F.broadcast(offsets), ["domain", "__qb"])
+        .select(
+            "domain",
+            "id",
+            F.col("q").alias("quality"),
+            "n_tokens",
+            (F.col("__off") + F.col("__cum_in")).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= F.lit(budget_tokens))
+    )

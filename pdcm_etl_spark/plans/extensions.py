@@ -2895,6 +2895,58 @@ WHERE (i * 1000000) // (na + nb - i) >= 300000
 """
 
 
+def x_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped curriculum selection: each source contributes its
+    best-quality docs (type-token-ratio bp, the lexical-diversity
+    proxy) until a 600-token domain budget fills — the quota-filling
+    data-mixing step (operators/sampling.py::token_budget_select).
+    The Spark side computes the running total TWO-LEVEL (bounded
+    windows, sort parallelism = domains x quality buckets); the oracle
+    is the naive single window per domain — matching proves the
+    decomposition exact."""
+    from pdcm_etl_spark.operators.sampling import token_budget_select
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "source",
+        "split(lower(text), ' ') AS ws",
+    ).selectExpr(
+        "doc_id",
+        "source",
+        "CAST(size(ws) AS BIGINT) AS n_tokens",
+        "CAST(size(array_distinct(ws)) * 10000 DIV size(ws) AS BIGINT)"
+        " AS ttr_bp",
+    )
+    return token_budget_select(
+        docs,
+        domain_col="source",
+        quality_col="ttr_bp",
+        tokens_col="n_tokens",
+        id_col="doc_id",
+        budget_tokens=600,
+        quality_bucket=500,
+    )
+
+
+SQL_TOKEN_BUDGET_SELECT = """
+WITH d AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents
+), q AS (
+  SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(ws)) * 10000 // len(ws) AS BIGINT) AS ttr_bp
+  FROM d
+), c AS (
+  SELECT source AS domain, doc_id AS id, ttr_bp AS quality, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY ttr_bp DESC, doc_id ASC
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM q
+)
+SELECT domain, id, quality, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= 600
+"""
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -2976,4 +3028,5 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "partition_prune": (x_partition_prune, SQL_PARTITION_PRUNE),
     "dedup_winnow": (x_dedup_winnow, SQL_DEDUP_WINNOW),
     "dedup_prefix_filter": (x_dedup_prefix_filter, SQL_DEDUP_PREFIX_FILTER),
+    "token_budget_select": (x_token_budget_select, SQL_TOKEN_BUDGET_SELECT),
 }

@@ -685,3 +685,20 @@ def test_prefix_filter_verify_joins_shuffled_no_bnlj(spark, sf_dir, queries):
         "Generate " in line and "slice(" in line
         for line in plan.splitlines()
     ), plan
+
+
+def test_token_budget_select_two_level_windows_broadcast_offsets(
+    spark, sf_dir, queries
+):
+    """The data-sized running sum must be the TWO-LEVEL decomposition:
+    every Window whose input is row-scale partitions on (domain AND the
+    quality bucket) — a window keyed on domain alone would sort a whole
+    hot domain in one task. The domain-only window exists but only over
+    the bucket-totals side, which re-enters on a BROADCAST join."""
+    plan = _plan(queries["token_budget_select"](spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    win_lines = [l for l in plan.splitlines() if "Window [" in l]
+    assert len(win_lines) == 2, plan
+    # the within-bucket (data-sized) window keys on domain AND bucket
+    assert any("__qb" in l for l in win_lines), plan

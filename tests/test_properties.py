@@ -1143,3 +1143,47 @@ def test_prefix_filter_pairs_matches_bruteforce(spark, docs, t_ppm):
             if jac >= t_ppm:
                 want[(a, b)] = (inter, jac)
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # domain
+            st.integers(min_value=0, max_value=9999),   # quality
+            st.integers(min_value=1, max_value=50),     # tokens
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=0, max_value=400),             # budget
+    st.sampled_from([1, 7, 100, 10000]),                 # bucket width
+)
+def test_token_budget_select_matches_python_greedy(spark, rows, budget, qb):
+    """The two-level running sum must equal the per-domain greedy scan
+    for every bucket width — including widths of 1 (every row its own
+    bucket) and widths larger than the quality range (one bucket: the
+    naive window), quality ties, and budget 0."""
+    from pdcm_etl_spark.operators.sampling import token_budget_select
+
+    data = [(f"d{d}", i, q, t) for i, (d, q, t) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "domain string, id bigint, q bigint, t bigint"
+    ).repartition(3)
+    got = {
+        (r["domain"], r["id"]): r["cum_tokens"]
+        for r in token_budget_select(
+            df, "domain", "q", "t", "id", budget, quality_bucket=qb
+        ).collect()
+    }
+    want = {}
+    bydom: dict[str, list] = {}
+    for dom, i, q, t in data:
+        bydom.setdefault(dom, []).append((i, q, t))
+    for dom, rs in bydom.items():
+        cum = 0
+        for i, q, t in sorted(rs, key=lambda r: (-r[1], r[0])):
+            cum += t
+            if cum <= budget:
+                want[(dom, i)] = cum
+    assert got == want
