@@ -86,12 +86,11 @@ _PRIORITY: list[str] = [
     # (dedup_ngram_jaccard rotated out — r3 driver-proven; the new
     # edit-distance verifier takes its slot)
     "dedup_edit_distance",
-    # (dedup_groups rotated out — r3 driver-proven; seven dedup reps
-    # remain. Its slot goes to the bucketed co-located join)
-    "bucket_cojoin",
-    # (dedup_minhash_lsh rotated out — r1/r2 driver-proven; six dedup
-    # reps remain. Its slot goes to the batch sessionizer)
-    "sessionize_batch",
+    # (bucket_cojoin and sessionize_batch rotated out — both r4
+    # driver-proven; layout keeps partition_prune in-window, temporal
+    # keeps rolling_window + interval_overlap_join. Their slots make
+    # room for the round-5 session-3 additions while the streaming
+    # family keeps stream_events_sliding inside the window)
     # (dedup_minhash_incremental rotated out — r4 driver-proven; the
     # round-5 winnowing fingerprinter keeps the dedup family growing,
     # windowed immediately)
@@ -103,6 +102,9 @@ _PRIORITY: list[str] = [
     # round-5 addition: quota-filling curriculum selector (two-level
     # running sum vs the oracle's naive per-domain window)
     "token_budget_select",
+    # round-5 addition: release-regression snapshot diff (digest-only
+    # shuffle through the full-outer join)
+    "snapshot_diff",
     # (dedup_simhash / dedup_semantic / dedup_keeper_quality rotated
     # out — r3 driver-proven; four dedup reps remain in-window. The
     # slots go to the bloom-pruned join + per-group top-k)
@@ -151,9 +153,11 @@ _PRIORITY: list[str] = [
     # streaming: four paths in-window (sliding windows new in round 4;
     # events_daily + stream_stream_join + session_window rotated out —
     # r3 driver-proven; the slot goes to the IVM merge)
-    "ivm_merge",
     "stream_events_sliding",
+    "ivm_merge",
     "stream_sessionize",
+    "bucket_cojoin",
+    "sessionize_batch",
     # (stream_dedup rotated out — r3/r4 driver-proven; three streaming
     # paths remain in-window)
 ]

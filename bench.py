@@ -107,6 +107,7 @@ HEADLINE = [
     "dedup_winnow",
     "dedup_prefix_filter",
     "token_budget_select",
+    "snapshot_diff",
 ]
 
 

@@ -167,3 +167,58 @@ def merge_aggregates(
         + [F.max(c).alias(c) for c in max_cols]
     )
     return merged.groupBy(*keys).agg(*aggs)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Release-regression diff of two entity snapshots: which keys were
+    added, removed, or changed between the old and new parquet output
+    (the check an ETL team runs between releases before publishing —
+    the reference rebuilds every entity per release, so "what did this
+    code change do to the output" is exactly this operator).
+
+    Scale shape: each side is reduced MAP-SIDE to (keys, 16-byte row
+    digest) before anything shuffles — the full-outer join on the key
+    carries digests, never wide rows, so the exchange cost is
+    key+digest width regardless of entity width (a 400-column entity
+    diffs as cheaply as a 3-column one). One shuffle per side, no
+    driver participation, output is only the delta (at 100 TB almost
+    every row is unchanged — emitting them would BE the snapshot).
+
+    The digest is the portable md5 of the NULL-encoded compare columns
+    (each coalesced to chr(0) before concat — the portable_hash_id
+    rule, so NULL vs empty-string rows don't collide) — exact DuckDB
+    twin. Returns (keys..., status in added|removed|changed, old_hash,
+    new_hash).
+    """
+
+    def digested(df: DataFrame, alias: str) -> DataFrame:
+        cols = compare_cols or [c for c in df.columns if c not in keys]
+        h = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in cols
+                ],
+            )
+        )
+        return df.select(*keys, h.alias(alias))
+
+    o = digested(old, "old_hash")
+    n = digested(new, "new_hash")
+    joined = o.join(n, keys, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*keys, "status", "old_hash", "new_hash")
+    )

@@ -2947,6 +2947,66 @@ FROM c WHERE cum_tokens <= 600
 """
 
 
+def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-regression diff between two entity snapshots
+    (operators/cdc.py::snapshot_diff): old = orders minus every 7th
+    key, new = orders minus every 11th key with every 5th priority
+    rewritten — so the diff must report exactly the %7 adds, %11
+    removes and %5 changes. Only (key, digest) ever shuffles; the
+    oracle recomputes both snapshots and the same NULL-encoded md5
+    digest in SQL."""
+    from pdcm_etl_spark.operators.cdc import snapshot_diff
+
+    base = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        # timestamp rendering differs between engines — pin the format
+        "date_format(o_orderdate, 'yyyy-MM-dd') AS o_date",
+    )
+    old = base.filter("o_orderkey % 7 != 0")
+    new = base.filter("o_orderkey % 11 != 0").withColumn(
+        "o_orderpriority",
+        F.expr(
+            "CASE WHEN o_orderkey % 5 = 0 "
+            "THEN concat(o_orderpriority, '-R2') ELSE o_orderpriority END"
+        ),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_date
+  FROM orders
+), old AS (
+  SELECT o_orderkey,
+         md5(concat_ws(chr(31),
+             coalesce(o_orderstatus, chr(0)),
+             coalesce(o_orderpriority, chr(0)),
+             coalesce(o_date, chr(0)))) AS old_hash
+  FROM base WHERE o_orderkey % 7 != 0
+), new AS (
+  SELECT o_orderkey,
+         md5(concat_ws(chr(31),
+             coalesce(o_orderstatus, chr(0)),
+             coalesce(CASE WHEN o_orderkey % 5 = 0
+                      THEN o_orderpriority || '-R2'
+                      ELSE o_orderpriority END, chr(0)),
+             coalesce(o_date, chr(0)))) AS new_hash
+  FROM base WHERE o_orderkey % 11 != 0
+)
+SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN old_hash IS NULL THEN 'added'
+            WHEN new_hash IS NULL THEN 'removed'
+            WHEN old_hash != new_hash THEN 'changed' END AS status,
+       old_hash, new_hash
+FROM old FULL OUTER JOIN new USING (o_orderkey)
+WHERE (old_hash IS NULL) OR (new_hash IS NULL) OR (old_hash != new_hash)
+"""
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -3029,4 +3089,5 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_winnow": (x_dedup_winnow, SQL_DEDUP_WINNOW),
     "dedup_prefix_filter": (x_dedup_prefix_filter, SQL_DEDUP_PREFIX_FILTER),
     "token_budget_select": (x_token_budget_select, SQL_TOKEN_BUDGET_SELECT),
+    "snapshot_diff": (x_snapshot_diff, SQL_SNAPSHOT_DIFF),
 }

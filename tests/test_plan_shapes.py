@@ -702,3 +702,19 @@ def test_token_budget_select_two_level_windows_broadcast_offsets(
     assert len(win_lines) == 2, plan
     # the within-bucket (data-sized) window keys on domain AND bucket
     assert any("__qb" in l for l in win_lines), plan
+
+
+def test_snapshot_diff_shuffles_digests_not_rows(spark, sf_dir, queries):
+    """Only (key, 16-byte digest) may cross the diff's exchanges: the
+    md5 projection must sit BELOW each Exchange (map-side), so nothing
+    above the full-outer join ever references the compared columns —
+    the exchange cost is key+digest width regardless of entity width."""
+    plan = _plan(queries["snapshot_diff"](spark, sf_dir), mode="simple")
+    lines = plan.splitlines()
+    join_at = next(
+        i for i, l in enumerate(lines) if "FullOuter" in l
+    )
+    for l in lines[:join_at]:
+        assert "o_orderpriority" not in l and "o_orderstatus" not in l, l
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -1187,3 +1187,44 @@ def test_token_budget_select_matches_python_greedy(spark, rows, budget, qb):
             if cum <= budget:
                 want[(dom, i)] = cum
     assert got == want
+
+
+@SLOW
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=15),          # key
+        st.one_of(st.none(), st.text(max_size=3)),       # old value
+        max_size=12,
+    ),
+    st.dictionaries(
+        st.integers(min_value=0, max_value=15),
+        st.one_of(st.none(), st.text(max_size=3)),
+        max_size=12,
+    ),
+)
+def test_snapshot_diff_matches_python_dict_diff(spark, old, new):
+    """added/removed/changed must equal the dict diff — including NULL
+    values (the chr(0) encoding must keep NULL distinct from '' and
+    from the literal NUL string) and keys present in both with equal
+    values (emitted by neither)."""
+    from pdcm_etl_spark.operators.cdc import snapshot_diff
+
+    o = spark.createDataFrame(
+        list(old.items()) or [(None, None)], "k bigint, v string"
+    ).filter("k IS NOT NULL")
+    n = spark.createDataFrame(
+        list(new.items()) or [(None, None)], "k bigint, v string"
+    ).filter("k IS NOT NULL")
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(o, n, ["k"]).collect()
+    }
+    want = {}
+    for k in old.keys() | new.keys():
+        if k not in new:
+            want[k] = "removed"
+        elif k not in old:
+            want[k] = "added"
+        elif old[k] != new[k]:
+            want[k] = "changed"
+    assert got == want

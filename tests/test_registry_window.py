@@ -21,6 +21,8 @@ ROTATED_IN = [
     # round-5 session-2 additions (never driver-checked)
     "rolling_window", "interval_overlap_join", "key_skew_profile",
     "partition_prune", "dedup_winnow",
+    # round-5 session-3 additions (never driver-checked)
+    "dedup_prefix_filter", "token_budget_select", "snapshot_diff",
 ]
 
 
