@@ -105,6 +105,9 @@ _PRIORITY: list[str] = [
     # round-5 addition: release-regression snapshot diff (digest-only
     # shuffle through the full-outer join)
     "snapshot_diff",
+    # round-5 addition: sorted-neighborhood ER blocking (global ranks
+    # with no global sort; exactly-once rank-block pairing)
+    "sorted_neighborhood",
     # (dedup_simhash / dedup_semantic / dedup_keeper_quality rotated
     # out — r3 driver-proven; four dedup reps remain in-window. The
     # slots go to the bloom-pruned join + per-group top-k)
@@ -142,7 +145,8 @@ _PRIORITY: list[str] = [
     "bpe_train",
     "bpe_encode",
     "corpus_curation",
-    "kmeans_assign",
+    # (kmeans_assign rotated out — r2/r3 driver-proven; the broadcast
+    # twin kmeans_assign_bcast keeps the clustering family in-window)
     "stump_train",
     # (zorder_layout rotated out — r4 driver-proven; the round-5
     # hive-partition-pruned scan keeps the layout family alongside
@@ -158,6 +162,7 @@ _PRIORITY: list[str] = [
     "stream_sessionize",
     "bucket_cojoin",
     "sessionize_batch",
+    "kmeans_assign",
     # (stream_dedup rotated out — r3/r4 driver-proven; three streaming
     # paths remain in-window)
 ]

@@ -108,6 +108,7 @@ HEADLINE = [
     "dedup_prefix_filter",
     "token_budget_select",
     "snapshot_diff",
+    "sorted_neighborhood",
 ]
 
 

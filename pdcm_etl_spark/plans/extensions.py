@@ -3007,6 +3007,31 @@ WHERE (old_hash IS NULL) OR (new_hash IS NULL) OR (old_hash != new_hash)
 """
 
 
+def x_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking over customer names, window 5
+    (operators/dedup.py::sorted_neighborhood_pairs): global-rank
+    neighbor pairs computed with NO global sort — bucketed ranks +
+    broadcast offsets; the oracle is the naive global ROW_NUMBER self
+    join, so a green row proves the rank decomposition and the
+    exactly-once block pairing."""
+    cust = _t(spark, sf_dir, "customer")
+    return dedup.sorted_neighborhood_pairs(
+        cust, id_col="c_custkey", key_col="c_name", window=5, bucket_len=16
+    )
+
+
+SQL_SORTED_NEIGHBORHOOD = """
+WITH r AS (
+  SELECT c_custkey AS id, c_name AS k,
+         ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rnk
+  FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b, a.k AS key_a, b.k AS key_b,
+       CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap
+FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 5
+"""
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -3090,4 +3115,5 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_prefix_filter": (x_dedup_prefix_filter, SQL_DEDUP_PREFIX_FILTER),
     "token_budget_select": (x_token_budget_select, SQL_TOKEN_BUDGET_SELECT),
     "snapshot_diff": (x_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "sorted_neighborhood": (x_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD),
 }

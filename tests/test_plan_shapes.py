@@ -718,3 +718,25 @@ def test_snapshot_diff_shuffles_digests_not_rows(spark, sf_dir, queries):
         assert "o_orderpriority" not in l and "o_orderstatus" not in l, l
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_sorted_neighborhood_no_global_sort(spark, sf_dir, queries):
+    """Global ranks must come from the two-level decomposition: every
+    data-sized Sort lives under a bucket-partitioned Window; the one
+    UNPARTITIONED window runs over the bucket-totals aggregate (tiny),
+    which re-enters on a broadcast join. No rank-wide Distinct: the
+    block pairing is exactly-once by construction."""
+    plan = _plan(queries["sorted_neighborhood"](spark, sf_dir), mode="simple")
+    lines = plan.splitlines()
+    # every data-sized ranking window is bucket-partitioned (the rank
+    # subtree appears once per self-join side — each copy must be)
+    rn = [l for l in lines if "row_number() windowspecdefinition" in l]
+    assert rn and all("__b" in l for l in rn), plan
+    # the only single-partition exchanges feed the bucket-totals
+    # offsets window, whose input is the count aggregate (tiny)
+    sp = plan.count("Exchange SinglePartition")
+    assert sp == len(rn), plan  # one offsets pass per rank subtree copy
+    assert "HashAggregate" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -1228,3 +1228,33 @@ def test_snapshot_diff_matches_python_dict_diff(spark, old, new):
         elif old[k] != new[k]:
             want[k] = "changed"
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(st.text(alphabet="abc", max_size=4), min_size=1, max_size=25),
+    st.sampled_from([2, 3, 5, 8]),       # window
+    st.sampled_from([1, 2, 10]),         # bucket_len
+)
+def test_sorted_neighborhood_matches_global_rank(spark, keys, w, blen):
+    """The bucketed rank decomposition + exactly-once block pairing
+    must equal the naive global ROW_NUMBER self-join for any bucket
+    depth — including depth 1 (coarse buckets), depths past the key
+    length (every distinct key its own bucket), duplicate keys, and
+    empty-string keys."""
+    from pdcm_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "id bigint, k string").repartition(3)
+    got = {
+        (r["id_a"], r["id_b"]): r["rank_gap"]
+        for r in sorted_neighborhood_pairs(
+            df, "id", "k", window=w, bucket_len=blen
+        ).collect()
+    }
+    ranked = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = {}
+    for i in range(len(ranked)):
+        for j in range(i + 1, min(i + w, len(ranked))):
+            want[(ranked[i][0], ranked[j][0])] = j - i
+    assert got == want
