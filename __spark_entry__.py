@@ -125,6 +125,10 @@ _PRIORITY: list[str] = [
     # the new behavior needs a driver hash row; digest-dedup keeps the
     # family alongside (frames / resize stay r3/r4-proven)
     "multimodal_decode",
+    # round-5 addition: REAL RIFF/WAV PCM codec twin (chunk-walking
+    # parse), windowed immediately; ivm_merge slides out (r4-proven,
+    # stream_scd2_upsert keeps the CDC family in-window)
+    "multimodal_audio",
     # (multimodal_dedup rotated out — r4 driver-proven; decode keeps
     # the multimodal family)
     # temporal / sampling / composed pipelines (asof_join, range_join,

@@ -109,6 +109,7 @@ HEADLINE = [
     "token_budget_select",
     "snapshot_diff",
     "sorted_neighborhood",
+    "multimodal_audio",
 ]
 
 

@@ -373,3 +373,198 @@ def payload_dedup(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.count(F.lit(1)).alias("n_payloads"),
         )
     )
+
+
+def _wav_codec():
+    """Pure-stdlib RIFF/WAV PCM codec trio — the audio counterpart of
+    ``_bmp_codec`` (same closure-shipping rationale: cloudpickle must
+    carry the kernels BY VALUE so Python workers never need the repo on
+    their sys.path).
+
+    Returns (encode, decode, samples):
+    - encode(samples, rate): real WAV writer — RIFF header, canonical
+      16-byte ``fmt `` chunk (PCM, mono, 16-bit), ``data`` chunk of
+      little-endian int16 samples;
+    - decode(b): real parser — validates RIFF/WAVE magic then WALKS THE
+      CHUNK LIST (word-aligned, unknown chunks skipped — the part a
+      fixed-offset reader gets wrong on real files), reads the fmt
+      fields, unpacks the samples. Raises on anything that isn't
+      16-bit mono PCM;
+    - samples(text, n): deterministic sample synth shared with the SQL
+      oracle — sample i = (codepoint of char (i mod len) mod 256)·257
+      − 32768, exactly spanning int16; zeros for empty text.
+    """
+    import struct
+
+    def encode(samples: list, rate: int) -> bytes:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        fmt = struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16
+        )
+        datac = struct.pack("<4sI", b"data", len(data)) + data
+        if len(data) % 2:  # word alignment pad (even here, kept for form)
+            datac += b"\x00"
+        riff = struct.pack(
+            "<4sI4s", b"RIFF", 4 + len(fmt) + len(datac), b"WAVE"
+        )
+        return riff + fmt + datac
+
+    def decode(b: bytes) -> tuple:
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise ValueError("not a WAV payload")
+        pos, rate, samples = 12, None, None
+        while pos + 8 <= len(b):
+            cid = b[pos:pos + 4]
+            sz = struct.unpack_from("<I", b, pos + 4)[0]
+            body = b[pos + 8:pos + 8 + sz]
+            if cid == b"fmt ":
+                audio_fmt, ch, rate, _br, _ba, bits = struct.unpack_from(
+                    "<HHIIHH", body, 0
+                )
+                if audio_fmt != 1 or ch != 1 or bits != 16:
+                    raise ValueError(
+                        f"unsupported WAV: fmt={audio_fmt} ch={ch} bits={bits}"
+                    )
+            elif cid == b"data":
+                samples = list(struct.unpack(f"<{sz // 2}h", body[: sz - sz % 2]))
+            pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if rate is None or samples is None:
+            raise ValueError("WAV missing fmt or data chunk")
+        return rate, samples
+
+    def samples(text: str, n: int) -> list:
+        if not text:
+            return [0] * n
+        return [
+            (ord(text[i % len(text)]) % 256) * 257 - 32768 for i in range(n)
+        ]
+
+    return encode, decode, samples
+
+
+_wav_encode, _wav_decode, text_samples = _wav_codec()
+
+
+_WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def encode_wav(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_samples: int = 256,
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """Render each document into a real WAV binary payload (samples from
+    ``text_samples``) — encoder half of the audio pipeline, its own
+    mapInPandas stage so the feature stage sees ONLY (doc_id, binary).
+    Both stages pipeline within one task; the payload never crosses a
+    shuffle."""
+
+    def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = [
+                _wav_encode(text_samples(txt or "", n_samples), sample_rate)
+                for txt in pdf["text"]
+            ]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    return src.mapInPandas(encode_batch, schema=_WAV_SCHEMA)
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+        T.StructField("sample_checksum", T.LongType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_samples: int = 256,
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """Audio decode/feature-extract via mapInPandas with a REAL codec:
+    each document becomes an actual RIFF/WAV PCM file and the feature
+    kernel byte-level parses it back (chunk walk, fmt fields, int16
+    unpack) without ever seeing the source text — the audio twin of
+    ``decode_features``. Integer-exact features: header facts, Σ|s|,
+    peak |s|, sign-change count, and the position-weighted checksum
+    Σ s_i·(i+1) that pins sample ORDER through the container round
+    trip. Scale: payload bytes stay inside one stage; parallelism =
+    input partitions; nothing shuffles."""
+
+    def feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "byte_len", "sample_rate", "n_samples",
+                "sum_abs", "peak", "zero_crossings", "sample_checksum",
+            )}
+            for did, buf in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(buf)
+                rate, ss = _wav_decode(payload)
+                out["doc_id"].append(int(did))
+                out["byte_len"].append(len(payload))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(ss))
+                out["sum_abs"].append(sum(abs(s) for s in ss))
+                out["peak"].append(max((abs(s) for s in ss), default=0))
+                out["zero_crossings"].append(
+                    sum(
+                        1
+                        for i in range(1, len(ss))
+                        if (ss[i] < 0) != (ss[i - 1] < 0)
+                    )
+                )
+                out["sample_checksum"].append(
+                    sum(s * (i + 1) for i, s in enumerate(ss))
+                )
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(out["doc_id"], dtype="int64"),
+                    "byte_len": _pd.Series(out["byte_len"], dtype="int32"),
+                    "sample_rate": _pd.Series(
+                        out["sample_rate"], dtype="int32"
+                    ),
+                    "n_samples": _pd.Series(out["n_samples"], dtype="int32"),
+                    "sum_abs": _pd.Series(out["sum_abs"], dtype="int64"),
+                    "peak": _pd.Series(out["peak"], dtype="int32"),
+                    "zero_crossings": _pd.Series(
+                        out["zero_crossings"], dtype="int32"
+                    ),
+                    "sample_checksum": _pd.Series(
+                        out["sample_checksum"], dtype="int64"
+                    ),
+                }
+            )
+
+    return encode_wav(df, id_col, text_col, n_samples, sample_rate).mapInPandas(
+        feature_batch, schema=_AUDIO_SCHEMA
+    )

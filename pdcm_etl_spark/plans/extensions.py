@@ -3032,6 +3032,47 @@ FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 5
 """
 
 
+def x_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of multimodal_decode: each document becomes a REAL
+    RIFF/WAV PCM file (canonical fmt chunk, little-endian int16 data)
+    and the feature kernel parses it back by chunk walking — magic,
+    fmt fields, sample unpack — seeing only the binary column
+    (operators/multimodal.py::audio_features). Features are integer
+    exact; the position-weighted checksum pins sample ORDER through
+    the container round trip. Oracle re-derives everything from the
+    shared deterministic sample rule (codepoint·257 − 32768)."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.audio_features(docs)
+
+
+SQL_MULTIMODAL_AUDIO = """
+WITH sm AS (
+  SELECT doc_id,
+         list_transform(range(256), i ->
+           CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+                ELSE (ord(substr(text,
+                         CAST(i % length(text) + 1 AS INTEGER), 1)) % 256)
+                     * 257 - 32768
+           END) AS ss
+  FROM documents
+)
+SELECT doc_id,
+       -- RIFF hdr 12 + fmt chunk 24 + data hdr 8 + 2 bytes x 256 samples
+       CAST(556 AS INTEGER) AS byte_len,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(256 AS INTEGER) AS n_samples,
+       CAST(list_sum(list_transform(ss, x -> abs(x))) AS BIGINT) AS sum_abs,
+       CAST(list_max(list_transform(ss, x -> abs(x))) AS INTEGER) AS peak,
+       CAST(len(list_filter(range(1, 256),
+            i -> (ss[i + 1] < 0) != (ss[i] < 0))) AS INTEGER)
+         AS zero_crossings,
+       CAST(list_sum(list_transform(range(256),
+            i -> CAST(ss[i + 1] AS BIGINT) * (i + 1))) AS BIGINT)
+         AS sample_checksum
+FROM sm
+"""
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -3116,4 +3157,5 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "token_budget_select": (x_token_budget_select, SQL_TOKEN_BUDGET_SELECT),
     "snapshot_diff": (x_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "sorted_neighborhood": (x_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD),
+    "multimodal_audio": (x_multimodal_audio, SQL_MULTIMODAL_AUDIO),
 }

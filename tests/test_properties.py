@@ -1258,3 +1258,85 @@ def test_sorted_neighborhood_matches_global_rank(spark, keys, w, blen):
         for j in range(i + 1, min(i + w, len(ranked))):
             want[(ranked[i][0], ranked[j][0])] = j - i
     assert got == want
+
+
+def test_wav_codec_roundtrip_exact():
+    """encode → decode must return the exact int16 sample sequence and
+    sample rate, and the RIFF size field must match reality — including
+    extremes, zeros, and odd sample counts (word-aligned data chunk)."""
+    import struct
+
+    from pdcm_etl_spark.operators.multimodal import _wav_decode, _wav_encode
+
+    for ss in (
+        [0, 1, -1, 32767, -32768],
+        [0] * 7,                      # odd count → padded data chunk
+        [(i * 257 - 32768) for i in range(256)],
+        [5],
+    ):
+        blob = _wav_encode(ss, 16000)
+        assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+        assert struct.unpack_from("<I", blob, 4)[0] == len(blob) - 8
+        rate, out = _wav_decode(blob)
+        assert rate == 16000
+        assert out == ss
+
+
+def test_wav_decode_walks_unknown_chunks():
+    """A LIST chunk (or any unknown chunk) before fmt/data must be
+    skipped by the chunk walk — the case a fixed-offset reader fails."""
+    import struct
+
+    from pdcm_etl_spark.operators.multimodal import _wav_decode, _wav_encode
+
+    blob = _wav_encode([3, -4, 5], 8000)
+    # splice an unknown 6-byte chunk (odd size → 1 pad byte) after WAVE
+    junk = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"
+    spliced = blob[:12] + junk + blob[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    rate, out = _wav_decode(spliced)
+    assert rate == 8000 and out == [3, -4, 5]
+
+
+def test_wav_decode_rejects_non_wav_and_non_pcm():
+    import struct
+
+    import pytest as _pytest
+
+    from pdcm_etl_spark.operators.multimodal import _wav_decode
+
+    with _pytest.raises(ValueError):
+        _wav_decode(b"OggS\x00\x00\x00\x00\x00\x00\x00\x00\x00")
+    # stereo fmt chunk → rejected
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 2, 8000, 32000, 4, 16)
+    data = struct.pack("<4sI", b"data", 0)
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    with _pytest.raises(ValueError):
+        _wav_decode(riff + fmt + data)
+
+
+def test_text_samples_matches_oracle_rule():
+    from pdcm_etl_spark.operators.multimodal import text_samples
+
+    assert text_samples("", 3) == [0, 0, 0]
+    # 'a' = 97 → 97*257 - 32768 = -7839; spans int16 exactly at extremes
+    assert text_samples("a", 2) == [-7839, -7839]
+    assert text_samples(chr(0), 1) == [-32768]
+    assert text_samples(chr(255), 1) == [32767]
+
+
+def test_wav_kernels_pickle_by_value():
+    """Same by-value rule as the BMP kernels: nested qualnames force
+    cloudpickle to serialize the codec by value, so Python workers never
+    need pdcm_etl_spark on their sys.path."""
+    import pickle
+
+    import cloudpickle
+
+    from pdcm_etl_spark.operators import multimodal as mm
+
+    for fn in (mm._wav_encode, mm._wav_decode, mm.text_samples):
+        assert "<locals>" in fn.__qualname__
+        assert pickle.loads(cloudpickle.dumps(fn)) is not None
+    enc = pickle.loads(cloudpickle.dumps(mm._wav_encode))
+    assert enc([1, -2], 8000)[:4] == b"RIFF"

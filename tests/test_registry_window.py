@@ -23,6 +23,7 @@ ROTATED_IN = [
     "partition_prune", "dedup_winnow",
     # round-5 session-3 additions (never driver-checked)
     "dedup_prefix_filter", "token_budget_select", "snapshot_diff",
+    "sorted_neighborhood", "multimodal_audio",
 ]
 
 
@@ -64,7 +65,8 @@ def test_first_50_covers_every_family():
                  "text_pii_scrub", "text_contamination", "text_repetition",
                  "unigram_lm_score"],
         "multimodal": ["multimodal_decode", "multimodal_frames",
-                       "multimodal_resize", "multimodal_dedup"],
+                       "multimodal_resize", "multimodal_dedup",
+                       "multimodal_audio"],
         "temporal": ["asof_join", "range_join", "funnel_stages",
                      "sessionize_batch", "interval_overlap_join",
                      "rolling_window"],
