@@ -900,8 +900,14 @@ def sorted_neighborhood_pairs(
             )
         ).alias("__blk"),
     )
+    # the pair join is PINNED shuffled: the b side sits behind a Generate
+    # (the ×2 block explode), and Catalyst's static size estimate through
+    # a Generate doesn't model fan-out — the same underestimate that
+    # elected to broadcast jaccard's pair facts at the sf1 stress sweep
+    # (8.7 GiB hard abort, see _size_sides). Neither side is small at
+    # corpus scale, so the scalable plan is a shuffle on the block id.
     return (
-        a.join(b, "__blk")
+        a.hint("shuffle_hash").join(b, "__blk")
         .filter(
             (F.col("rank_b") > F.col("rank_a"))
             & (F.col("rank_b") - F.col("rank_a") < window)

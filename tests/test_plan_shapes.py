@@ -737,6 +737,11 @@ def test_sorted_neighborhood_no_global_sort(spark, sf_dir, queries):
     sp = plan.count("Exchange SinglePartition")
     assert sp == len(rn), plan  # one offsets pass per rank subtree copy
     assert "HashAggregate" in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # the bucket-offsets joins
+    # the PAIR join must be shuffled: its right side sits behind the
+    # block-explode Generate, whose size Catalyst underestimates (the
+    # jaccard sf1 broadcast-abort hazard) — never broadcast a pair side
+    assert "ShuffledHashJoin [__blk" in plan, plan
+    assert "BroadcastHashJoin [__blk" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
