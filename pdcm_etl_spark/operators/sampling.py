@@ -291,8 +291,12 @@ def token_budget_select(
     ``quality_bucket`` below the quality spread.)
 
     ``quality_col`` must be non-negative (bucket order uses integer
-    division). Returns kept rows: (domain, id, quality, n_tokens,
-    cum_tokens)."""
+    division). The offsets table is domains × buckets rows and is
+    FORCE-broadcast — right for the data-mixing regime this op targets
+    (source domains number in the thousands); a corpus keyed on
+    mega-cardinality "domains" (e.g. per-URL) should drop the broadcast
+    and let the offsets join shuffle. Returns kept rows: (domain, id,
+    quality, n_tokens, cum_tokens)."""
     from pyspark.sql import Window
 
     base = df.select(
