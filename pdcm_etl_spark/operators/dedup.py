@@ -208,10 +208,25 @@ def winnow_fingerprints(
         f"16, 10) AS BIGINT)) "
         f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
+    # Window minima as a zip_with FOLD over w shifted slices rather than
+    # `transform(sequence(...), j -> array_min(slice(__h, j, w)))`: the
+    # transform form references __h from inside the position lambda, and
+    # once CollapseProject inlines the alias the hash stream is exposed
+    # to per-position re-evaluation (the shingles() lambda-boundary
+    # rule). zip_with lambdas only touch their element arguments, so the
+    # fold caps __h at w inlined evaluations per row by construction.
+    # (Profiled at sf0.1 the two forms measure the same — the evaluator
+    # appears to cache the alias — but the fold removes the dependence
+    # on that unguaranteed behavior.)
+    sliced = f"slice(__h, {{off}}, size(__h) - {w - 1})"
+    fold = sliced.format(off=1)
+    for i in range(1, w):
+        fold = (
+            f"zip_with({fold}, {sliced.format(off=i + 1)}, "
+            f"(x, y) -> least(x, y))"
+        )
     fp_expr = (
-        f"CASE WHEN size(__h) >= {w} THEN "
-        f"array_distinct(transform(sequence(1, size(__h) - {w - 1}), "
-        f"j -> array_min(slice(__h, j, {w})))) "
+        f"CASE WHEN size(__h) >= {w} THEN array_distinct({fold}) "
         f"WHEN size(__h) > 0 THEN array(array_min(__h)) "
         f"ELSE __h END"
     )

@@ -2766,9 +2766,23 @@ def x_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     Guarantees any ≥ k+w-1 char substring match shares a fingerprint
     (operators/dedup.py::winnow_fingerprints). Oracle: the identical
     portable-md5 pipeline in DuckDB list expressions."""
-    docs = _docs(spark, sf_dir)
+    # rebalance before the CPU-bound fingerprint projection: the test
+    # lake's documents table is ONE parquet row-group → one scan task,
+    # and winnowing (unlike jaccard) does all its heavy work inside the
+    # scan projection by design. At warehouse scale the scan's own
+    # splits provide this parallelism; a single small file does not.
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     fps = dedup.winnow_fingerprints(docs, k=8, w=4)
-    return dedup.winnow_pairs(fps, min_ppm=600_000, max_fp_freq=1000)
+    # guard 100 (2% of the sf0.1 corpus): winnowing picks window-MINIMUM
+    # hashes, which concentrates selection on the globally smallest
+    # hashes of English-common k-grams — corpus-wide collisions that
+    # carry no dup evidence but dominate candidate volume quadratically
+    # (profiled at sf0.1: guard 1000 → 72M in-bucket candidate pairs,
+    # 23s; guard 100 → 1.7M, 3.4s warm — jaccard's shingle profile
+    # tolerates 1000, winnow's minimum-bias does not)
+    return dedup.winnow_pairs(fps, min_ppm=600_000, max_fp_freq=100)
 
 
 _H60_SUB = (
@@ -2794,7 +2808,7 @@ WITH d AS (
 ), post AS (
   SELECT id, unnest(fps) AS fp FROM fp0
 ), hot AS (
-  SELECT fp FROM post GROUP BY fp HAVING count(*) > 1000
+  SELECT fp FROM post GROUP BY fp HAVING count(*) > 100
 ), g AS (
   SELECT post.* FROM post ANTI JOIN hot USING (fp)
 ), sz AS (
