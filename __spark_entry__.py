@@ -60,7 +60,10 @@ _PRIORITY: list[str] = [
     "anomaly_iqr",
     # CDC family: the streaming upsert twin keeps it (scd2_merge rotated
     # out — r3 driver-proven; its slot goes to the containment dedup)
-    "dedup_containment",
+    # (dedup_containment rotated out — r4 driver-proven; five dedup
+    # reps remain in-window. Its slot goes to the Markov transition
+    # matrix, windowed immediately)
+    "event_transitions",
     "stream_scd2_upsert",
     # scalar kit / JSON / profiling / pivot representatives
     # (collect_set_markers rotated out for the round-4 additions — r1+r3
@@ -80,7 +83,9 @@ _PRIORITY: list[str] = [
     "dedup_groups_star",
     "kmeans_assign_bcast",
     "pagerank",
-    "itemset_pairs",
+    # (itemset_pairs rotated out — r4 driver-proven; the directed-rule
+    # extension keeps AND grows the assoc family in-window)
+    "assoc_rules",
     # training-data: dedup family (exact/minhash_lsh proven; the
     # incremental + keeper variants take their slots)
     # (dedup_ngram_jaccard rotated out — r3 driver-proven; the new
@@ -145,7 +150,10 @@ _PRIORITY: list[str] = [
     # round-4 additions, windowed immediately (never driver-checked)
     "dedup_paragraph",
     "sample_domain_mix",
-    "bpe_pair_counts",
+    # (bpe_pair_counts rotated out — r4 driver-proven; bpe_train +
+    # bpe_encode keep the tokenizer family. Its slot goes to the
+    # ANALYZE-style one-pass profiler, windowed immediately)
+    "table_stats",
     "bpe_train",
     "bpe_encode",
     "corpus_curation",
@@ -167,6 +175,9 @@ _PRIORITY: list[str] = [
     "bucket_cojoin",
     "sessionize_batch",
     "kmeans_assign",
+    "itemset_pairs",
+    "dedup_containment",
+    "bpe_pair_counts",
     # (stream_dedup rotated out — r3/r4 driver-proven; three streaming
     # paths remain in-window)
 ]

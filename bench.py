@@ -110,6 +110,9 @@ HEADLINE = [
     "snapshot_diff",
     "sorted_neighborhood",
     "multimodal_audio",
+    "assoc_rules",
+    "event_transitions",
+    "table_stats",
 ]
 
 

@@ -125,3 +125,53 @@ def key_skew_profile(
         .orderBy(F.col("key_rows").desc(), F.col("key").asc())
         .limit(top_n)
     )
+
+
+def table_stats(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-pass per-column table statistics — the ANALYZE TABLE
+    equivalent as a DataFrame: row count, non-null count, exact
+    distinct count, and min/max (string-rendered) for every requested
+    column, computed in a SINGLE aggregation pass over the data
+    (Spark plans the multi-column count_distinct set as one Expand +
+    aggregate — one scan, one shuffle of partial aggregates, never one
+    job per column; the long form comes from stack() over the 1-row
+    result, driver-free).
+
+    Exact NDV via count_distinct: the Expand factor is #cols, so cost
+    grows with the column list — at 100 TB profile the columns you
+    need, or swap approx_count_distinct in (estimate; not
+    oracle-hashable, which is why exact is the default here).
+    TIMESTAMP min/max is rendered via date_format (engine-pinned
+    format); FLOAT/DOUBLE min/max is emitted NULL — binary64 extremes
+    have no portable text form (use quantile/histogram profilers for
+    numeric spread).
+
+    Returns (col_name, n_rows, n_nonnull, ndv, min_s, max_s).
+    """
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        dt = dict(df.dtypes)[c]
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__ndv_{c}"))
+        # aggregate on the NATIVE type, render the extremum afterwards —
+        # rendering first would make min/max lexicographic ("9" > "14")
+        if dt in ("float", "double"):
+            mn, mx = "CAST(NULL AS STRING)", "CAST(NULL AS STRING)"
+        elif dt.startswith("timestamp"):
+            mn = f"date_format(min(`{c}`), 'yyyy-MM-dd HH:mm:ss')"
+            mx = f"date_format(max(`{c}`), 'yyyy-MM-dd HH:mm:ss')"
+        else:
+            mn = f"CAST(min(`{c}`) AS STRING)"
+            mx = f"CAST(max(`{c}`) AS STRING)"
+        aggs.append(F.expr(mn).alias(f"__min_{c}"))
+        aggs.append(F.expr(mx).alias(f"__max_{c}"))
+    one = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __nn_{c}, __ndv_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS "
+        "(col_name, n_nonnull, ndv, min_s, max_s)",
+        "__n_rows AS n_rows",
+    ).select("col_name", "n_rows", "n_nonnull", "ndv", "min_s", "max_s")

@@ -442,3 +442,51 @@ def interval_overlap_join(
             ).alias("overlap_micro"),
         )
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition matrix of the per-user event stream: for
+    every consecutive event pair in (ts, id) order, count (from_type →
+    to_type) — the Markov-chain statistics behind next-action
+    prediction, funnel leak diagnosis, and session-shape profiling.
+    ``id_col`` breaks timestamp ties so the sequence (and therefore the
+    matrix) is a pure function of the data.
+
+    Plan: ONE user-keyed shuffle for the lead() window, then a
+    transition-cardinality aggregation (|types|² rows at most) whose
+    per-from totals re-enter via a window over that tiny aggregate —
+    never a second data-wide pass. share_ppm = floor(1e6 · n /
+    Σ n over the same from_type) — each row's share of the exits from
+    its source state, exact integers cross-engine.
+
+    Returns (from_type, to_type, n, share_ppm).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    steps = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("1000000 * n").cast("bigint").alias("__num"),
+        F.sum("n").over(w_tot).alias("__den"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("__num div __den").cast("bigint").alias("share_ppm"),
+    )

@@ -3087,6 +3087,143 @@ FROM sm
 """
 
 
+def x_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules over co-ordered parts: both directions
+    of every frequent pair with integer-ppm confidence (asymmetric) and
+    lift (operators/assoc.py::association_rules) — one projection on
+    top of the pair miner, no extra shuffle."""
+    from pdcm_etl_spark.operators.assoc import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return association_rules(
+        li, basket_col="l_orderkey", item_col="l_partkey",
+        min_support=2, min_confidence_ppm=200_000, max_basket=64,
+    )
+
+
+SQL_ASSOC_RULES = """
+WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+sizes AS (SELECT bk, COUNT(*) AS n_items FROM bi GROUP BY bk),
+g AS (
+  SELECT bi.bk, bi.it FROM bi JOIN sizes USING (bk)
+  WHERE sizes.n_items <= 64
+),
+item_n AS (SELECT it, COUNT(*) AS n_it FROM g GROUP BY it),
+nb AS (SELECT COUNT(DISTINCT bk) AS n_baskets FROM g),
+pairs AS (
+  SELECT a.it AS item_1, b.it AS item_2, COUNT(*) AS n_pair
+  FROM g a JOIN g b ON a.bk = b.bk AND a.it < b.it
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+wide AS (
+  SELECT item_1, item_2, n_pair,
+         i1.n_it AS n_1, i2.n_it AS n_2,
+         CAST((1000000 * n_pair * nb.n_baskets) // (i1.n_it * i2.n_it)
+              AS BIGINT) AS lift_ppm
+  FROM pairs
+  JOIN item_n i1 ON i1.it = pairs.item_1
+  JOIN item_n i2 ON i2.it = pairs.item_2, nb
+),
+rules AS (
+  SELECT item_1 AS antecedent, item_2 AS consequent, n_pair,
+         n_1 AS n_ante, n_2 AS n_cons, lift_ppm FROM wide
+  UNION ALL
+  SELECT item_2, item_1, n_pair, n_2, n_1, lift_ppm FROM wide
+)
+SELECT antecedent, consequent, n_pair, n_ante, n_cons,
+       CAST((1000000 * n_pair) // n_ante AS BIGINT) AS confidence_ppm,
+       lift_ppm
+FROM rules
+WHERE (1000000 * n_pair) // n_ante >= 200000
+"""
+
+
+def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event
+    stream (operators/temporal.py::event_transitions): one user-keyed
+    lead() window + a |types|²-sized aggregation; per-state exit shares
+    in integer ppm via a window over that tiny aggregate."""
+    from pdcm_etl_spark.operators.temporal import event_transitions
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    return event_transitions(load_events(spark, sf_dir))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM s WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST((1000000 * n) // SUM(n) OVER (PARTITION BY from_type)
+            AS BIGINT) AS share_ppm
+FROM c
+"""
+
+
+def x_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass column profile of orders
+    (operators/analytics.py::table_stats): row/non-null/exact-NDV
+    counts + string-rendered min/max per column from ONE Expand-based
+    aggregation — one scan for the whole profile. The double column is
+    profiled for counts but min/max-NULL (no portable text form)."""
+    from pdcm_etl_spark.operators.analytics import table_stats
+
+    return table_stats(
+        _t(spark, sf_dir, "orders"),
+        cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+              "o_orderdate", "o_orderpriority"],
+    )
+
+
+SQL_TABLE_STATS = """
+WITH a AS (
+  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+         COUNT(o_orderkey) AS n_nonnull, COUNT(DISTINCT o_orderkey) AS ndv,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+         CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+         COUNT(DISTINCT o_custkey),
+         CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+         COUNT(DISTINCT o_orderstatus),
+         MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+         COUNT(DISTINCT o_totalprice), NULL, NULL
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', COUNT(*), COUNT(o_orderdate),
+         COUNT(DISTINCT o_orderdate),
+         strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+         strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+         COUNT(DISTINCT o_orderpriority),
+         MIN(o_orderpriority), MAX(o_orderpriority)
+  FROM orders
+)
+SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_nonnull AS BIGINT) AS n_nonnull,
+       CAST(ndv AS BIGINT) AS ndv, min_s, max_s
+FROM a
+"""
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -3172,4 +3309,7 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "snapshot_diff": (x_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "sorted_neighborhood": (x_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD),
     "multimodal_audio": (x_multimodal_audio, SQL_MULTIMODAL_AUDIO),
+    "assoc_rules": (x_assoc_rules, SQL_ASSOC_RULES),
+    "event_transitions": (x_event_transitions, SQL_EVENT_TRANSITIONS),
+    "table_stats": (x_table_stats, SQL_TABLE_STATS),
 }

@@ -1340,3 +1340,54 @@ def test_wav_kernels_pickle_by_value():
         assert pickle.loads(cloudpickle.dumps(fn)) is not None
     enc = pickle.loads(cloudpickle.dumps(mm._wav_encode))
     assert enc([1, -2], 8000)[:4] == b"RIFF"
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # user
+            st.integers(min_value=0, max_value=50),  # ts
+            st.integers(min_value=0, max_value=3),   # type
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_event_transitions_matches_python_scan(spark, evs):
+    """The lead()-window transition counts must equal a per-user
+    sequential scan over the (ts, id)-ordered stream — including
+    timestamp ties (id breaks them), single-event users (no
+    transitions), and self-loops."""
+    import datetime
+
+    from pdcm_etl_spark.operators.temporal import event_transitions
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 0, 0, t), u, f"e{ty}", 0.0, "")
+        for i, (u, t, ty) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).repartition(3)
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["share_ppm"])
+        for r in event_transitions(df).collect()
+    }
+    byuser: dict[int, list] = {}
+    for i, (u, t, ty) in enumerate(evs):
+        byuser.setdefault(u, []).append((t, i, f"e{ty}"))
+    counts: dict[tuple, int] = {}
+    for seq in byuser.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    outs: dict[str, int] = {}
+    for (a, _), n in counts.items():
+        outs[a] = outs.get(a, 0) + n
+    want = {
+        (a, b): (n, 1_000_000 * n // outs[a]) for (a, b), n in counts.items()
+    }
+    assert got == want

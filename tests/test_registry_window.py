@@ -24,6 +24,7 @@ ROTATED_IN = [
     # round-5 session-3 additions (never driver-checked)
     "dedup_prefix_filter", "token_budget_select", "snapshot_diff",
     "sorted_neighborhood", "multimodal_audio",
+    "assoc_rules", "event_transitions", "table_stats",
 ]
 
 
@@ -52,7 +53,7 @@ def test_first_50_covers_every_family():
         "anomaly": ["anomaly_iqr"],
         "recursion": ["recursive_closure", "pagerank"],
         "graph-analytics": ["triangle_count", "pagerank"],
-        "assoc": ["itemset_pairs"],
+        "assoc": ["itemset_pairs", "assoc_rules"],
         "dedup": ["dedup_edit_distance", "dedup_minhash_lsh",
                   "dedup_minhash_incremental", "dedup_keeper_quality",
                   "dedup_semantic", "dedup_groups", "dedup_groups_star",
@@ -71,6 +72,8 @@ def test_first_50_covers_every_family():
                      "sessionize_batch", "interval_overlap_join",
                      "rolling_window"],
         "skew-profile": ["key_skew_profile"],
+        "table-profile": ["table_stats", "profile_notnull"],
+        "markov": ["event_transitions"],
         "sampling": ["sample_stratified", "shuffle_shards"],
         "corpus-stats": ["ngram_topk", "inverted_index",
                          "corpus_language_mix"],
