@@ -148,7 +148,9 @@ _PRIORITY: list[str] = [
     # heavy_hitters + corpus_language_mix keep corpus-stats in-window)
     "shuffle_shards",
     # round-4 additions, windowed immediately (never driver-checked)
-    "dedup_paragraph",
+    # (dedup_paragraph rotated out — r4 driver-proven; four dedup reps
+    # remain in-window. Its slot goes to the time-weighted average)
+    "twap",
     "sample_domain_mix",
     # (bpe_pair_counts rotated out — r4 driver-proven; bpe_train +
     # bpe_encode keep the tokenizer family. Its slot goes to the
@@ -178,6 +180,7 @@ _PRIORITY: list[str] = [
     "itemset_pairs",
     "dedup_containment",
     "bpe_pair_counts",
+    "dedup_paragraph",
     # (stream_dedup rotated out — r3/r4 driver-proven; three streaming
     # paths remain in-window)
 ]

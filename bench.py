@@ -113,6 +113,7 @@ HEADLINE = [
     "assoc_rules",
     "event_transitions",
     "table_stats",
+    "twap",
 ]
 
 

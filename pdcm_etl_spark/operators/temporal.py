@@ -490,3 +490,68 @@ def event_transitions(
         "n",
         F.expr("__num div __den").cast("bigint").alias("share_ppm"),
     )
+
+
+def time_weighted_average(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average of a sampled value per key (TWAP): each
+    observation holds until the key's next observation, so its weight
+    is that interval's length in seconds — the correct average for
+    irregularly-sampled series (a plain mean over-weights bursts). The
+    key's last observation bounds no interval and carries no weight.
+
+    Determinism: float Σ(v·Δt) depends on accumulation order, so the
+    value is cast to decimal(18,6) and weighted by the INTEGER second
+    gap — both engines sum decimals exactly in any order — and the
+    average is emitted as floor micro-units. ``id_col`` breaks
+    timestamp ties. ONE key-ordered window (the lead shares the shuffle
+    with nothing else) + one keyed aggregation.
+
+    Returns (key, n_intervals, total_seconds, twap_micro).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    gaps = events.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).cast("decimal(18,6)").alias("v"),
+        # integer epoch-second floor via microseconds: unix_timestamp
+        # rounds sub-second values engine-dependently; unix_micros DIV
+        # 1e6 is an exact integer floor both engines reproduce
+        (
+            F.lead(F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div 1000000")).over(
+                Window.partitionBy(key_col).orderBy(
+                    F.asc(ts_col), F.asc(id_col)
+                )
+            )
+            - F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div 1000000")
+        ).alias("dt"),
+    ).filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    return (
+        gaps.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dt").cast("bigint").alias("total_seconds"),
+            F.sum(F.col("v") * F.col("dt")).alias("__vw"),
+        )
+        .select(
+            "key",
+            "n_intervals",
+            "total_seconds",
+            # exact-integer micro numerator (v has 6dp, so ·1e6 is
+            # integral), then FLOOR division via the pmod idiom —
+            # decimal `/` rounds at engine-chosen scale and Spark `div`
+            # truncates toward zero, both diverging from DuckDB's
+            # flooring `//` on negative values
+            F.expr(
+                "(CAST(__vw * 1000000 AS BIGINT) "
+                " - pmod(CAST(__vw * 1000000 AS BIGINT), total_seconds))"
+                " div total_seconds"
+            ).cast("bigint").alias("twap_micro"),
+        )
+    )

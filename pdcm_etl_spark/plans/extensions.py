@@ -3224,6 +3224,41 @@ FROM a
 """
 
 
+def x_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the event value stream
+    (operators/temporal.py::time_weighted_average): each observation
+    weighted by the integer seconds until the user's next one;
+    decimal-exact accumulation, floor-micro output. One key-ordered
+    window + one keyed aggregation."""
+    from pdcm_etl_spark.operators.temporal import time_weighted_average
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    return time_weighted_average(load_events(spark, sf_dir)).withColumnRenamed(
+        "key", "user_id"
+    )
+
+
+SQL_TWAP = """
+WITH g AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(18,6)) AS v,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           // 1000000 - epoch_us(ts) // 1000000 AS dt
+  FROM events
+),
+a AS (
+  SELECT user_id, COUNT(*) AS n_intervals,
+         CAST(SUM(dt) AS BIGINT) AS total_seconds,
+         CAST(SUM(v * dt) * 1000000 AS BIGINT) AS vw_micro
+  FROM g WHERE dt IS NOT NULL AND dt > 0
+  GROUP BY user_id
+)
+SELECT user_id, CAST(n_intervals AS BIGINT) AS n_intervals, total_seconds,
+       CAST(vw_micro // total_seconds AS BIGINT) AS twap_micro
+FROM a
+"""
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -3312,4 +3347,5 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "assoc_rules": (x_assoc_rules, SQL_ASSOC_RULES),
     "event_transitions": (x_event_transitions, SQL_EVENT_TRANSITIONS),
     "table_stats": (x_table_stats, SQL_TABLE_STATS),
+    "twap": (x_twap, SQL_TWAP),
 }

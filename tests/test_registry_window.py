@@ -24,7 +24,7 @@ ROTATED_IN = [
     # round-5 session-3 additions (never driver-checked)
     "dedup_prefix_filter", "token_budget_select", "snapshot_diff",
     "sorted_neighborhood", "multimodal_audio",
-    "assoc_rules", "event_transitions", "table_stats",
+    "assoc_rules", "event_transitions", "table_stats", "twap",
 ]
 
 
@@ -74,6 +74,7 @@ def test_first_50_covers_every_family():
         "skew-profile": ["key_skew_profile"],
         "table-profile": ["table_stats", "profile_notnull"],
         "markov": ["event_transitions"],
+        "twap": ["twap"],
         "sampling": ["sample_stratified", "shuffle_shards"],
         "corpus-stats": ["ngram_topk", "inverted_index",
                          "corpus_language_mix"],
