@@ -117,7 +117,9 @@ _PRIORITY: list[str] = [
     # out — r3 driver-proven; four dedup reps remain in-window. The
     # slots go to the bloom-pruned join + per-group top-k)
     "bloom_prune_join",
-    "grouped_topk",
+    # (grouped_topk rotated out — r4 driver-proven; rolling_window keeps
+    # the window family. Its slot goes to the crosstab lift profile)
+    "crosstab_lift",
     # similarity search: trained-IVF variant in, plain IVF out
     "ann_ivf_trained_topk",
     "ann_recall",
@@ -181,6 +183,7 @@ _PRIORITY: list[str] = [
     "dedup_containment",
     "bpe_pair_counts",
     "dedup_paragraph",
+    "grouped_topk",
     # (stream_dedup rotated out — r3/r4 driver-proven; three streaming
     # paths remain in-window)
 ]

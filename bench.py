@@ -114,6 +114,7 @@ HEADLINE = [
     "event_transitions",
     "table_stats",
     "twap",
+    "crosstab_lift",
 ]
 
 

@@ -175,3 +175,50 @@ def table_stats(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         "(col_name, n_nonnull, ndv, min_s, max_s)",
         "__n_rows AS n_rows",
     ).select("col_name", "n_rows", "n_nonnull", "ndv", "min_s", "max_s")
+
+
+def crosstab_lift(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Categorical association profile of two columns: the contingency
+    table with each cell's observed count, marginals, and integer-ppm
+    lift = 1e6 · n · N / (row_n · col_n) — the independence diagnostic
+    (1e6 = independent; the chi-square statistic needs fractional
+    expected counts, lift carries the same per-cell signal in exact
+    integers that hash across engines).
+
+    Plan: one (row, col) count aggregation (cell cardinality ≪ rows),
+    marginals re-aggregated FROM THE CELLS (never a second data scan),
+    the grand total from the same cells as a one-row broadcast — data
+    is touched exactly once.
+
+    Returns (row_val, col_val, n, row_n, col_n, lift_ppm).
+    """
+    cells = (
+        df.select(
+            F.col(row_col).alias("row_val"), F.col(col_col).alias("col_val")
+        )
+        .groupBy("row_val", "col_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_n = cells.groupBy("row_val").agg(F.sum("n").alias("row_n"))
+    col_n = cells.groupBy("col_val").agg(F.sum("n").alias("col_n"))
+    total = cells.agg(F.sum("n").alias("total")).withColumn(
+        "__one", F.lit(1)
+    )
+    return (
+        cells.join(F.broadcast(row_n), "row_val")
+        .join(F.broadcast(col_n), "col_val")
+        .withColumn("__one", F.lit(1))
+        .join(F.broadcast(total), "__one")
+        .select(
+            "row_val",
+            "col_val",
+            "n",
+            "row_n",
+            "col_n",
+            F.expr("(1000000 * n * total) div (row_n * col_n)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+    )

@@ -3259,6 +3259,31 @@ FROM a
 """
 
 
+def x_crosstab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang × source contingency with per-cell integer-ppm lift
+    (operators/analytics.py::crosstab_lift): one cell aggregation,
+    marginals and grand total re-derived FROM the cells as broadcast
+    one-pass re-aggregations — the data is scanned once."""
+    from pdcm_etl_spark.operators.analytics import crosstab_lift
+
+    return crosstab_lift(_docs(spark, sf_dir), "lang", "source")
+
+
+SQL_CROSSTAB_LIFT = """
+WITH cells AS (
+  SELECT lang AS row_val, source AS col_val, COUNT(*) AS n
+  FROM documents GROUP BY 1, 2
+),
+rn AS (SELECT row_val, SUM(n) AS row_n FROM cells GROUP BY 1),
+cn AS (SELECT col_val, SUM(n) AS col_n FROM cells GROUP BY 1),
+tt AS (SELECT SUM(n) AS total FROM cells)
+SELECT row_val, col_val, CAST(n AS BIGINT) AS n,
+       CAST(row_n AS BIGINT) AS row_n, CAST(col_n AS BIGINT) AS col_n,
+       CAST((1000000 * n * total) // (row_n * col_n) AS BIGINT) AS lift_ppm
+FROM cells JOIN rn USING (row_val) JOIN cn USING (col_val), tt
+"""
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -3348,4 +3373,5 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "event_transitions": (x_event_transitions, SQL_EVENT_TRANSITIONS),
     "table_stats": (x_table_stats, SQL_TABLE_STATS),
     "twap": (x_twap, SQL_TWAP),
+    "crosstab_lift": (x_crosstab_lift, SQL_CROSSTAB_LIFT),
 }

@@ -25,6 +25,7 @@ ROTATED_IN = [
     "dedup_prefix_filter", "token_budget_select", "snapshot_diff",
     "sorted_neighborhood", "multimodal_audio",
     "assoc_rules", "event_transitions", "table_stats", "twap",
+    "crosstab_lift",
 ]
 
 
@@ -75,6 +76,7 @@ def test_first_50_covers_every_family():
         "table-profile": ["table_stats", "profile_notnull"],
         "markov": ["event_transitions"],
         "twap": ["twap"],
+        "crosstab": ["crosstab_lift"],
         "sampling": ["sample_stratified", "shuffle_shards"],
         "corpus-stats": ["ngram_topk", "inverted_index",
                          "corpus_language_mix"],
