@@ -39,7 +39,8 @@ _PRIORITY: list[str] = [
     # flagship (full 67-column hash oracle since round 4 — the internal
     # id is the portable md5-based hash) + its spine/wide oracle twins
     "etl_search_index",
-    "etl_search_index_spine",
+    # (etl_search_index_spine rotated out — r1-r4 driver-proven; the
+    # full-width wide twin subsumes its 16 columns and stays in-window)
     "etl_search_index_wide",
     # joins (left/full-outer/multi-key variants r01/r02-proven, rotated
     # out; the cascade + salted-skew + correlated paths keep the family)
@@ -83,6 +84,9 @@ _PRIORITY: list[str] = [
     "dedup_groups_star",
     "kmeans_assign_bcast",
     "pagerank",
+    # round-5 addition: k-core peeling of the near-dup pair graph,
+    # windowed immediately
+    "kcore",
     # (itemset_pairs rotated out — r4 driver-proven; the directed-rule
     # extension keeps AND grows the assoc family in-window)
     "assoc_rules",
@@ -184,6 +188,7 @@ _PRIORITY: list[str] = [
     "bpe_pair_counts",
     "dedup_paragraph",
     "grouped_topk",
+    "etl_search_index_spine",
     # (stream_dedup rotated out — r3/r4 driver-proven; three streaming
     # paths remain in-window)
 ]

@@ -115,6 +115,7 @@ HEADLINE = [
     "table_stats",
     "twap",
     "crosstab_lift",
+    "kcore",
 ]
 
 

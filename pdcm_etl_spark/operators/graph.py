@@ -425,3 +425,60 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983; the
+    MapReduce formulation of Montresor et al.): repeatedly delete every
+    node of degree < k until none remains — the surviving maximal
+    subgraph where everyone keeps >= k neighbors. On a near-dup pair
+    graph the k-core separates DENSE duplicate communities (template
+    farms, mirror clusters) from incidental pairwise matches, which is
+    the triage 100 TB dedup output needs.
+
+    Scale shape per round: one node-keyed degree aggregation + two
+    semi joins restricting the edge set — all shuffles on node ids, no
+    driver data. The convergence statistic (surviving directed-edge
+    count) is observe()d DURING the round's eager checkpoint — one
+    action per round, flat lineage (the connected_components idiom).
+    Edge count is monotone non-increasing; equality means fixpoint, so
+    converged results are exact regardless of ``max_rounds``.
+
+    Returns the k-core members as (node, degree) — degree within the
+    core.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col(src) != F.col(dst))
+    )
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_edges = sym.count()
+    for i in range(max_rounds):
+        if prev_edges == 0:
+            break
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        obs = Observation(f"kcore_round_{i}")
+        sym = (
+            sym.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .observe(obs, F.count(F.lit(1)).alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        cur_edges = obs.get["m"]
+        if cur_edges == prev_edges:
+            break
+        prev_edges = cur_edges
+    return sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

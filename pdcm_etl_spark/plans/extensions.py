@@ -3284,6 +3284,78 @@ FROM cells JOIN rn USING (row_val) JOIN cn USING (col_val), tt
 """
 
 
+def x_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the exact-Jaccard near-dup pair graph
+    (operators/graph.py::kcore): iterative peeling separates DENSE
+    duplicate communities from incidental pairwise matches. One
+    degree agg + two semi joins per round, convergence observe()d
+    during the round's checkpoint (one action/round); the oracle is
+    the generated fixed-round peeling chain (peeling is monotone, so
+    extra oracle rounds after the fixpoint are no-ops)."""
+    from pdcm_etl_spark.operators.graph import kcore
+
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingles(docs, n=3)
+    pairs = dedup.jaccard_pairs(sh, min_bp=2000, max_shingle_freq=1000)
+    return kcore(pairs, k=2, src="id_a", dst="id_b", max_rounds=8)
+
+
+def _sql_kcore(k: int = 2, rounds: int = 8) -> str:
+    """Generated fixed-round peeling oracle over the jaccard pair graph
+    (same pair CTEs as SQL_DEDUP_GROUPS)."""
+    parts = [
+        """ws AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), sh0 AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+  FROM (
+    SELECT doc_id, w, unnest(range(greatest(len(w) - 2, 0))) AS i FROM ws
+  )
+), sh AS (
+  SELECT sh0.doc_id, sh0.shingle FROM sh0
+  JOIN (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 1000) f
+  USING (shingle)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE FLOOR(inter * 10000.0 / (sa.sz + sb.sz - inter)) >= 2000
+), e0 AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            # MATERIALIZED: DuckDB inlines plain CTEs, and each round
+            # references the previous one three times — unmaterialized,
+            # the chain expands 3^rounds copies of the pair pipeline
+            # (observed: "Too many open files" at 8 rounds)
+            f"""k{r} AS MATERIALIZED (
+  SELECT a FROM e{p} GROUP BY a HAVING COUNT(*) >= {k}
+), e{r} AS MATERIALIZED (
+  SELECT e{p}.a, e{p}.b FROM e{p}
+  JOIN k{r} ka ON e{p}.a = ka.a
+  JOIN k{r} kb ON e{p}.b = kb.a
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree "
+        f"FROM e{rounds} GROUP BY a"
+    )
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -3374,4 +3446,5 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "table_stats": (x_table_stats, SQL_TABLE_STATS),
     "twap": (x_twap, SQL_TWAP),
     "crosstab_lift": (x_crosstab_lift, SQL_CROSSTAB_LIFT),
+    "kcore": (x_kcore, _sql_kcore()),
 }

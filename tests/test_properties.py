@@ -1391,3 +1391,45 @@ def test_event_transitions_matches_python_scan(spark, evs):
         (a, b): (n, 1_000_000 * n // outs[a]) for (a, b), n in counts.items()
     }
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=30,
+    ),
+    st.sampled_from([2, 3]),
+)
+def test_kcore_matches_python_peeling(spark, edges, k):
+    """Distributed peeling must equal the sequential algorithm —
+    including self-loops (dropped), parallel edges (deduped), graphs
+    that peel to empty, and cores reached after several cascading
+    rounds."""
+    from pdcm_etl_spark.operators.graph import kcore
+
+    edf = (
+        spark.createDataFrame(list(edges), ["src", "dst"])
+        if edges
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    got = {r["node"]: r["degree"] for r in kcore(edf, k=k).collect()}
+
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m_ in adj[n]:
+                    adj[m_].discard(n)
+                del adj[n]
+                changed = True
+    want = {n: len(ns) for n, ns in adj.items()}
+    assert got == want

@@ -25,7 +25,7 @@ ROTATED_IN = [
     "dedup_prefix_filter", "token_budget_select", "snapshot_diff",
     "sorted_neighborhood", "multimodal_audio",
     "assoc_rules", "event_transitions", "table_stats", "twap",
-    "crosstab_lift",
+    "crosstab_lift", "kcore",
 ]
 
 
@@ -35,7 +35,7 @@ def test_first_50_covers_every_family():
     window = list(e.queries())[:50]
     families = {
         "flagship": ["etl_search_index"],
-        "flagship-oracle": ["etl_search_index_spine", "etl_search_index_wide"],
+        "flagship-oracle": ["etl_search_index_wide", "etl_search_index_spine"],
         "aggregation": ["global_agg", "rollup_totals", "cube_counts"],
         "join": ["join_salted_skew", "harmonisation_cascade",
                  "bloom_prune_join"],
@@ -53,7 +53,7 @@ def test_first_50_covers_every_family():
                        "timeseries_gapfill"],
         "anomaly": ["anomaly_iqr"],
         "recursion": ["recursive_closure", "pagerank"],
-        "graph-analytics": ["triangle_count", "pagerank"],
+        "graph-analytics": ["triangle_count", "pagerank", "kcore"],
         "assoc": ["itemset_pairs", "assoc_rules"],
         "dedup": ["dedup_edit_distance", "dedup_minhash_lsh",
                   "dedup_minhash_incremental", "dedup_keeper_quality",
