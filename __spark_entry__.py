@@ -94,7 +94,9 @@ _PRIORITY: list[str] = [
     # incremental + keeper variants take their slots)
     # (dedup_ngram_jaccard rotated out — r3 driver-proven; the new
     # edit-distance verifier takes its slot)
-    "dedup_edit_distance",
+    # (dedup_edit_distance rotated out — r4 driver-proven; four dedup
+    # reps remain. Its slot goes to the streaming leaderboard)
+    "stream_windowed_topk",
     # (bucket_cojoin and sessionize_batch rotated out — both r4
     # driver-proven; layout keeps partition_prune in-window, temporal
     # keeps rolling_window + interval_overlap_join. Their slots make
@@ -189,6 +191,7 @@ _PRIORITY: list[str] = [
     "dedup_paragraph",
     "grouped_topk",
     "etl_search_index_spine",
+    "dedup_edit_distance",
     # (stream_dedup rotated out — r3/r4 driver-proven; three streaming
     # paths remain in-window)
 ]

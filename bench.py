@@ -116,6 +116,7 @@ HEADLINE = [
     "twap",
     "crosstab_lift",
     "kcore",
+    "stream_windowed_topk",
 ]
 
 

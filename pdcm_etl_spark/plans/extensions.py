@@ -3356,6 +3356,35 @@ def _sql_kcore(k: int = 2, rounds: int = 8) -> str:
     )
 
 
+def x_stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: tumbling-day per-type counts maintained by
+    the watermarked stream, deterministic top-3 ranked over the sink
+    (streaming/events_stream.py::windowed_topk_stream — ranking is
+    non-incremental so it lives in the serving read, the counts are the
+    streaming state)."""
+    from pdcm_etl_spark.streaming.events_stream import windowed_topk_stream
+
+    return windowed_topk_stream(spark, sf_dir, k=3)
+
+
+SQL_STREAM_WINDOWED_TOPK = """
+WITH c AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT win_start, event_type, n_events,
+         ROW_NUMBER() OVER (PARTITION BY win_start
+                            ORDER BY n_events DESC, event_type ASC) AS rank
+  FROM c
+)
+SELECT win_start, event_type, CAST(n_events AS BIGINT) AS n_events,
+       CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -3447,4 +3476,5 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "twap": (x_twap, SQL_TWAP),
     "crosstab_lift": (x_crosstab_lift, SQL_CROSSTAB_LIFT),
     "kcore": (x_kcore, _sql_kcore()),
+    "stream_windowed_topk": (x_stream_windowed_topk, SQL_STREAM_WINDOWED_TOPK),
 }

@@ -359,3 +359,48 @@ def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("events_sliding_stream")
+
+
+def windowed_topk_stream(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Streaming leaderboard: watermarked TUMBLING-day counts per event
+    type maintained by the stream, top-k per window ranked over the
+    sink — the standard split for ranking under streaming semantics
+    (Structured Streaming cannot rank inside the streaming aggregation:
+    a rank is non-incremental, it changes retroactively as counts grow;
+    the counts ARE incremental state, so the stream maintains exactly
+    those and the serving layer ranks what it reads).
+
+    Rank order is (n_events desc, event_type asc) — total, so the
+    leaderboard is deterministic. State bounded by the watermark as in
+    the tumbling-count path.
+    """
+    from pyspark.sql import Window
+
+    ev = events_stream_source(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "n_events"
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("events_windowed_topk")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        spark.table("events_windowed_topk")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("win_start", "event_type", "n_events", F.col("rank").cast("int").alias("rank"))
+    )

@@ -25,7 +25,7 @@ ROTATED_IN = [
     "dedup_prefix_filter", "token_budget_select", "snapshot_diff",
     "sorted_neighborhood", "multimodal_audio",
     "assoc_rules", "event_transitions", "table_stats", "twap",
-    "crosstab_lift", "kcore",
+    "crosstab_lift", "kcore", "stream_windowed_topk",
 ]
 
 
@@ -89,7 +89,8 @@ def test_first_50_covers_every_family():
         "quality-filter": ["quality_percentile"],
         "streaming": ["stream_events_daily", "stream_events_sliding",
                       "session_window", "stream_stream_join",
-                      "stream_sessionize", "stream_dedup"],
+                      "stream_sessionize", "stream_dedup",
+                      "stream_windowed_topk"],
     }
     missing = {
         fam: reps
