@@ -188,9 +188,13 @@ def crosstab_lift(
     integers that hash across engines).
 
     Plan: one (row, col) count aggregation (cell cardinality ≪ rows),
-    marginals re-aggregated FROM THE CELLS (never a second data scan),
-    the grand total from the same cells as a one-row broadcast — data
-    is touched exactly once.
+    marginals re-aggregated FROM THE CELLS, the grand total from the
+    same cells as a one-row broadcast. The cell table is eagerly
+    checkpointed so the marginal/total branches read the materialized
+    cells — without it each lineage branch re-derives the aggregation
+    from the scan and the data is read FOUR times (verified in the
+    plan: 4 FileScans, no static exchange reuse). The checkpoint is
+    cell-cardinality-sized — trivial at any scale.
 
     Returns (row_val, col_val, n, row_n, col_n, lift_ppm).
     """
@@ -200,6 +204,7 @@ def crosstab_lift(
         )
         .groupBy("row_val", "col_val")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     row_n = cells.groupBy("row_val").agg(F.sum("n").alias("row_n"))
     col_n = cells.groupBy("col_val").agg(F.sum("n").alias("col_n"))

@@ -745,3 +745,15 @@ def test_sorted_neighborhood_no_global_sort(spark, sf_dir, queries):
     assert "BroadcastHashJoin [__blk" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_crosstab_lift_single_data_scan(spark, sf_dir, queries):
+    """The marginal/total branches must read the MATERIALIZED cell
+    table, not re-derive the aggregation from the file scan — without
+    the eager checkpoint the plan showed 4 FileScans of the data."""
+    df = queries["crosstab_lift"](spark, sf_dir)
+    plan = _plan(df, mode="simple")
+    assert "FileScan parquet" not in plan, plan
+    rows = df.collect()
+    assert rows and all(r["n"] <= r["row_n"] and r["n"] <= r["col_n"]
+                        for r in rows)
