@@ -3097,7 +3097,7 @@ def x_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return association_rules(
         li, basket_col="l_orderkey", item_col="l_partkey",
-        min_support=2, min_confidence_ppm=200_000, max_basket=64,
+        min_support=2, min_confidence_ppm=100_000, max_basket=64,
     )
 
 
@@ -3135,7 +3135,7 @@ SELECT antecedent, consequent, n_pair, n_ante, n_cons,
        CAST((1000000 * n_pair) // n_ante AS BIGINT) AS confidence_ppm,
        lift_ppm
 FROM rules
-WHERE (1000000 * n_pair) // n_ante >= 200000
+WHERE (1000000 * n_pair) // n_ante >= 100000
 """
 
 

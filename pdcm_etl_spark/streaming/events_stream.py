@@ -41,14 +41,27 @@ def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP_NTZ → session-tz timestamp (UTC session ⇒ value-identical)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the lake stores one parquet file per table; a file source needs a
-    # directory, so point at the dir and glob-filter to the events file
-    raw = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    # the driver lake stores ONE parquet file per table, so a file
+    # source must point at the parent dir and glob-filter to that file;
+    # Spark-written lakes (the gen_scale stress dirs) store events
+    # .parquet as a DIRECTORY of part files — there the glob would
+    # match nothing (part-*.parquet names) and the stream reads zero
+    # rows, so load the directory itself
+    import os
+
+    if os.path.isdir(f"{sf_dir}/events.parquet"):
+        raw = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(f"{sf_dir}/events.parquet")
+        )
+    else:
+        raw = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
     if isinstance(schema["ts"].dataType, T.LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
