@@ -58,7 +58,9 @@ _PRIORITY: list[str] = [
     "corpus_language_mix",
     "except_keys",
     "timeseries_gapfill",
-    "anomaly_iqr",
+    # (anomaly_iqr rotated out — r4 driver-proven; the MAD robust twin
+    # keeps and grows the anomaly family, windowed immediately)
+    "anomaly_mad",
     # CDC family: the streaming upsert twin keeps it (scd2_merge rotated
     # out — r3 driver-proven; its slot goes to the containment dedup)
     # (dedup_containment rotated out — r4 driver-proven; five dedup
@@ -192,6 +194,7 @@ _PRIORITY: list[str] = [
     "grouped_topk",
     "etl_search_index_spine",
     "dedup_edit_distance",
+    "anomaly_iqr",
     # (stream_dedup rotated out — r3/r4 driver-proven; three streaming
     # paths remain in-window)
 ]

@@ -117,6 +117,7 @@ HEADLINE = [
     "crosstab_lift",
     "kcore",
     "stream_windowed_topk",
+    "anomaly_mad",
 ]
 
 

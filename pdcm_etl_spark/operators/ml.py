@@ -188,3 +188,63 @@ def iqr_outliers(
             "q3_micro",
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_micro,
+    k_mad: int = 3,
+) -> DataFrame:
+    """Per-group outlier detection by the MEDIAN ABSOLUTE DEVIATION —
+    the robust-statistics twin of ``iqr_outliers``: med = median(x),
+    mad = median(|x - med|), flag rows with |x - med| > k·mad. MAD has
+    a 50% breakdown point (IQR's is 25%): half the group can be
+    corrupted before the fence moves, which matters when scoring crawl
+    slices where bad segments are the NORM, not the tail.
+
+    Same exactness discipline as IQR: integer metric, DISCRETE medians
+    (the value at sorted position ceil(n/2), ties by row id — both
+    engines pick the same row), all-integer fences. Two window/agg
+    rounds by necessity (the second median is over deviations from the
+    first), each group-keyed — no collects, no global sorts.
+
+    Returns outlier rows: (id, key, value_micro, med_micro, mad_micro).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("key"),
+        value_micro.cast("bigint").alias("m"),
+    ).filter(F.col("m").isNotNull())
+    w1 = Window.partitionBy("key").orderBy("m", "id")
+    counts = base.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    med = (
+        base.withColumn("rn", F.row_number().over(w1))
+        .join(counts, "key")
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("key", F.col("m").alias("med_micro"))
+    )
+    dev = base.join(med, "key").withColumn(
+        "d", F.abs(F.col("m") - F.col("med_micro"))
+    )
+    w2 = Window.partitionBy("key").orderBy("d", "id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w2))
+        .join(counts, "key")
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("key", F.col("d").alias("mad_micro"))
+    )
+    return (
+        dev.join(mad, "key")
+        .filter(F.col("d") > F.lit(k_mad) * F.col("mad_micro"))
+        .select(
+            "id",
+            "key",
+            F.col("m").alias("value_micro"),
+            "med_micro",
+            "mad_micro",
+        )
+    )

@@ -3385,6 +3385,54 @@ FROM r WHERE rank <= 3
 """
 
 
+def x_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outliers on the event value per
+    event_type (operators/ml.py::mad_outliers): discrete integer
+    medians (position-picked, tie-broken by event_id), k=3 fences —
+    the 50%-breakdown robust twin of anomaly_iqr. With k=3 on this
+    near-uniform synthetic value the flag set is small but non-empty
+    by construction of the tail."""
+    from pdcm_etl_spark.operators.ml import mad_outliers
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    metric = (F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint")
+    return mad_outliers(
+        ev, key_col="event_type", id_col="event_id", value_micro=metric,
+        k_mad=3,
+    )
+
+
+SQL_ANOMALY_MAD = """
+WITH base AS (
+  SELECT event_id AS id, event_type AS key,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m
+  FROM events WHERE value IS NOT NULL
+),
+counts AS (SELECT key, COUNT(*) AS n FROM base GROUP BY key),
+r1 AS (
+  SELECT base.*, ROW_NUMBER() OVER (PARTITION BY key ORDER BY m, id) AS rn,
+         counts.n
+  FROM base JOIN counts USING (key)
+),
+med AS (SELECT key, m AS med_micro FROM r1 WHERE rn = (n + 1) // 2),
+dev AS (
+  SELECT base.id, base.key, base.m, med.med_micro,
+         abs(base.m - med.med_micro) AS d
+  FROM base JOIN med USING (key)
+),
+r2 AS (
+  SELECT dev.*, ROW_NUMBER() OVER (PARTITION BY key ORDER BY d, id) AS rn,
+         counts.n
+  FROM dev JOIN counts USING (key)
+),
+mad AS (SELECT key, d AS mad_micro FROM r2 WHERE rn = (n + 1) // 2)
+SELECT dev.id, dev.key, dev.m AS value_micro, dev.med_micro, mad.mad_micro
+FROM dev JOIN mad USING (key)
+WHERE dev.d > 3 * mad.mad_micro
+"""
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -3477,4 +3525,5 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "crosstab_lift": (x_crosstab_lift, SQL_CROSSTAB_LIFT),
     "kcore": (x_kcore, _sql_kcore()),
     "stream_windowed_topk": (x_stream_windowed_topk, SQL_STREAM_WINDOWED_TOPK),
+    "anomaly_mad": (x_anomaly_mad, SQL_ANOMALY_MAD),
 }

@@ -1433,3 +1433,44 @@ def test_kcore_matches_python_peeling(spark, edges, k):
                 changed = True
     want = {n: len(ns) for n, ns in adj.items()}
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),              # key
+            st.integers(-100, 100),         # metric
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from([1, 3]),
+)
+def test_mad_outliers_matches_python(spark, rows, k):
+    """MAD flags must equal the sequential computation — discrete
+    medians at position ceil(n/2) tie-broken by id, including all-equal
+    groups (mad 0: everything off-median flags) and negative metrics."""
+    from pdcm_etl_spark.operators.ml import mad_outliers
+
+    data = [(i, f"k{g}", m) for i, (g, m) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id bigint, key string, m bigint")
+    got = {
+        r["id"]: (r["med_micro"], r["mad_micro"])
+        for r in mad_outliers(
+            df, "key", "id", F.col("m"), k_mad=k
+        ).collect()
+    }
+    bykey: dict[str, list] = {}
+    for i, g, m in data:
+        bykey.setdefault(g, []).append((m, i))
+    want = {}
+    for g, ms in bykey.items():
+        n = len(ms)
+        med = sorted(ms)[(n + 1) // 2 - 1][0]
+        devs = sorted((abs(m - med), i) for m, i in ms)
+        mad = devs[(n + 1) // 2 - 1][0]
+        for m, i in ms:
+            if abs(m - med) > k * mad:
+                want[i] = (med, mad)
+    assert got == want

@@ -25,7 +25,7 @@ ROTATED_IN = [
     "dedup_prefix_filter", "token_budget_select", "snapshot_diff",
     "sorted_neighborhood", "multimodal_audio",
     "assoc_rules", "event_transitions", "table_stats", "twap",
-    "crosstab_lift", "kcore", "stream_windowed_topk",
+    "crosstab_lift", "kcore", "stream_windowed_topk", "anomaly_mad",
 ]
 
 
@@ -51,7 +51,7 @@ def test_first_50_covers_every_family():
         "pivot": ["pivot_status"],
         "timeseries": ["events_daily", "cohort_retention",
                        "timeseries_gapfill"],
-        "anomaly": ["anomaly_iqr"],
+        "anomaly": ["anomaly_iqr", "anomaly_mad"],
         "recursion": ["recursive_closure", "pagerank"],
         "graph-analytics": ["triangle_count", "pagerank", "kcore"],
         "assoc": ["itemset_pairs", "assoc_rules"],
