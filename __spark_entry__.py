@@ -39,9 +39,10 @@ _PRIORITY: list[str] = [
     # flagship (full 67-column hash oracle since round 4 — the internal
     # id is the portable md5-based hash) + its spine/wide oracle twins
     "etl_search_index",
-    # (etl_search_index_spine rotated out — r1-r4 driver-proven; the
-    # full-width wide twin subsumes its 16 columns and stays in-window)
-    "etl_search_index_wide",
+    # (etl_search_index_spine AND _wide rotated out — r1-r4
+    # driver-proven, and since round 4 the flagship row itself carries
+    # the FULL 67-column hash oracle, making both twins redundant
+    # proofs; they stay oracle-checked every pytest run)
     # joins (left/full-outer/multi-key variants r01/r02-proven, rotated
     # out; the cascade + salted-skew + correlated paths keep the family)
     "correlated_count",
@@ -61,6 +62,9 @@ _PRIORITY: list[str] = [
     # (anomaly_iqr rotated out — r4 driver-proven; the MAD robust twin
     # keeps and grows the anomaly family, windowed immediately)
     "anomaly_mad",
+    # round-5 addition: per-source percentile-rank calibration,
+    # windowed immediately
+    "percentile_rank",
     # CDC family: the streaming upsert twin keeps it (scd2_merge rotated
     # out — r3 driver-proven; its slot goes to the containment dedup)
     # (dedup_containment rotated out — r4 driver-proven; five dedup
@@ -184,6 +188,11 @@ _PRIORITY: list[str] = [
     "stream_events_sliding",
     "ivm_merge",
     "stream_sessionize",
+    # round-5 addition that found no honest window slot (every in-window
+    # row is either a sole family representative or a this-round
+    # addition needing its first driver hash): first in line for the
+    # round-6 rotation; oracle-checked every pytest run meanwhile
+    "target_encode",
     "bucket_cojoin",
     "sessionize_batch",
     "kmeans_assign",
@@ -195,6 +204,7 @@ _PRIORITY: list[str] = [
     "etl_search_index_spine",
     "dedup_edit_distance",
     "anomaly_iqr",
+    "etl_search_index_wide",
     # (stream_dedup rotated out — r3/r4 driver-proven; three streaming
     # paths remain in-window)
 ]

@@ -118,6 +118,8 @@ HEADLINE = [
     "kcore",
     "stream_windowed_topk",
     "anomaly_mad",
+    "percentile_rank",
+    "target_encode",
 ]
 
 

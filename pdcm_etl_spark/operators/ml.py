@@ -248,3 +248,106 @@ def mad_outliers(
             "mad_micro",
         )
     )
+
+
+def percentile_rank_ppm(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_micro,
+) -> DataFrame:
+    """Per-group percentile-rank normalization: each row's value mapped
+    to its rank position in ppm of the group — the calibration step
+    that makes quality scores comparable ACROSS domains before a global
+    threshold (a 0.8 in a high-quality source and a 0.8 in a crawl
+    slice mean different things; their percentile ranks don't).
+
+    rank_ppm = floor(1e6 · (rank - 1) / (n - 1)) with ``rank`` the
+    1-based position under (value asc, id asc) — ties broken by id so
+    both engines assign identical positions; singleton groups emit 0.
+    All integer. ONE group-keyed window sharing its shuffle with the
+    group-count aggregation's partial pass.
+
+    Returns (id, key, value_micro, rank_ppm).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("key"),
+        value_micro.cast("bigint").alias("m"),
+    ).filter(F.col("m").isNotNull())
+    w = Window.partitionBy("key").orderBy("m", "id")
+    counts = base.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        base.withColumn("rank", F.row_number().over(w))
+        .join(counts, "key")
+        .select(
+            "id",
+            "key",
+            F.col("m").alias("value_micro"),
+            F.expr(
+                "CASE WHEN n = 1 THEN CAST(0 AS BIGINT) "
+                "ELSE (1000000 * (rank - 1)) div (n - 1) END"
+            ).cast("bigint").alias("rank_ppm"),
+        )
+    )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    id_col: str,
+    target_micro,
+    prior_weight: int = 0,
+) -> DataFrame:
+    """Leave-one-out target encoding of a categorical column: each
+    row's category replaced by the mean target of the OTHER rows in
+    its category — the standard high-cardinality categorical feature
+    for tree/linear models, leave-one-out so a row never sees its own
+    label (the leakage the naive mean encoding commits).
+
+    enc_micro = floor((cat_sum − own) / (cat_n − 1)); singleton
+    categories fall back to the global leave-one-out mean. Optional
+    ``prior_weight`` m blends toward the global mean
+    ((cat_sum − own + m·g) / (cat_n − 1 + m)) — m=0 is the pure LOO.
+    All sums in bigint micro (targets pre-quantized by the caller), all
+    divisions integer floors via the pmod idiom — exact cross-engine.
+
+    Plan: one category aggregation (category cardinality ≪ rows)
+    re-entering on a broadcastable key join + a one-row global
+    aggregate broadcast. No windows, no per-row second pass.
+
+    Returns (id, cat, target_micro, enc_micro).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(cat_col).alias("cat"),
+        target_micro.cast("bigint").alias("t"),
+    ).filter(F.col("t").isNotNull())
+    cats = base.groupBy("cat").agg(
+        F.sum("t").alias("cat_sum"), F.count(F.lit(1)).alias("cat_n")
+    )
+    glob = base.agg(
+        F.sum("t").alias("g_sum"), F.count(F.lit(1)).alias("g_n")
+    ).withColumn("__one", F.lit(1))
+    m = int(prior_weight)
+    # global LOO mean for this row: (g_sum - t) / (g_n - 1)
+    g_loo = "(g_sum - t - pmod(g_sum - t, g_n - 1)) div (g_n - 1)"
+    num = f"cat_sum - t + {m} * ({g_loo})"
+    den = f"cat_n - 1 + {m}"
+    return (
+        base.join(cats, "cat")
+        .withColumn("__one", F.lit(1))
+        .join(F.broadcast(glob), "__one")
+        .select(
+            "id",
+            "cat",
+            F.col("t").alias("target_micro"),
+            F.expr(
+                f"CASE WHEN cat_n - 1 + {m} = 0 THEN "
+                f"  CASE WHEN g_n > 1 THEN {g_loo} ELSE CAST(0 AS BIGINT) END "
+                f"ELSE (({num}) - pmod(({num}), ({den}))) div ({den}) END"
+            ).cast("bigint").alias("enc_micro"),
+        )
+    )

@@ -3433,6 +3433,86 @@ WHERE dev.d > 3 * mad.mad_micro
 """
 
 
+def x_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile-rank calibration of the type-token-ratio
+    quality score (operators/ml.py::percentile_rank_ppm) — makes
+    quality comparable across sources before a global threshold. One
+    group-keyed window, integer ppm, ties by doc id."""
+    from pdcm_etl_spark.operators.ml import percentile_rank_ppm
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "source",
+        "split(lower(text), ' ') AS ws",
+    ).selectExpr(
+        "doc_id",
+        "source",
+        "CAST(size(array_distinct(ws)) * 10000 DIV size(ws) AS BIGINT)"
+        " AS ttr_bp",
+    )
+    return percentile_rank_ppm(
+        docs, key_col="source", id_col="doc_id",
+        value_micro=F.col("ttr_bp"),
+    )
+
+
+SQL_PERCENTILE_RANK = """
+WITH q AS (
+  SELECT doc_id AS id, source AS key,
+         CAST(len(list_distinct(string_split(lower(text), ' '))) * 10000
+              // len(string_split(lower(text), ' ')) AS BIGINT) AS m
+  FROM documents
+),
+r AS (
+  SELECT id, key, m,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY m, id) AS rnk,
+         COUNT(*) OVER (PARTITION BY key) AS n
+  FROM q
+)
+SELECT id, key, m AS value_micro,
+       CAST(CASE WHEN n = 1 THEN 0
+            ELSE (1000000 * (rnk - 1)) // (n - 1) END AS BIGINT) AS rank_ppm
+FROM r
+"""
+
+
+def x_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of o_orderpriority against the
+    order total (micro-quantized): each row gets the mean target of the
+    OTHER rows in its category — no label leakage
+    (operators/ml.py::target_encode_loo, prior_weight=0). One category
+    aggregation + broadcast re-entry; integer floor arithmetic."""
+    from pdcm_etl_spark.operators.ml import target_encode_loo
+
+    orders = _t(spark, sf_dir, "orders")
+    metric = (
+        F.col("o_totalprice").cast("decimal(18,6)") * 1000000
+    ).cast("bigint")
+    return target_encode_loo(
+        orders, cat_col="o_orderpriority", id_col="o_orderkey",
+        target_micro=metric, prior_weight=0,
+    )
+
+
+SQL_TARGET_ENCODE = """
+WITH base AS (
+  SELECT o_orderkey AS id, o_orderpriority AS cat,
+         CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS t
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+cats AS (
+  SELECT cat, CAST(SUM(t) AS BIGINT) AS cat_sum, COUNT(*) AS cat_n
+  FROM base GROUP BY cat
+),
+g AS (SELECT CAST(SUM(t) AS BIGINT) AS g_sum, COUNT(*) AS g_n FROM base)
+SELECT id, cat, t AS target_micro,
+       CAST(CASE WHEN cat_n = 1 THEN
+              CASE WHEN g_n > 1 THEN (g_sum - t) // (g_n - 1) ELSE 0 END
+            ELSE (cat_sum - t) // (cat_n - 1) END AS BIGINT) AS enc_micro
+FROM base JOIN cats USING (cat), g
+"""
+
+
 EXTENSION_CATALOG: dict[str, tuple] = {
     "dedup_exact": (x_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (x_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -3526,4 +3606,6 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "kcore": (x_kcore, _sql_kcore()),
     "stream_windowed_topk": (x_stream_windowed_topk, SQL_STREAM_WINDOWED_TOPK),
     "anomaly_mad": (x_anomaly_mad, SQL_ANOMALY_MAD),
+    "percentile_rank": (x_percentile_rank, SQL_PERCENTILE_RANK),
+    "target_encode": (x_target_encode, SQL_TARGET_ENCODE),
 }

@@ -1474,3 +1474,42 @@ def test_mad_outliers_matches_python(spark, rows, k):
             if abs(m - med) > k * mad:
                 want[i] = (med, mad)
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-50, 50)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_target_encode_loo_matches_python(spark, rows):
+    """Pure leave-one-out encoding must equal the per-row computation —
+    singleton categories fall back to the global LOO mean, a lone row
+    overall encodes 0, and no row's own target leaks into its code."""
+    from pdcm_etl_spark.operators.ml import target_encode_loo
+
+    data = [(i, f"c{c}", t) for i, (c, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id bigint, cat string, t bigint")
+    got = {
+        r["id"]: r["enc_micro"]
+        for r in target_encode_loo(
+            df, "cat", "id", F.col("t"), prior_weight=0
+        ).collect()
+    }
+    bycat: dict[str, list] = {}
+    for i, c, t in data:
+        bycat.setdefault(c, []).append(t)
+    g_sum = sum(t for _, _, t in data)
+    g_n = len(data)
+    want = {}
+    for i, c, t in data:
+        ts = bycat[c]
+        if len(ts) > 1:
+            want[i] = (sum(ts) - t) // (len(ts) - 1)
+        elif g_n > 1:
+            want[i] = (g_sum - t) // (g_n - 1)
+        else:
+            want[i] = 0
+    assert got == want

