@@ -188,11 +188,13 @@ _PRIORITY: list[str] = [
     "stream_events_sliding",
     "ivm_merge",
     "stream_sessionize",
-    # round-5 addition that found no honest window slot (every in-window
-    # row is either a sole family representative or a this-round
-    # addition needing its first driver hash): first in line for the
-    # round-6 rotation; oracle-checked every pytest run meanwhile
+    # round-5 additions that found no honest window slot (every
+    # in-window row is either a sole family representative or a
+    # this-round addition needing its first driver hash): first in
+    # line for the round-6 rotation; oracle-checked every pytest run
     "target_encode",
+    "robust_scale",
+    "spearman_corr",
     "bucket_cojoin",
     "sessionize_batch",
     "kmeans_assign",

@@ -120,6 +120,8 @@ HEADLINE = [
     "anomaly_mad",
     "percentile_rank",
     "target_encode",
+    "robust_scale",
+    "spearman_corr",
 ]
 
 

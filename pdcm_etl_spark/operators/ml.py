@@ -351,3 +351,112 @@ def target_encode_loo(
             ).cast("bigint").alias("enc_micro"),
         )
     )
+
+
+def robust_scale_ppm(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_micro,
+) -> DataFrame:
+    """Robust z-score feature scaling: (x − median) · 1e6 div MAD per
+    group — the outlier-immune standardization (mean/stddev scaling
+    moves with the contamination it should resist). Same discrete
+    integer medians as ``mad_outliers``; groups with MAD 0 (over half
+    the values identical) emit NULL — scaling is undefined there, and
+    a sentinel would poison downstream math silently.
+
+    Returns (id, key, value_micro, robust_z_ppm nullable).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("key"),
+        value_micro.cast("bigint").alias("m"),
+    ).filter(F.col("m").isNotNull())
+    counts = base.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    w1 = Window.partitionBy("key").orderBy("m", "id")
+    med = (
+        base.withColumn("rn", F.row_number().over(w1))
+        .join(counts, "key")
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("key", F.col("m").alias("med"))
+    )
+    dev = base.join(med, "key").withColumn("d", F.abs(F.col("m") - F.col("med")))
+    w2 = Window.partitionBy("key").orderBy("d", "id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w2))
+        .join(counts, "key")
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("key", F.col("d").alias("mad"))
+    )
+    return (
+        dev.join(mad, "key")
+        .select(
+            "id",
+            "key",
+            F.col("m").alias("value_micro"),
+            # plain `div`: BOTH engines truncate integer division
+            # toward zero (verified: -7 div 2 = -3 = DuckDB -7 // 2);
+            # a pmod-based "floor" would make Spark floor while DuckDB
+            # truncates — off by one on every negative deviation
+            F.expr(
+                "CASE WHEN mad = 0 THEN CAST(NULL AS BIGINT) ELSE "
+                "((m - med) * 1000000) div mad END"
+            ).cast("bigint").alias("robust_z_ppm"),
+        )
+    )
+
+
+def spearman_corr_ppm(
+    df: DataFrame,
+    key_col: str,
+    x_micro,
+    y_micro,
+    id_col: str,
+) -> DataFrame:
+    """Spearman rank correlation per group, EXACT in integers: rank
+    both variables (ties broken by row id — the deterministic variant;
+    textbook Spearman average-ranks ties, which is fractional and
+    engine-rounding-prone), then ρ_ppm = 1e6 − (6·Σd²·1e6) div
+    (n(n²−1)) with d the per-row rank difference — the whole statistic
+    is rational, so both engines floor to the same ppm. Monotone
+    association without Pearson's sqrt/variance float path.
+
+    Groups with n < 2 emit NULL (undefined). Two group-keyed rank
+    windows + one group aggregation.
+
+    Returns (key, n, rho_ppm nullable).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        x_micro.cast("bigint").alias("x"),
+        y_micro.cast("bigint").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    wx = Window.partitionBy("key").orderBy("x", "id")
+    wy = Window.partitionBy("key").orderBy("y", "id")
+    ranked = base.withColumn("rx", F.row_number().over(wx)).withColumn(
+        "ry", F.row_number().over(wy)
+    )
+    return (
+        ranked.withColumn("d2", F.expr("(rx - ry) * (rx - ry)"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("d2").alias("sd2"))
+        .select(
+            "key",
+            "n",
+            # the numerator 6·Σd²·1e6 reaches ~2n³·1e6 — past int64
+            # by n≈17k — so it rides DECIMAL(38,0) (DuckDB's SUM is
+            # already HUGEINT); all terms non-negative, so integer
+            # truncation IS floor and no pmod dance is needed
+            F.expr(
+                "CASE WHEN n < 2 THEN CAST(NULL AS BIGINT) ELSE "
+                "1000000 - CAST((CAST(6 AS DECIMAL(38,0)) * sd2 * 1000000)"
+                " div (n * (n * n - 1)) AS BIGINT) END"
+            ).cast("bigint").alias("rho_ppm"),
+        )
+    )

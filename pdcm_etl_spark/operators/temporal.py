@@ -544,14 +544,13 @@ def time_weighted_average(
             "n_intervals",
             "total_seconds",
             # exact-integer micro numerator (v has 6dp, so ·1e6 is
-            # integral), then FLOOR division via the pmod idiom —
-            # decimal `/` rounds at engine-chosen scale and Spark `div`
-            # truncates toward zero, both diverging from DuckDB's
-            # flooring `//` on negative values
+            # integral), then plain `div` — BOTH engines truncate
+            # integer division toward zero (verified -7 div 2 = -3 =
+            # DuckDB -7 // 2), so this matches the oracle's `//` for
+            # negative values too; decimal `/` would round at an
+            # engine-chosen scale instead
             F.expr(
-                "(CAST(__vw * 1000000 AS BIGINT) "
-                " - pmod(CAST(__vw * 1000000 AS BIGINT), total_seconds))"
-                " div total_seconds"
+                "CAST(__vw * 1000000 AS BIGINT) div total_seconds"
             ).cast("bigint").alias("twap_micro"),
         )
     )

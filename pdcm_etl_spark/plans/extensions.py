@@ -3505,11 +3505,111 @@ cats AS (
   FROM base GROUP BY cat
 ),
 g AS (SELECT CAST(SUM(t) AS BIGINT) AS g_sum, COUNT(*) AS g_n FROM base)
+-- FLOOR division via the positive-mod construction (the kmeans-oracle
+-- idiom): the operator floors (Spark pmod), while plain // truncates —
+-- they differ on negative sums (positive here, but the oracle must
+-- encode the operator's contract, not this binding's data)
 SELECT id, cat, t AS target_micro,
        CAST(CASE WHEN cat_n = 1 THEN
-              CASE WHEN g_n > 1 THEN (g_sum - t) // (g_n - 1) ELSE 0 END
-            ELSE (cat_sum - t) // (cat_n - 1) END AS BIGINT) AS enc_micro
+              CASE WHEN g_n > 1 THEN
+                ((g_sum - t) - (((g_sum - t) % (g_n - 1)) + (g_n - 1))
+                   % (g_n - 1)) // (g_n - 1)
+              ELSE 0 END
+            ELSE ((cat_sum - t) - (((cat_sum - t) % (cat_n - 1))
+                   + (cat_n - 1)) % (cat_n - 1)) // (cat_n - 1)
+            END AS BIGINT) AS enc_micro
 FROM base JOIN cats USING (cat), g
+"""
+
+
+def x_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD z-score scaling of the event value per event_type
+    (operators/ml.py::robust_scale_ppm) — outlier-immune feature
+    standardization; MAD-0 groups emit NULL by contract."""
+    from pdcm_etl_spark.operators.ml import robust_scale_ppm
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    metric = (F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint")
+    return robust_scale_ppm(
+        ev, key_col="event_type", id_col="event_id", value_micro=metric
+    )
+
+
+SQL_ROBUST_SCALE = """
+WITH base AS (
+  SELECT event_id AS id, event_type AS key,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m
+  FROM events WHERE value IS NOT NULL
+),
+counts AS (SELECT key, COUNT(*) AS n FROM base GROUP BY key),
+r1 AS (
+  SELECT base.*, ROW_NUMBER() OVER (PARTITION BY key ORDER BY m, id) AS rn,
+         counts.n
+  FROM base JOIN counts USING (key)
+),
+med AS (SELECT key, m AS med FROM r1 WHERE rn = (n + 1) // 2),
+dev AS (
+  SELECT base.id, base.key, base.m, med.med,
+         abs(base.m - med.med) AS d
+  FROM base JOIN med USING (key)
+),
+r2 AS (
+  SELECT dev.*, ROW_NUMBER() OVER (PARTITION BY key ORDER BY d, id) AS rn,
+         counts.n
+  FROM dev JOIN counts USING (key)
+),
+mad AS (SELECT key, d AS mad FROM r2 WHERE rn = (n + 1) // 2)
+SELECT dev.id, dev.key, dev.m AS value_micro,
+       CAST(CASE WHEN mad.mad = 0 THEN NULL
+            ELSE ((dev.m - dev.med) * 1000000) // mad.mad END AS BIGINT)
+         AS robust_z_ppm
+FROM dev JOIN mad USING (key)
+"""
+
+
+def x_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of (quantity, extendedprice) per
+    return flag (operators/ml.py::spearman_corr_ppm) — exact-rational
+    monotone-association profile, deterministic tie-broken ranks."""
+    from pdcm_etl_spark.operators.ml import spearman_corr_ppm
+
+    li = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_returnflag",
+        "l_orderkey * 10 + l_linenumber AS rid",
+        "CAST(l_quantity AS BIGINT) AS q",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " AS p_cents",
+    )
+    return spearman_corr_ppm(
+        li, key_col="l_returnflag", x_micro=F.col("q"),
+        y_micro=F.col("p_cents"), id_col="rid",
+    ).withColumnRenamed("key", "l_returnflag")
+
+
+SQL_SPEARMAN_CORR = """
+WITH base AS (
+  SELECT l_returnflag AS key, l_orderkey * 10 + l_linenumber AS id,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+),
+r AS (
+  SELECT key,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY x, id) AS rx,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY y, id) AS ry
+  FROM base
+),
+a AS (
+  SELECT key, COUNT(*) AS n,
+         CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sd2
+  FROM r GROUP BY key
+)
+SELECT key AS l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN n < 2 THEN NULL
+            ELSE 1000000 - (6 * sd2 * 1000000) // (n * (n * n - 1))
+            END AS BIGINT) AS rho_ppm
+FROM a
 """
 
 
@@ -3608,4 +3708,6 @@ EXTENSION_CATALOG: dict[str, tuple] = {
     "anomaly_mad": (x_anomaly_mad, SQL_ANOMALY_MAD),
     "percentile_rank": (x_percentile_rank, SQL_PERCENTILE_RANK),
     "target_encode": (x_target_encode, SQL_TARGET_ENCODE),
+    "robust_scale": (x_robust_scale, SQL_ROBUST_SCALE),
+    "spearman_corr": (x_spearman_corr, SQL_SPEARMAN_CORR),
 }

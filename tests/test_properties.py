@@ -1513,3 +1513,30 @@ def test_target_encode_loo_matches_python(spark, rows):
         else:
             want[i] = 0
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(-30, 30), st.integers(-30, 30)),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_spearman_corr_matches_python(spark, pts):
+    """The exact-rational rho must equal the Python computation with
+    the same tie-broken ranks — including perfectly correlated (1e6),
+    anti-correlated, and constant columns."""
+    from pdcm_etl_spark.operators.ml import spearman_corr_ppm
+
+    data = [(i, "g", x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(data, "id bigint, key string, x bigint, y bigint")
+    row = spearman_corr_ppm(
+        df, "key", F.col("x"), F.col("y"), "id"
+    ).collect()[0]
+    rx = {i: r + 1 for r, (_, i) in enumerate(sorted((x, i) for i, _, x, _ in data))}
+    ry = {i: r + 1 for r, (_, i) in enumerate(sorted((y, i) for i, _, _, y in data))}
+    n = len(data)
+    sd2 = sum((rx[i] - ry[i]) ** 2 for i, *_ in data)
+    want = 1_000_000 - (6 * sd2 * 1_000_000) // (n * (n * n - 1))
+    assert row["rho_ppm"] == want and row["n"] == n

@@ -92,7 +92,9 @@ def test_first_50_covers_every_family():
         "layout": ["zorder_layout", "bucket_cojoin", "partition_prune"],
         "packing": ["pack_sequences"],
         "quality-filter": ["quality_percentile", "percentile_rank"],
-        "feature-encode": ["target_encode", "percentile_rank"],
+        "feature-encode": ["target_encode", "percentile_rank",
+                           "robust_scale"],
+        "correlation": ["spearman_corr", "crosstab_lift"],
         "streaming": ["stream_events_daily", "stream_events_sliding",
                       "session_window", "stream_stream_join",
                       "stream_sessionize", "stream_dedup",
