@@ -439,9 +439,12 @@ def spearman_corr_ppm(
     ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
     wx = Window.partitionBy("key").orderBy("x", "id")
     wy = Window.partitionBy("key").orderBy("y", "id")
-    ranked = base.withColumn("rx", F.row_number().over(wx)).withColumn(
-        "ry", F.row_number().over(wy)
-    )
+    # ranks cast to BIGINT before any arithmetic: row_number() is
+    # 32-bit and (rx − ry)² overflows int at ~50k rows per group
+    # (ANSI mode aborts the job; non-ANSI silently wraps — worse)
+    ranked = base.withColumn(
+        "rx", F.row_number().over(wx).cast("bigint")
+    ).withColumn("ry", F.row_number().over(wy).cast("bigint"))
     return (
         ranked.withColumn("d2", F.expr("(rx - ry) * (rx - ry)"))
         .groupBy("key")
@@ -456,7 +459,8 @@ def spearman_corr_ppm(
             F.expr(
                 "CASE WHEN n < 2 THEN CAST(NULL AS BIGINT) ELSE "
                 "1000000 - CAST((CAST(6 AS DECIMAL(38,0)) * sd2 * 1000000)"
-                " div (n * (n * n - 1)) AS BIGINT) END"
+                " div (CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0))"
+                " * n - 1)) AS BIGINT) END"
             ).cast("bigint").alias("rho_ppm"),
         )
     )
