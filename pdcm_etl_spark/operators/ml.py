@@ -280,7 +280,11 @@ def percentile_rank_ppm(
     w = Window.partitionBy("key").orderBy("m", "id")
     counts = base.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
     return (
-        base.withColumn("rank", F.row_number().over(w))
+        # bigint BEFORE the 1e6 product: row_number() is 32-bit and
+        # 1000000·(rank−1) overflows int at groups past ~2148 rows
+        # (ANSI aborts; .count() probes miss it — the projection is
+        # pruned). Same class as the spearman rank fix.
+        base.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .join(counts, "key")
         .select(
             "id",
