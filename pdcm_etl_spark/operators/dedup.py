@@ -770,9 +770,12 @@ def prefix_filter_pairs(
             "toks",
             F.size("toks").alias("n"),
             # prefix length |X| - ceil(t|X|) + 1, exact in integers
+            # size() is int32: the ·min_ppm product must ride BIGINT
+            # (overflows at ~7k shingles — a 7k-word document — and
+            # ANSI aborts the job)
             F.expr(
-                f"size(toks) - CAST((size(toks) * {min_ppm} + 999999) "
-                f"DIV 1000000 AS INT) + 1"
+                f"size(toks) - CAST((CAST(size(toks) AS BIGINT) "
+                f"* {min_ppm} + 999999) DIV 1000000 AS INT) + 1"
             ).alias("p"),
         )
     )
@@ -795,9 +798,12 @@ def prefix_filter_pairs(
             ).alias("y"),
         )
         # length filter: Jaccard >= t forces t * max(|A|,|B|) <= min
+        # bigint casts: n is int32 and n·1e6 overflows at n > 2147
         .filter(
-            F.least(F.col("x.n"), F.col("y.n")) * F.lit(1_000_000)
-            >= F.greatest(F.col("x.n"), F.col("y.n")) * F.lit(min_ppm)
+            F.least(F.col("x.n"), F.col("y.n")).cast("bigint")
+            * F.lit(1_000_000)
+            >= F.greatest(F.col("x.n"), F.col("y.n")).cast("bigint")
+            * F.lit(min_ppm)
         )
         .select(
             F.least(F.col("x.id"), F.col("y.id")).alias("id_a"),
