@@ -51,9 +51,11 @@ def _split_ddl(ddl: str) -> list[tuple[str, str]]:
     """Split a DDL schema string into (name, type) at top-level commas."""
     parts, depth, cur = [], 0, []
     for ch in ddl:
-        if ch == "<":
+        # both nesting forms carry commas: struct<a int, b int> AND
+        # parameterized types like decimal(18,2) / char(10)
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         if ch == "," and depth == 0:
             parts.append("".join(cur))

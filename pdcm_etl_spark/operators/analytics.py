@@ -117,9 +117,14 @@ def key_skew_profile(
             F.expr("CAST((key_rows * 1000000) DIV total_rows AS BIGINT)").alias(
                 "share_ppm"
             ),
-            # per-mille of the average key weight: rows * n_keys / total
+            # per-mille of the average key weight: rows * n_keys / total.
+            # The product rides DECIMAL(38,0): key_rows·n_keys·1000 passes
+            # int64 once key_rows·n_keys ≥ 9.2e15 (a 1e9-row hot key over
+            # 1e8 keys — exactly the regime this diagnostic targets), and
+            # ANSI Spark aborts on the overflow.
             F.expr(
-                "CAST((key_rows * n_keys * 1000) DIV total_rows AS BIGINT)"
+                "CAST((CAST(key_rows AS DECIMAL(38,0)) * n_keys * 1000)"
+                " DIV total_rows AS BIGINT)"
             ).alias("x_avg_permille"),
         )
         .orderBy(F.col("key_rows").desc(), F.col("key").asc())
@@ -222,7 +227,15 @@ def crosstab_lift(
             "n",
             "row_n",
             "col_n",
-            F.expr("(1000000 * n * total) div (row_n * col_n)")
+            # numerator rides DECIMAL(38,0): n * total * 1e6 passes int64
+            # once the table exceeds ~3M rows (n·total ≥ 9.2e12), and ANSI
+            # Spark aborts on the overflow — same class as the spearman /
+            # percentile_rank fixes. 1e13·1e13·1e6 = 1e32 < 1e38 so the
+            # decimal never saturates at any plausible corpus size.
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * n * total)"
+                " div (row_n * col_n)"
+            )
             .cast("bigint")
             .alias("lift_ppm"),
         )

@@ -335,6 +335,7 @@ def rolling_aggregate(
     ts_col: str = "ts",
     value_col: str = "value",
     window_seconds: int = 7 * 86400,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Event-time moving aggregate: for every event, the count and value
     sum of the same key's events in ``[ts - window, ts]`` — the trailing
@@ -362,7 +363,7 @@ def rolling_aggregate(
     return (
         events.withColumn("__epoch_s", epoch_s)
         .select(
-            "event_id",
+            id_col,
             key_col,
             ts_col,
             F.count(F.lit(1)).over(w).alias("roll_events"),

@@ -2749,8 +2749,8 @@ WITH counts AS (
 )
 SELECT key, key_rows,
        CAST((key_rows * 1000000) // total_rows AS BIGINT) AS share_ppm,
-       CAST((key_rows * n_keys * 1000) // total_rows AS BIGINT)
-         AS x_avg_permille
+       CAST((CAST(key_rows AS HUGEINT) * n_keys * 1000) // total_rows
+            AS BIGINT) AS x_avg_permille
 FROM counts, totals
 ORDER BY key_rows DESC, key ASC
 LIMIT 20
@@ -2844,10 +2844,21 @@ def x_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdcm_etl_spark.plans.catalog import load_events
 
     ev = load_events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
-    part = partition_layout(
-        ev, "event_date",
-        os.path.join(tempfile.gettempdir(), "pdcm_partitioned_events"),
+    # layout dir keyed on the Spark applicationId: two concurrent
+    # sessions (bench + correctness gate) each get their own directory,
+    # so one session's overwrite can never be listed mid-write by the
+    # other (r5 advice). Removal is atexit, not inline — the returned
+    # DataFrame lazily reads the directory; within one session repeat
+    # calls reuse the same path (mode=overwrite), so no per-call leak.
+    import atexit
+    import shutil
+
+    layout_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"pdcm_partitioned_events_{spark.sparkContext.applicationId}",
     )
+    atexit.register(shutil.rmtree, layout_dir, ignore_errors=True)
+    part = partition_layout(ev, "event_date", layout_dir)
     return (
         part.filter(
             (F.col("event_date") >= F.lit("2024-01-08").cast("date"))
@@ -3279,7 +3290,8 @@ cn AS (SELECT col_val, SUM(n) AS col_n FROM cells GROUP BY 1),
 tt AS (SELECT SUM(n) AS total FROM cells)
 SELECT row_val, col_val, CAST(n AS BIGINT) AS n,
        CAST(row_n AS BIGINT) AS row_n, CAST(col_n AS BIGINT) AS col_n,
-       CAST((1000000 * n * total) // (row_n * col_n) AS BIGINT) AS lift_ppm
+       CAST((CAST(1000000 AS HUGEINT) * n * total)
+            // (row_n * col_n) AS BIGINT) AS lift_ppm
 FROM cells JOIN rn USING (row_val) JOIN cn USING (col_val), tt
 """
 

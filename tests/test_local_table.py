@@ -81,3 +81,35 @@ def test_arity_mismatch_raises(spark):
 def test_unsupported_type_raises(spark):
     with pytest.raises(TypeError):
         values_table(spark, [(object(),)], "a string")
+
+
+def test_parenthesized_types_split_at_top_level_only(spark):
+    # r5 advice: _split_ddl tracked only <> nesting, so decimal(18,2)'s
+    # inner comma split mid-type and produced garbage columns
+    from pdcm_etl_spark.functions.local_table import _split_ddl
+
+    assert _split_ddl("v decimal(18,2), name string") == [
+        ("v", "decimal(18,2)"),
+        ("name", "string"),
+    ]
+    assert _split_ddl("a map<string, decimal(10,3)>, b char(5)") == [
+        ("a", "map<string, decimal(10,3)>"),
+        ("b", "char(5)"),
+    ]
+
+
+def test_parenthesized_types_end_to_end(spark):
+    import decimal
+
+    rows = [(decimal.Decimal("1.50"), "x"), (decimal.Decimal("-2.25"), "y")]
+    ddl = "v decimal(18,2), name string"
+    got = values_table(
+        spark, [(float(r[0]), r[1]) for r in rows], "v double, name string"
+    ).selectExpr("CAST(v AS DECIMAL(18,2)) AS v", "name")
+    want = spark.createDataFrame(rows, ddl)
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in want.schema.fields
+    ]
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )

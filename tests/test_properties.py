@@ -1540,3 +1540,25 @@ def test_spearman_corr_matches_python(spark, pts):
     sd2 = sum((rx[i] - ry[i]) ** 2 for i, *_ in data)
     want = 1_000_000 - (6 * sd2 * 1_000_000) // (n * (n * n - 1))
     assert row["rho_ppm"] == want and row["n"] == n
+
+
+def test_rolling_aggregate_id_col_parameterized(spark):
+    # r5 advice: output projection hardcoded "event_id"; any input
+    # lacking that column failed analysis despite valid arguments
+    from pdcm_etl_spark.operators.temporal import rolling_aggregate
+
+    df = spark.createDataFrame(
+        [("r1", "u1", "2024-01-01 00:00:00", 1.0),
+         ("r2", "u1", "2024-01-01 00:30:00", 2.0),
+         ("r3", "u2", "2024-01-01 02:00:00", 3.0)],
+        "row_id string, uid string, ts string, value double",
+    )
+    out = rolling_aggregate(
+        df, key_col="uid", ts_col="ts", value_col="value",
+        window_seconds=3600, id_col="row_id",
+    )
+    rows = {r["row_id"]: r for r in out.collect()}
+    assert set(rows) == {"r1", "r2", "r3"}
+    assert rows["r2"]["roll_events"] == 2
+    assert rows["r2"]["roll_value_micro"] == 3_000_000
+    assert rows["r3"]["roll_events"] == 1
