@@ -250,4 +250,10 @@ def _optional_catalogs() -> list[dict]:
         cats.append(EXTRA_CATALOG)
     except ImportError:
         pass
+    try:
+        from pdcm_etl_spark.plans.extensions_b import EXTENSION_B_CATALOG
+
+        cats.append(EXTENSION_B_CATALOG)
+    except ImportError:
+        pass
     return cats

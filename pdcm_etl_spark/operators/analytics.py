@@ -240,3 +240,291 @@ def crosstab_lift(
             .alias("lift_ppm"),
         )
     )
+
+
+def linreg_group(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple OLS (y = a + b·x) with engine-exact integer
+    outputs — the closed-form regression over integer-valued features
+    (slope in ppm, intercept in milli-units).
+
+    ONE keyed aggregation computes the five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²) with map-side partial aggregation — the
+    textbook distributed regression shape: no second pass, no driver
+    math. Products ride DECIMAL(38,0) end to end: at 1e12 rows/group
+    with x ≤ 1e2 and y ≤ 1e7, n·Σxy ≈ 5e32 < 1e38, while the same
+    products overflow int64 at ~1e5 rows — the ANSI-abort class the
+    spearman/percentile fixes established. Division is plain ``div``
+    (truncation toward zero, matching DuckDB ``//`` on negatives —
+    the r5 division-semantics audit).
+
+    Inputs must be integer-valued (cast upstream); groups with zero
+    x-variance yield NULL slope/intercept (the SQL-natural contract).
+    """
+    d38 = "DECIMAL(38,0)"
+    a = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col(x_col).cast(d38)).alias("sx"),
+        F.sum(F.col(y_col).cast(d38)).alias("sy"),
+        F.sum((F.col(x_col).cast(d38) * F.col(y_col).cast(d38))).alias("sxy"),
+        F.sum((F.col(x_col).cast(d38) * F.col(x_col).cast(d38))).alias("sxx"),
+    )
+    det = "(n * sxx - sx * sx)"
+    return a.select(
+        "key",
+        "n",
+        F.expr(
+            f"CAST(CASE WHEN {det} = 0 THEN NULL ELSE "
+            f"(CAST(1000000 AS {d38}) * (n * sxy - sx * sy)) div {det} "
+            "END AS BIGINT)"
+        ).alias("slope_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN {det} = 0 THEN NULL ELSE "
+            f"(CAST(1000 AS {d38}) * (sy * sxx - sx * sxy)) div {det} "
+            "END AS BIGINT)"
+        ).alias("intercept_milli"),
+    )
+
+
+def chi_square_assoc(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Chi-square statistic of a two-column contingency table — the
+    categorical-association test, in the scale-safe rearrangement
+    χ² = N·(Σ o²/(rᵢ·cⱼ) − 1).
+
+    The textbook Σ(o−e)²/e form squares o·N (1e52 at 1e13-row tables —
+    past even DECIMAL(38,0)); the rearranged per-cell term needs only
+    o² · 1e9 ≤ 1e35. Each cell's quotient is truncated to ppb
+    IDENTICALLY on both engines (per-cell truncation then exact integer
+    summation — deterministic, no float accumulation order issues).
+
+    Plan: one cell aggregation (single scan), marginals re-derived from
+    the cells (crosstab_lift's broadcast shape), one bounded-size sum.
+    Returns ONE row: (n_rows_cat, n_cols_cat, df, total, chi2_milli).
+    """
+    cells = (
+        df.select(
+            F.col(row_col).alias("row_val"), F.col(col_col).alias("col_val")
+        )
+        .groupBy("row_val", "col_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    row_n = cells.groupBy("row_val").agg(F.sum("n").alias("row_n"))
+    col_n = cells.groupBy("col_val").agg(F.sum("n").alias("col_n"))
+    per_cell = (
+        cells.join(F.broadcast(row_n), "row_val")
+        .join(F.broadcast(col_n), "col_val")
+        .select(
+            "row_val",
+            "col_val",
+            F.expr(
+                "(CAST(1000000000 AS DECIMAL(38,0)) * n * n)"
+                " div (row_n * col_n)"
+            ).alias("q_ppb"),
+        )
+    )
+    return (
+        per_cell.agg(
+            F.countDistinct("row_val").cast("bigint").alias("n_rows_cat"),
+            F.countDistinct("col_val").cast("bigint").alias("n_cols_cat"),
+            F.sum("q_ppb").cast("decimal(38,0)").alias("sq"),
+        )
+        .crossJoin(
+            F.broadcast(cells.agg(F.sum("n").cast("bigint").alias("total")))
+        )
+        .select(
+            "n_rows_cat",
+            "n_cols_cat",
+            ((F.col("n_rows_cat") - 1) * (F.col("n_cols_cat") - 1))
+            .cast("bigint")
+            .alias("deg_freedom"),
+            "total",
+            F.expr(
+                "CAST((total * (sq - CAST(1000000000 AS DECIMAL(38,0))))"
+                " div 1000000 AS BIGINT)"
+            ).alias("chi2_milli"),
+        )
+    )
+
+
+# Benford expected leading-digit shares, ppm-exact literals of
+# log10(1 + 1/d) — CONSTANTS on both engines (never computed via float
+# log at query time, so no cross-engine libm exposure).
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
+    """Leading-digit distribution of a positive integer column against
+    Benford's law — the classic anomaly screen for synthetic/fabricated
+    numeric data at corpus scale.
+
+    Leading digit via string head of the BIGINT rendering (identical
+    text on both engines for integers — no float formatting exposure);
+    one 9-group aggregation + a broadcast one-row total. Output per
+    digit: observed count, observed share (ppm), Benford expectation
+    (ppm literal), and the signed delta.
+    """
+    benford = F.create_map(
+        *[F.lit(x) for kv in BENFORD_PPM.items() for x in kv]
+    )
+    digits = (
+        df.filter(F.col(value_col) > 0)
+        .select(
+            F.substring(F.col(value_col).cast("bigint").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # ≤9 rows — checkpointing lets the total derive from the digit
+        # counts instead of a SECOND full scan of the data
+        .localCheckpoint(eager=True)
+    )
+    total = digits.agg(F.sum("n").cast("bigint").alias("total"))
+    return (
+        digits.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr(
+                "CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div total"
+                " AS BIGINT)"
+            ).alias("share_ppm"),
+            benford[F.col("digit")].cast("bigint").alias("benford_ppm"),
+        )
+        .withColumn(
+            "delta_ppm", (F.col("share_ppm") - F.col("benford_ppm"))
+        )
+    )
+
+
+def entropy_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Shannon entropy (bits) of each requested categorical column —
+    the distribution-concentration profile (uniform → log2(k) bits,
+    degenerate → 0) used to pick partition keys and spot collapsed
+    feature columns.
+
+    Exact-rational rearrangement H = log2(N) − (Σ nᵢ·log2 nᵢ)/N keeps
+    one log2 call per DISTINCT value (never per row). log2 is the one
+    float in the kit; the output is rounded to 6 dp, so a 1-ulp libm
+    divergence between engines (~1e-16 relative) only matters within
+    1e-16 of a rounding boundary — and each per-column profile is one
+    value-count aggregation + a bounded per-column fold (the melt is
+    over column NAMES, map-side).
+    """
+    per_col = []
+    for c in cols:
+        vc = (
+            df.select(F.col(c).cast("string").alias("v"))
+            .where(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        per_col.append(
+            vc.agg(
+                F.lit(c).alias("column_name"),
+                F.sum("n").cast("bigint").alias("n_values"),
+                F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+                F.sum(F.col("n").cast("double") * F.log2("n")).alias("snlogn"),
+            ).select(
+                "column_name",
+                "n_values",
+                "n_distinct",
+                F.round(
+                    F.log2("n_values") - F.col("snlogn") / F.col("n_values"),
+                    6,
+                ).alias("entropy_bits"),
+            )
+        )
+    out = per_col[0]
+    for p in per_col[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def gini_concentration(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative integer measure —
+    the inequality index for corpus-weight concentration (how skewed
+    document lengths / source volumes are), integer-ppm exact.
+
+    Rank formulation over values sorted ascending (ties broken by id
+    for determinism): G = (2·Σ i·xᵢ − (N+1)·Σx) / (N·Σx). The rank
+    window and the aggregation PARTITION ON THE SAME KEY — one shuffle
+    total. row_number() is INT32 (the r5 ANSI-abort class), so ranks
+    cast to bigint before the product, and Σ i·xᵢ rides DECIMAL(38,0)
+    (n²·xmax ≈ 1e29 at 1e12-row groups — int64 dies at ~1e5 rows).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    # rank and aggregate under the ORIGINAL key attribute — aliasing to
+    # "key" before the window gives the agg a different exprId than the
+    # window's partitioning and Spark inserts a second Exchange; the
+    # rename happens once, after both keyed operators
+    ranked = df.select(
+        F.col(key_col),
+        F.col(value_col).cast("decimal(38,0)").alias("x"),
+        F.row_number().over(w).cast("bigint").alias("i"),
+    )
+    return (
+        ranked.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).alias("six"),
+        )
+        .select(
+            F.col(key_col).alias("key"),
+            "n",
+            F.col("sx").cast("bigint").alias("total_value"),
+            F.expr(
+                "CAST(CASE WHEN sx = 0 OR n < 2 THEN NULL ELSE"
+                " (CAST(1000000 AS DECIMAL(38,0)) * (2 * six - (n + 1) * sx))"
+                " div (n * sx) END AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
+def dq_profile(df: DataFrame, rules: list[tuple[str, F.Column]]) -> DataFrame:
+    """Declarative data-quality rule evaluation — N violation predicates
+    over one table in ONE conditional-aggregation pass (never a scan per
+    rule), melted to a (rule_id, checked, violations, pass) long form
+    via stack() over the single aggregate row (bounded, driver-free).
+
+    Each rule is (rule_id, violation_predicate_column) — TRUE means the
+    row violates. Cross-table rules (FK integrity) don't fit a one-table
+    scan; callers union those in as extra rows (see x_dq_check).
+    """
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__checked")]
+    for rid, pred in rules:
+        aggs.append(
+            F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(rid)
+        )
+    one = df.agg(*aggs)
+    pairs = ", ".join(f"'{rid}', {rid}" for rid, _ in rules)
+    return one.selectExpr(
+        f"stack({len(rules)}, {pairs}) AS (rule_id, violations)",
+        "__checked AS checked",
+    ).select(
+        "rule_id",
+        "checked",
+        "violations",
+        (F.col("violations") == 0).alias("pass"),
+    )

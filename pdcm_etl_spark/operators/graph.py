@@ -482,3 +482,64 @@ def kcore(
     return sym.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 4,
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS hop distances, bounded at ``max_hops`` — the
+    shortest-path primitive the closure/components family lacks
+    (closure follows edges to a FIXPOINT; BFS wants the MINIMUM hop
+    count, radius-bounded the way link-distance features are computed
+    over web/citation graphs at corpus scale).
+
+    Frontier iteration with exactly ``max_hops`` rounds and ZERO
+    convergence collects (the hop bound is the termination — no
+    label-sum observation needed): each round is one equi join of the
+    CURRENT frontier (rows at distance h-1 only, never the full dist
+    table) against the edge list, then a min-dist fold into the
+    accumulated table — 2 node-keyed shuffles per round. Eager
+    localCheckpoint keeps lineage flat (dist is consumed twice per
+    round: as frontier and as union side). A frontier that empties
+    early (radius < max_hops) just produces empty joins — no extra
+    action spent detecting it below the hop bound.
+
+    Undirected mode symmetrizes the edge list once up front (one
+    distinct — the same normalization connected_components uses).
+    Returns (``node_col``, dist) for every node within ``max_hops`` of
+    any source; unreachable nodes are absent (left to the caller — an
+    outer join against the node set would impose a scan the common
+    feature-engineering case doesn't need).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    e = e.distinct().localCheckpoint(eager=False)
+
+    dist = (
+        sources.select(F.col(node_col).alias("n"))
+        .distinct()
+        .select("n", F.lit(0).cast("int").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for h in range(1, max_hops + 1):
+        frontier = dist.filter(F.col("dist") == h - 1).select("n")
+        reached = (
+            e.join(frontier, e.a == frontier.n)
+            .select(F.col("b").alias("n"), F.lit(h).cast("int").alias("dist"))
+        )
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("n")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(F.col("n").alias(node_col), "dist")

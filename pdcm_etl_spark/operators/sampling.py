@@ -341,3 +341,38 @@ def token_budget_select(
         )
         .filter(F.col("cum_tokens") <= F.lit(budget_tokens))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (k items,
+    inclusion probability ∝ weight) — the Efraimidis–Spirakis A-ES
+    scheme on exponential clocks: each row draws uᵢ from its portable
+    content hash and the k smallest −ln(uᵢ)/wᵢ win. One pass, and the
+    top-k is orderBy+limit → TakeOrderedAndProject (per-partition
+    k-row heaps merged at the driver — no global sort, no shuffle of
+    the data itself): the canonical corpus-subsample shape (length- or
+    quality-weighted) at 100 TB.
+
+    Determinism without an RNG: uᵢ = (h mod 2³⁰ + 1)/(2³⁰ + 1) from
+    the 60-bit md5-fold hash — exactly representable, identical on
+    both engines, and u ∈ (0,1) strictly so ln is finite. ln() is
+    libm on both sides; the SELECTION is robust to 1-ulp divergence
+    unless the k-th and (k+1)-th clocks tie to ~1e-15 relative
+    (property-tested margin at gate scale), and the OUTPUT carries no
+    float columns at all — membership only, ties broken by key.
+    """
+    h = portable_hash60(F.col(key_col).cast("string"))
+    u = (h % F.lit(1 << 30) + 1) / F.lit(float((1 << 30) + 1))
+    clock = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__clock", clock)
+        .orderBy(F.col("__clock").asc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__clock")
+    )

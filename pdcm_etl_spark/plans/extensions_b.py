@@ -1,0 +1,461 @@
+"""Round-6 registry extensions: statistical analytics (regression,
+chi-square, Benford, entropy, Gini), declarative data-quality checks,
+bounded-hop BFS, LISTAGG, and weighted sampling — each as a
+(query, DuckDB-oracle) pair like plans/extensions.py.
+
+Determinism rules are the repo-wide ones (plans/catalog.py header):
+integer/decimal fixed-point everywhere a float could diverge; the two
+deliberate float surfaces (entropy's log2, the weighted sampler's ln)
+are rounded / selection-only and documented at the operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdcm_etl_spark.operators.dedup import DUCK_H60
+from pdcm_etl_spark.plans.extensions import _docs, _t
+
+
+def x_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg with deterministic ordering — the
+    reference's jsonb_agg-style report columns as sorted CSV (the
+    form every SQL warehouse exposes as LISTAGG ... WITHIN GROUP).
+    Spark has no ordered string_agg; the scale-honest composition is
+    collect_set → array_sort → array_join (set dedup map-side, sort
+    bounded by per-group distinct cardinality, never a global sort)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses"),
+        )
+    )
+
+
+SQL_STRING_AGG_ORDERED = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+         AS statuses
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def x_linreg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS of price-cents on quantity
+    (operators/analytics.py::linreg_group): one keyed aggregation of
+    the five sufficient statistics in DECIMAL(38,0), closed-form
+    slope/intercept as integer ppm/milli — distributed regression
+    without a second pass or any driver math."""
+    from pdcm_etl_spark.operators.analytics import linreg_group
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    return linreg_group(li, "l_returnflag", "x", "y").withColumnRenamed(
+        "key", "l_returnflag"
+    )
+
+
+SQL_LINREG_GROUP = """
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS HUGEINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS y
+  FROM lineitem
+), a AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM b GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE (1000000::HUGEINT * (n * sxy - sx * sy))
+                 // (n * sxx - sx * sx) END AS BIGINT) AS slope_ppm,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE (1000::HUGEINT * (sy * sxx - sx * sxy))
+                 // (n * sxx - sx * sx) END AS BIGINT) AS intercept_milli
+FROM a
+"""
+
+
+def x_chi_square_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang × source chi-square association
+    (operators/analytics.py::chi_square_assoc): one cell aggregation,
+    broadcast marginals, scale-safe χ² = N·(Σ o²/(rc) − 1)
+    rearrangement with per-cell ppb truncation on both engines."""
+    from pdcm_etl_spark.operators.analytics import chi_square_assoc
+
+    return chi_square_assoc(_docs(spark, sf_dir), "lang", "source")
+
+
+SQL_CHI_SQUARE_ASSOC = """
+WITH cells AS (
+  SELECT lang AS row_val, source AS col_val, CAST(COUNT(*) AS HUGEINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+rn AS (SELECT row_val, SUM(n) AS row_n FROM cells GROUP BY 1),
+cn AS (SELECT col_val, SUM(n) AS col_n FROM cells GROUP BY 1),
+q AS (
+  SELECT row_val, col_val,
+         (1000000000::HUGEINT * n * n) // (row_n * col_n) AS q_ppb
+  FROM cells JOIN rn USING (row_val) JOIN cn USING (col_val)
+),
+s AS (
+  SELECT CAST(COUNT(DISTINCT row_val) AS BIGINT) AS n_rows_cat,
+         CAST(COUNT(DISTINCT col_val) AS BIGINT) AS n_cols_cat,
+         SUM(q_ppb) AS sq
+  FROM q
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells)
+SELECT n_rows_cat, n_cols_cat,
+       CAST((n_rows_cat - 1) * (n_cols_cat - 1) AS BIGINT) AS deg_freedom,
+       total,
+       CAST((total * (sq - 1000000000::HUGEINT)) // 1000000 AS BIGINT)
+         AS chi2_milli
+FROM s, t
+"""
+
+
+def x_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit profile of price cents vs Benford's law
+    (operators/analytics.py::benford_profile): digit from the BIGINT
+    text head, 9-group agg + broadcast total, expectation as ppm
+    LITERALS (no query-time float log on either engine)."""
+    from pdcm_etl_spark.operators.analytics import benford_profile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    return benford_profile(li, "cents")
+
+
+_BENFORD_VALUES = (
+    "(1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),"
+    " (6, 66947), (7, 57992), (8, 51153), (9, 45757)"
+)
+
+SQL_BENFORD_PROFILE = f"""
+WITH v AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+    AS cents
+  FROM lineitem
+),
+g AS (
+  SELECT CAST(SUBSTR(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM v WHERE cents > 0 GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g),
+b(digit, benford_ppm) AS (VALUES {_BENFORD_VALUES})
+SELECT g.digit, g.n,
+       CAST((CAST(n AS HUGEINT) * 1000000) // total AS BIGINT) AS share_ppm,
+       CAST(benford_ppm AS BIGINT) AS benford_ppm,
+       CAST((CAST(n AS HUGEINT) * 1000000) // total - benford_ppm AS BIGINT)
+         AS delta_ppm
+FROM g JOIN b USING (digit), t
+"""
+
+
+def x_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the categorical distribution columns
+    (operators/analytics.py::entropy_profile): events.event_type +
+    documents.{lang,source}. One value-count agg per column; the only
+    float (log2) is called once per DISTINCT value and the output is
+    6-dp-rounded (libm 1-ulp divergence is ~1e-16 relative — far
+    inside the rounding guard at these cardinalities)."""
+    from pdcm_etl_spark.operators.analytics import entropy_profile
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = entropy_profile(load_events(spark, sf_dir), ["event_type"])
+    dc = entropy_profile(_docs(spark, sf_dir), ["lang", "source"])
+    return ev.unionByName(dc)
+
+
+def _sql_entropy_one(table: str, col: str) -> str:
+    return f"""
+SELECT '{col}' AS column_name,
+       CAST(SUM(n) AS BIGINT) AS n_values,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(log2(CAST(SUM(n) AS DOUBLE))
+             - SUM(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE)))
+               / CAST(SUM(n) AS DOUBLE), 6) AS entropy_bits
+FROM (
+  SELECT COUNT(*) AS n FROM {table}
+  WHERE {col} IS NOT NULL GROUP BY {col}
+)
+"""
+
+
+SQL_ENTROPY_PROFILE = (
+    _sql_entropy_one("events", "event_type")
+    + " UNION ALL "
+    + _sql_entropy_one("documents", "lang")
+    + " UNION ALL "
+    + _sql_entropy_one("documents", "source")
+)
+
+
+def x_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Gini of document lengths
+    (operators/analytics.py::gini_concentration): rank window and
+    aggregation share ONE language-keyed shuffle; rank·value products
+    ride DECIMAL(38,0) (bigint ranks — the r5 int32 ANSI-abort
+    class)."""
+    from pdcm_etl_spark.operators.analytics import gini_concentration
+
+    return gini_concentration(
+        _docs(spark, sf_dir), "lang", "n_chars", "doc_id"
+    ).withColumnRenamed("key", "lang")
+
+
+SQL_GINI_CONCENTRATION = """
+WITH r AS (
+  SELECT lang, CAST(n_chars AS HUGEINT) AS x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+              AS HUGEINT) AS i
+  FROM documents
+),
+a AS (
+  SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+         SUM(i * x) AS six
+  FROM r GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS total_value,
+       CAST(CASE WHEN sx = 0 OR n < 2 THEN NULL
+            ELSE (1000000::HUGEINT * (2 * six - (n + 1) * sx)) // (n * sx)
+            END AS BIGINT) AS gini_ppm
+FROM a
+"""
+
+
+def x_dq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite over orders + lineitem
+    (operators/analytics.py::dq_profile): domain / range / date-bound
+    predicates evaluated in ONE conditional-agg pass PER TABLE (never
+    one scan per rule), plus the two rule shapes a single-table scan
+    can't express — primary-key uniqueness (count vs count-distinct in
+    the same pass) and FK integrity (broadcast anti-join count). The
+    union is 7 bounded rows; plan cost is 3 scans total."""
+    from pdcm_etl_spark.operators.analytics import dq_profile
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+
+    o_rules = dq_profile(
+        orders,
+        [
+            (
+                "orders_status_domain",
+                ~F.col("o_orderstatus").isin("O", "F", "P"),
+            ),
+            (
+                "orders_price_range",
+                F.col("o_totalprice").isNull()
+                | (F.col("o_totalprice") <= 0)
+                | (F.col("o_totalprice") > 400000),
+            ),
+            (
+                "orders_date_bounds",
+                (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("2002-01-01").cast("timestamp")
+                ),
+            ),
+        ],
+    )
+    l_rules = dq_profile(
+        li,
+        [
+            (
+                "lineitem_qty_range",
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+            ),
+            (
+                "lineitem_discount_range",
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.08),
+            ),
+        ],
+    )
+    # uniqueness: violations = rows − distinct keys, same single pass
+    pk = li.agg(
+        F.lit("lineitem_pk_unique").alias("rule_id"),
+        F.count(F.lit(1)).cast("bigint").alias("checked"),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
+        )
+        .cast("bigint")
+        .alias("violations"),
+    ).select(
+        "rule_id", "checked", "violations",
+        (F.col("violations") == 0).alias("pass"),
+    )
+    # FK integrity: orders → customer, broadcast anti join (dim side
+    # is the small one; at 100 TB swap in bloom_prune_join's shape)
+    fk = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+        .crossJoin(
+            F.broadcast(
+                orders.agg(F.count(F.lit(1)).cast("bigint").alias("checked"))
+            )
+        )
+        .select(
+            F.lit("orders_fk_customer").alias("rule_id"),
+            "checked",
+            "violations",
+            (F.col("violations") == 0).alias("pass"),
+        )
+    )
+    return o_rules.unionByName(l_rules).unionByName(pk).unionByName(fk)
+
+
+SQL_DQ_CHECK = """
+WITH o AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS checked,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+         CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                       OR o_totalprice > 400000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                       OR o_orderdate >= TIMESTAMP '2002-01-01'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_date
+  FROM orders
+),
+l AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS checked,
+         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.08
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+         CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+              AS BIGINT) AS v_pk
+  FROM lineitem
+),
+fk AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS checked,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+           AS violations
+)
+SELECT 'orders_status_domain' AS rule_id, checked, v_status AS violations,
+       v_status = 0 AS pass FROM o
+UNION ALL
+SELECT 'orders_price_range', checked, v_price, v_price = 0 FROM o
+UNION ALL
+SELECT 'orders_date_bounds', checked, v_date, v_date = 0 FROM o
+UNION ALL
+SELECT 'lineitem_qty_range', checked, v_qty, v_qty = 0 FROM l
+UNION ALL
+SELECT 'lineitem_discount_range', checked, v_disc, v_disc = 0 FROM l
+UNION ALL
+SELECT 'lineitem_pk_unique', checked, v_pk, v_pk = 0 FROM l
+UNION ALL
+SELECT 'orders_fk_customer', checked, violations, violations = 0 FROM fk
+"""
+
+
+def x_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS distances from node 1 over the undirected
+    version of pagerank's synthetic part-key graph (tree edge
+    k → k div 10 + scatter edge k → 1+((31k+7) mod N))
+    (operators/graph.py::bfs_distances): fixed max_hops rounds, ZERO
+    convergence collects, 2 node-keyed shuffles per round, frontier
+    join touches only the rows first reached last round."""
+    from pdcm_etl_spark.operators.graph import bfs_distances
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") >= 1)
+    n = part.count()  # scalar — the graph's node-count modulus
+    pk = part.select(F.col("p_partkey").cast("bigint").alias("k"))
+    e1 = pk.select(
+        F.col("k").alias("src"), F.expr("k div 10").alias("dst")
+    ).filter(F.col("dst") >= 1)
+    e2 = pk.select(
+        F.col("k").alias("src"),
+        (F.lit(1) + (F.col("k") * 31 + 7) % F.lit(n)).alias("dst"),
+    )
+    sources = spark.range(1, 2).select(F.col("id").alias("node"))
+    return bfs_distances(
+        e1.unionByName(e2), sources, max_hops=4, directed=False
+    )
+
+
+SQL_BFS_DISTANCE = """
+WITH RECURSIVE pk AS (
+  SELECT CAST(p_partkey AS BIGINT) AS k FROM part WHERE p_partkey >= 1
+),
+e0 AS (
+  SELECT k AS src, k // 10 AS dst FROM pk WHERE k // 10 >= 1
+  UNION ALL
+  SELECT k, 1 + ((31 * k + 7) % (SELECT COUNT(*) FROM pk)) FROM pk
+),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+b AS (
+  SELECT CAST(1 AS BIGINT) AS node, 0 AS dist
+  UNION
+  SELECT e.dst, b.dist + 1
+  FROM b JOIN e ON e.src = b.node
+  WHERE b.dist < 4
+)
+SELECT node, CAST(MIN(dist) AS INT) AS dist FROM b GROUP BY node
+"""
+
+
+def x_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus subsample, k=200 — Efraimidis–Spirakis
+    exponential clocks on the portable hash
+    (operators/sampling.py::weighted_sample): top-k by clock is
+    TakeOrderedAndProject (per-partition heaps, no data shuffle); the
+    output is float-free membership."""
+    from pdcm_etl_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _docs(spark, sf_dir), "doc_id", "n_chars", k=200
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+_H60_DOC = DUCK_H60.format(col="CAST(doc_id AS VARCHAR)")
+
+SQL_SAMPLE_WEIGHTED = f"""
+WITH w AS (
+  SELECT doc_id, lang, source, n_chars,
+         -ln((({_H60_DOC}) % 1073741824 + 1) / 1073741825.0)
+           / CAST(n_chars AS DOUBLE) AS clock
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang, source, n_chars
+FROM w ORDER BY clock, doc_id LIMIT 200
+"""
+
+
+EXTENSION_B_CATALOG: dict[str, tuple] = {
+    "string_agg_ordered": (x_string_agg_ordered, SQL_STRING_AGG_ORDERED),
+    "linreg_group": (x_linreg_group, SQL_LINREG_GROUP),
+    "chi_square_assoc": (x_chi_square_assoc, SQL_CHI_SQUARE_ASSOC),
+    "benford_profile": (x_benford_profile, SQL_BENFORD_PROFILE),
+    "entropy_profile": (x_entropy_profile, SQL_ENTROPY_PROFILE),
+    "gini_concentration": (x_gini_concentration, SQL_GINI_CONCENTRATION),
+    "dq_check": (x_dq_check, SQL_DQ_CHECK),
+    "bfs_distance": (x_bfs_distance, SQL_BFS_DISTANCE),
+    "sample_weighted": (x_sample_weighted, SQL_SAMPLE_WEIGHTED),
+}

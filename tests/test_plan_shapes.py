@@ -757,3 +757,72 @@ def test_crosstab_lift_single_data_scan(spark, sf_dir, queries):
     rows = df.collect()
     assert rows and all(r["n"] <= r["row_n"] and r["n"] <= r["col_n"]
                         for r in rows)
+
+
+def test_linreg_single_pass_partial_agg(spark, sf_dir, queries):
+    # the five sufficient statistics come from ONE keyed aggregation
+    # with map-side partials — one scan, one shuffle, no second pass
+    simple = _plan(queries["linreg_group"](spark, sf_dir), mode="simple")
+    assert simple.count("FileScan parquet") == 1
+    assert simple.count("Exchange") == 1
+    assert "partial_sum" in simple or "partial_count" in simple
+
+
+def test_chi_square_broadcast_marginals_single_cell_scan(
+    spark, sf_dir, queries
+):
+    # cells checkpoint once; marginals + totals re-derive from the cells
+    # and re-enter by broadcast — never a second data scan or SMJ
+    simple = _plan(queries["chi_square_assoc"](spark, sf_dir), mode="simple")
+    assert simple.count("FileScan parquet") == 0  # cells are checkpointed
+    assert "SortMergeJoin" not in simple
+    assert "BroadcastNestedLoopJoin" not in simple or (
+        # the final one-row total crossJoin is a bounded broadcast NLJ
+        simple.count("BroadcastNestedLoopJoin") <= 1
+    )
+
+
+def test_benford_bounded_agg_broadcast_total(spark, sf_dir, queries):
+    # 9-group aggregation + one-row broadcast total: no SMJ, one scan
+    simple = _plan(queries["benford_profile"](spark, sf_dir), mode="simple")
+    # digit counts checkpoint (≤9 rows): the broadcast total derives
+    # from them — the data is scanned ONCE
+    assert simple.count("FileScan parquet") == 0
+    assert simple.count("Scan ExistingRDD") <= 2
+    assert "SortMergeJoin" not in simple
+
+
+def test_gini_rank_and_agg_share_one_shuffle(spark, sf_dir, queries):
+    # the rank window and the per-key aggregation both key on lang —
+    # Spark reuses the window's hash partitioning for the agg, so the
+    # whole query is ONE data Exchange (plus the docs-spread repartition)
+    simple = _plan(queries["gini_concentration"](spark, sf_dir), mode="simple")
+    assert simple.count("Exchange") <= 2
+    assert "Window" in simple
+
+
+def test_dq_check_one_conditional_pass_per_table(spark, sf_dir, queries):
+    # 7 rules over 2 fact tables must NOT plan 7 scans: orders appears
+    # in the rule pass + the FK probe + its checked-count (3), lineitem
+    # in the rule pass + pk pass (2), customer once as broadcast dim
+    simple = _plan(queries["dq_check"](spark, sf_dir), mode="simple")
+    assert simple.count("FileScan parquet") <= 6
+    assert "BroadcastHashJoin" in simple  # FK anti-join broadcasts the dim
+    assert "SortMergeJoin" not in simple
+
+
+def test_sample_weighted_is_topk_heap_no_data_shuffle(
+    spark, sf_dir, queries
+):
+    # A-ES top-k must plan as TakeOrderedAndProject (per-partition
+    # heaps), never a global Sort + Exchange of the corpus
+    simple = _plan(queries["sample_weighted"](spark, sf_dir), mode="simple")
+    assert "TakeOrderedAndProject" in simple
+    assert "Sort " not in simple
+
+
+def test_bfs_no_bnlj_and_no_python(spark, sf_dir, queries):
+    simple = _plan(queries["bfs_distance"](spark, sf_dir), mode="simple")
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "CartesianProduct" not in simple
+    assert "BatchEvalPython" not in simple

@@ -1562,3 +1562,105 @@ def test_rolling_aggregate_id_col_parameterized(spark):
     assert rows["r2"]["roll_events"] == 2
     assert rows["r2"]["roll_value_micro"] == 3_000_000
     assert rows["r3"]["roll_events"] == 1
+
+
+def test_gini_known_distributions(spark):
+    from pdcm_etl_spark.operators.analytics import gini_concentration
+
+    # perfect equality -> 0; total concentration -> (n-1)/n
+    eq = spark.createDataFrame(
+        [("a", i, 10) for i in range(5)], "k string, id int, v int"
+    )
+    conc = spark.createDataFrame(
+        [("b", 0, 100)] + [("b", i, 0) for i in range(1, 5)],
+        "k string, id int, v int",
+    )
+    out = {
+        r["key"]: r["gini_ppm"]
+        for r in gini_concentration(
+            eq.unionByName(conc), "k", "v", "id"
+        ).collect()
+    }
+    assert out["a"] == 0
+    assert out["b"] == 800_000  # (n-1)/n = 4/5
+
+
+def test_linreg_recovers_exact_line(spark):
+    from pdcm_etl_spark.operators.analytics import linreg_group
+
+    # y = 3x + 7 exactly -> slope_ppm = 3e6, intercept_milli = 7e3
+    df = spark.createDataFrame(
+        [("g", x, 3 * x + 7) for x in range(1, 20)],
+        "k string, x int, y int",
+    )
+    row = linreg_group(df, "k", "x", "y").collect()[0]
+    assert row["slope_ppm"] == 3_000_000
+    assert row["intercept_milli"] == 7_000
+    # zero x-variance -> NULL slope (the SQL-natural contract)
+    flat = spark.createDataFrame(
+        [("f", 2, y) for y in range(5)], "k string, x int, y int"
+    )
+    row = linreg_group(flat, "k", "x", "y").collect()[0]
+    assert row["slope_ppm"] is None
+
+
+def test_chi_square_independent_table_is_zero(spark):
+    from pdcm_etl_spark.operators.analytics import chi_square_assoc
+
+    # perfectly independent 2x2 (all margins equal) -> chi2 == 0
+    rows = [("a", "x")] * 10 + [("a", "y")] * 10 + \
+           [("b", "x")] * 10 + [("b", "y")] * 10
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi_square_assoc(df, "r", "c").collect()[0]
+    assert out["chi2_milli"] == 0
+    assert out["deg_freedom"] == 1
+    assert out["total"] == 40
+
+
+def test_bfs_distances_on_path_graph(spark):
+    from pdcm_etl_spark.operators.graph import bfs_distances
+
+    # path 0-1-2-...-9, source 0, max_hops 4 -> dists 0..4, rest absent
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    src = spark.createDataFrame([(0,)], "node long")
+    out = {r["node"]: r["dist"] for r in
+           bfs_distances(edges, src, max_hops=4).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+    # directed mode must not walk edges backwards
+    out_dir = {r["node"]: r["dist"] for r in
+               bfs_distances(edges, spark.createDataFrame([(5,)], "node long"),
+                             max_hops=3, directed=True).collect()}
+    assert out_dir == {5: 0, 6: 1, 7: 2, 8: 3}
+
+
+def test_weighted_sample_margin_and_bias(spark, sf_dir):
+    """The A-ES selection must be robust to libm 1-ulp divergence: the
+    gap between the k-th and (k+1)-th exponential clocks at gate scale
+    must dwarf 1e-12 relative. And the sampler must actually BIAS
+    toward weight: the mean sampled length exceeds the corpus mean."""
+    from pyspark.sql import functions as F
+
+    from pdcm_etl_spark.operators.dedup import portable_hash60
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = portable_hash60(F.col("doc_id").cast("string"))
+    u = (h % F.lit(1 << 30) + 1) / F.lit(float((1 << 30) + 1))
+    clocks = sorted(
+        r[0]
+        for r in docs.filter(F.col("n_chars") > 0)
+        .select((-F.log(u) / F.col("n_chars").cast("double")).alias("c"))
+        .collect()
+    )
+    k = 200
+    if len(clocks) > k:
+        gap = (clocks[k] - clocks[k - 1]) / clocks[k - 1]
+        assert gap > 1e-9, f"selection boundary too tight: {gap}"
+
+    from pdcm_etl_spark.operators.sampling import weighted_sample
+
+    samp = weighted_sample(docs, "doc_id", "n_chars", k=min(k, 50))
+    mean_s = samp.agg(F.avg("n_chars")).first()[0]
+    mean_all = docs.agg(F.avg("n_chars")).first()[0]
+    assert mean_s > mean_all
