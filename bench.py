@@ -122,6 +122,17 @@ HEADLINE = [
     "target_encode",
     "robust_scale",
     "spearman_corr",
+    # round-6 additions: statistical analytics + DQ + BFS + LISTAGG +
+    # weighted sampling
+    "linreg_group",
+    "chi_square_assoc",
+    "benford_profile",
+    "entropy_profile",
+    "gini_concentration",
+    "dq_check",
+    "bfs_distance",
+    "string_agg_ordered",
+    "sample_weighted",
 ]
 
 

@@ -10,23 +10,13 @@ rotation actually landed every previously-unchecked query inside it
 # cumulatively driver-proven in r1-r4 and stays oracle-checked every
 # pytest run (tests/test_oracle_parity.py)
 ROTATED_IN = [
-    # round-5 additions (never driver-checked)
-    "heavy_hitters", "approx_quantile",
-    "dedup_groups_star", "kmeans_assign_bcast",
-    # codec rewritten in round 5 (real BMP decode) — re-prove
-    "multimodal_decode",
-    # oracle rewritten in round 5 (kept-window partition + empty-winner
-    # fallback per r4 ADVICE) — re-prove
-    "bpe_train", "bpe_encode",
-    # round-5 session-2 additions (never driver-checked)
-    "rolling_window", "interval_overlap_join", "key_skew_profile",
-    "partition_prune", "dedup_winnow",
-    # round-5 session-3 additions (never driver-checked)
-    "dedup_prefix_filter", "token_budget_select", "snapshot_diff",
-    "sorted_neighborhood", "multimodal_audio",
-    "assoc_rules", "event_transitions", "table_stats", "twap",
-    "crosstab_lift", "kcore", "stream_windowed_topk", "anomaly_mad",
-    "percentile_rank",
+    # round-6 additions (never driver-checked)
+    "linreg_group", "chi_square_assoc", "benford_profile",
+    "entropy_profile", "gini_concentration", "dq_check", "bfs_distance",
+    "string_agg_ordered", "sample_weighted",
+    # the r5 queue — added in round 5 but outside that round's full
+    # window; first driver hash this round
+    "target_encode", "robust_scale", "spearman_corr",
 ]
 
 
@@ -57,13 +47,15 @@ def test_first_50_covers_every_family():
         "timeseries": ["events_daily", "cohort_retention",
                        "timeseries_gapfill"],
         "anomaly": ["anomaly_iqr", "anomaly_mad"],
-        "recursion": ["recursive_closure", "pagerank"],
-        "graph-analytics": ["triangle_count", "pagerank", "kcore"],
+        "recursion": ["recursive_closure", "pagerank", "bfs_distance"],
+        "graph-analytics": ["triangle_count", "pagerank", "kcore",
+                            "bfs_distance"],
         "assoc": ["itemset_pairs", "assoc_rules"],
         "dedup": ["dedup_edit_distance", "dedup_minhash_lsh",
                   "dedup_minhash_incremental", "dedup_keeper_quality",
                   "dedup_semantic", "dedup_groups", "dedup_groups_star",
-                  "dedup_paragraph", "dedup_containment", "dedup_winnow"],
+                  "dedup_paragraph", "dedup_containment", "dedup_winnow",
+                  "dedup_prefix_filter"],
         "skyline": ["pareto_frontier"],
         "domain-mix": ["sample_domain_mix"],
         "similarity": ["ann_ivf_trained_topk"],
@@ -81,8 +73,9 @@ def test_first_50_covers_every_family():
         "table-profile": ["table_stats", "profile_notnull"],
         "markov": ["event_transitions"],
         "twap": ["twap"],
-        "crosstab": ["crosstab_lift"],
-        "sampling": ["sample_stratified", "shuffle_shards"],
+        "crosstab": ["crosstab_lift", "chi_square_assoc"],
+        "sampling": ["sample_stratified", "shuffle_shards",
+                     "sample_weighted"],
         "corpus-stats": ["ngram_topk", "inverted_index",
                          "corpus_language_mix"],
         "tokenizer": ["bpe_pair_counts", "bpe_train", "bpe_encode"],
@@ -94,7 +87,14 @@ def test_first_50_covers_every_family():
         "quality-filter": ["quality_percentile", "percentile_rank"],
         "feature-encode": ["target_encode", "percentile_rank",
                            "robust_scale"],
-        "correlation": ["spearman_corr", "crosstab_lift"],
+        "correlation": ["spearman_corr", "crosstab_lift",
+                        "chi_square_assoc", "linreg_group"],
+        "regression": ["linreg_group"],
+        "data-quality": ["dq_check"],
+        "entropy": ["entropy_profile"],
+        "inequality": ["gini_concentration"],
+        "benford": ["benford_profile"],
+        "listagg": ["string_agg_ordered"],
         "streaming": ["stream_events_daily", "stream_events_sliding",
                       "session_window", "stream_stream_join",
                       "stream_sessionize", "stream_dedup",
