@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # remains pinned inside the window by tests/test_registry_window.py.
 _PRIORITY: list[str] = [
     # ---- window slots 1-50: the driver's correctness gate hashes these.
-    # Round-6 rotation: the 9 round-6 additions + the r5 queue
-    # (target_encode / robust_scale / spearman_corr) take the slots of 12
+    # Round-6 rotation: the 12 round-6 additions + the r5 queue
+    # (target_encode / robust_scale / spearman_corr) take the slots of 15
     # r5-driver-proven rows; every rotated-out row stays oracle-checked
     # every pytest run (tests/test_oracle_parity.py) and every family
     # keeps an in-window representative (tests/test_registry_window.py).
@@ -53,7 +53,6 @@ _PRIORITY: list[str] = [
     "except_keys",
     "timeseries_gapfill",
     "anomaly_mad",
-    "percentile_rank",
     # markov + CDC
     "event_transitions",
     "stream_scd2_upsert",
@@ -77,6 +76,11 @@ _PRIORITY: list[str] = [
     # LISTAGG + weighted corpus sampling
     "string_agg_ordered",
     "sample_weighted",
+    # round-6 session-2 additions (never driver-checked): bigram LM,
+    # quantile normalization, record-linkage scoring
+    "bigram_lm_score",
+    "quantile_normalize",
+    "er_score_pairs",
     # r5 queue -- first driver hash this round (oracle-checked in pytest
     # since round 5)
     "target_encode",
@@ -98,7 +102,6 @@ _PRIORITY: list[str] = [
     "multimodal_decode",
     # temporal / window / skew
     "rolling_window",
-    "interval_overlap_join",
     "key_skew_profile",
     # sampling / curation
     "shuffle_shards",
@@ -107,7 +110,6 @@ _PRIORITY: list[str] = [
     "table_stats",
     # tokenizer
     "bpe_train",
-    "bpe_encode",
     "corpus_curation",
     "stump_train",
     # layout
@@ -119,6 +121,9 @@ _PRIORITY: list[str] = [
     # ---- below the 50-row window: all driver-proven in r1-r5, still
     # oracle-checked every pytest run
     "heavy_hitters",
+    "percentile_rank",
+    "interval_overlap_join",
+    "bpe_encode",
     "dedup_groups_star",
     "dedup_winnow",
     "pagerank",

@@ -133,6 +133,9 @@ HEADLINE = [
     "bfs_distance",
     "string_agg_ordered",
     "sample_weighted",
+    "bigram_lm_score",
+    "quantile_normalize",
+    "er_score_pairs",
 ]
 
 

@@ -943,3 +943,52 @@ def sorted_neighborhood_pairs(
             ),
         )
     )
+
+
+def linkage_score_pairs(
+    pairs: DataFrame,
+    attrs: DataFrame,
+    id_col: str,
+    exact_rules: list[tuple[str, str, int]],
+    tol_rules: list[tuple[str, str, int, int]] = (),
+    threshold: int = 0,
+) -> DataFrame:
+    """Record-linkage pair scoring (the Fellegi–Sunter decision step
+    over blocked candidates): per candidate pair, an integer match
+    score summed from per-field agreement weights — ``exact_rules`` =
+    (rule_name, column, weight) on equality, ``tol_rules`` =
+    (rule_name, column, tolerance, weight) on |a−b| ≤ tolerance for
+    integer columns. Integer weights keep the oracle exact (classical
+    FS log-likelihood weights are floats; fixed-point them upstream).
+
+    Scale shape: candidates come from a BLOCKER (sorted-neighborhood /
+    LSH — never all pairs); attributes re-enter by two id-keyed equi
+    joins (the pair table carries ids only, so the wide attribute rows
+    are never inside the blocker's shuffle); scoring is pure column
+    arithmetic. Returns the pair ids + per-rule agreement flags +
+    ``score`` (+ ``is_match`` at ``threshold``), match-or-above only.
+    """
+    cols = sorted({c for _, c, _ in exact_rules} | {c for _, c, _, _ in tol_rules})
+    a = attrs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"__a_{c}") for c in cols],
+    )
+    b = attrs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in cols],
+    )
+    j = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    flags, score = [], F.lit(0)
+    for name, c, w in exact_rules:
+        agree = (F.col(f"__a_{c}") == F.col(f"__b_{c}")) & F.col(
+            f"__a_{c}"
+        ).isNotNull()
+        flags.append(agree.alias(name))
+        score = score + F.when(agree, w).otherwise(0)
+    for name, c, tol, w in tol_rules:
+        agree = F.abs(F.col(f"__a_{c}") - F.col(f"__b_{c}")) <= tol
+        flags.append(agree.alias(name))
+        score = score + F.when(agree, w).otherwise(0)
+    return j.select(
+        "id_a", "id_b", *flags, score.cast("bigint").alias("score")
+    ).filter(F.col("score") >= threshold)

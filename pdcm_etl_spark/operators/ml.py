@@ -9,7 +9,7 @@ oracle reproduces the model bit-for-bit — no float loss surfaces).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
@@ -467,4 +467,104 @@ def spearman_corr_ppm(
                 " * n - 1)) AS BIGINT) END"
             ).cast("bigint").alias("rho_ppm"),
         )
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Quantile normalization: every value is replaced by the GLOBAL
+    order statistic at its within-group percentile rank — after it, all
+    groups share one distribution (the cross-array calibration step of
+    expression/analytics pipelines; here: make document-length
+    distributions comparable across languages). Type-1 (no
+    interpolation, integer-exact): target index = ⌈r·N/n_g⌉ computed as
+    ``(r·N + n_g − 1) div n_g`` — identical truncation both engines.
+
+    Scale shape, no global single-task sort anywhere:
+      1. within-group rank + group size — ONE group-keyed shuffle
+         (two windows, same partitioning);
+      2. GLOBAL ranks via the range-bucket decomposition
+         (sorted_neighborhood's trick, numeric): bucket by value range
+         (bounds from a 2-scalar agg — the only collect, 2 values),
+         rank inside each bucket, add broadcast bucket offsets from the
+         bucket-cardinality-sized running sum. Sort parallelism =
+         n_buckets, grow with data;
+      3. one equi join of row target-index against the global
+         order-stat table (data-sized, keyed — AQE-managed).
+
+    Global order ties break by (value, key, id) — total and portable.
+    Returns (``id_col``, ``key_col``, ``value_col``, q_value).
+    """
+    n_g_w = Window.partitionBy(key_col)
+    r_w = Window.partitionBy(key_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        id_col,
+        key_col,
+        value_col,
+        F.row_number().over(r_w).cast("bigint").alias("__r"),
+        F.count(F.lit(1)).over(n_g_w).cast("bigint").alias("__ng"),
+    )
+
+    lo, hi = df.agg(F.min(value_col), F.max(value_col)).first()
+    if lo is None:
+        return ranked.select(
+            id_col, key_col, value_col,
+            F.col(value_col).alias("q_value"),
+        ).limit(0)
+    width = (float(hi) - float(lo)) / n_buckets or 1.0
+    bk = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+    )
+    in_bucket = Window.partitionBy("__bk").orderBy(
+        F.col(value_col).asc(), F.col(key_col).asc(), F.col(id_col).asc()
+    )
+    bucketed = df.select(value_col, key_col, id_col).withColumn("__bk", bk)
+    local = bucketed.withColumn(
+        "__lr", F.row_number().over(in_bucket).cast("bigint")
+    )
+    # bucket counts: ONE bounded (n_buckets rows) aggregate feeds both
+    # the running-sum offsets and the grand total — no extra data scan
+    bcounts = (
+        bucketed.groupBy("__bk")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .localCheckpoint(eager=True)
+    )
+    off_w = Window.orderBy("__bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bcounts.select(
+        "__bk",
+        F.coalesce(F.sum("__bn").over(off_w), F.lit(0))
+        .cast("bigint")
+        .alias("__off"),
+    )
+    # order-stat table is DATA-SIZED (one row per input row): the final
+    # join must shuffle — Catalyst's estimate behind the window subtree
+    # underestimates it and would broadcast the whole corpus (the
+    # jaccard _size_sides hazard), so the join strategy is pinned
+    order_stats = (
+        local.join(F.broadcast(offsets), "__bk")
+        .select(
+            (F.col("__lr") + F.col("__off")).alias("__gr"),
+            F.col(value_col).alias("q_value"),
+        )
+        .hint("shuffle_hash")
+    )
+    total = bcounts.agg(F.sum("__bn").cast("bigint").alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(
+            "__idx",
+            F.expr("(__r * __n + __ng - 1) div __ng"),
+        )
+        .join(order_stats, F.col("__idx") == F.col("__gr"))
+        .select(id_col, key_col, value_col, "q_value")
     )

@@ -751,3 +751,68 @@ def language_mix(df: DataFrame, lang_col: str = "lang", text_col: str = "text") 
             .alias("share_ppm"),
         )
     )
+
+
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram language-model quality scoring — the conditional-
+    probability upgrade of ``unigram_lm_score`` (CCNet-style LM
+    filtering scores transitions, not just word frequency: garbage
+    word ORDER scores low even when every word is common).
+
+    Integer-exact like the unigram twin: each bigram's conditional
+    probability P(w2|w1) is pre-quantized to ppm against the count of
+    bigrams STARTING with w1 (``(c2 · 1e6) div c1`` ≤ 1e6, so per-doc
+    sums never overflow), the doc score is the mean transition ppm and
+    ``min_cond_ppm`` the rarest transition (the strongest single
+    incoherence signal).
+
+    Scale shape: bigrams come out of the word array MAP-SIDE
+    (slice+zip — never a positional self-join of exploded words); one
+    bigram-vocab aggregation; the w1 marginal re-aggregates the vocab
+    (vocabulary-sized, and its exchange is shared with the scoring
+    join via AQE ReuseExchange — identical subplan); one (w1,w2) join;
+    one per-doc aggregation. No data-sized collect, no UDF.
+
+    Returns (``id_col``, n_bigrams, lm2_score_ppm, min_cond_ppm).
+    """
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda w: w != ""
+    )
+    doc_bi = (
+        df.select(F.col(id_col).alias("id"), ws.alias("__ws"))
+        .withColumn("__n", F.greatest(F.size("__ws") - 1, F.lit(0)))
+        .withColumn("__l", F.expr("slice(__ws, 1, __n)"))
+        .withColumn("__r", F.expr("slice(__ws, 2, __n)"))
+        .select(
+            "id", F.explode(F.arrays_zip("__l", "__r")).alias("b")
+        )
+        .select(
+            "id",
+            F.col("b.__l").alias("w1"),
+            F.col("b.__r").alias("w2"),
+        )
+    )
+    vocab2 = doc_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # the w1 marginal derives FROM the bigram vocab — vocabulary-sized,
+    # never a second corpus scan
+    w1_tot = vocab2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = vocab2.join(w1_tot, "w1").select(
+        "w1", "w2", F.expr("(c2 * 1000000) div c1").alias("p_ppm")
+    )
+    return (
+        doc_bi.join(scored, ["w1", "w2"])
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("p_ppm").alias("__s"),
+            F.min("p_ppm").alias("min_cond_ppm"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_bigrams",
+            F.expr("__s div n_bigrams").alias("lm2_score_ppm"),
+            "min_cond_ppm",
+        )
+    )

@@ -448,6 +448,148 @@ FROM w ORDER BY clock, doc_id LIMIT 200
 """
 
 
+def x_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (operators/text.py::bigram_lm_score):
+    transition-probability upgrade of the unigram CCNet filter —
+    map-side bigram extraction (slice+zip, no positional self-join),
+    one bigram-vocab agg whose exchange the w1-marginal reuses, one
+    (w1,w2) join, one doc agg. Integer-ppm exact."""
+    from pdcm_etl_spark.operators import text
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return text.bigram_lm_score(docs)
+
+
+SQL_BIGRAM_LM_SCORE = """
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> w != '') AS w
+  FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS b
+  FROM ws WHERE len(w) >= 2
+),
+db AS (SELECT doc_id AS id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+v2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM db GROUP BY w1, w2),
+m1 AS (SELECT w1, SUM(c2) AS c1 FROM v2 GROUP BY w1),
+sv AS (
+  SELECT w1, w2, (c2 * 1000000) // c1 AS p_ppm
+  FROM v2 JOIN m1 USING (w1)
+)
+SELECT d.id AS doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(s.p_ppm) // COUNT(*) AS BIGINT) AS lm2_score_ppm,
+       CAST(MIN(s.p_ppm) AS BIGINT) AS min_cond_ppm
+FROM db d JOIN sv s USING (w1, w2)
+GROUP BY d.id
+"""
+
+
+def x_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize document lengths across languages
+    (operators/ml.py::quantile_normalize): within-group rank → global
+    type-1 order statistic at the same percentile. Global ranks come
+    from the range-bucket decomposition — NO single-task global sort
+    (plan-pinned); the only collect is the 2-value min/max bound."""
+    from pdcm_etl_spark.operators.ml import quantile_normalize
+
+    return quantile_normalize(
+        _docs(spark, sf_dir), "lang", "n_chars", "doc_id"
+    )
+
+
+SQL_QUANTILE_NORMALIZE = """
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+           AS rr,
+         COUNT(*) OVER (PARTITION BY lang) AS ng
+  FROM documents
+),
+g AS (
+  SELECT n_chars AS q_value,
+         ROW_NUMBER() OVER (ORDER BY n_chars, lang, doc_id) AS gr
+  FROM documents
+),
+t AS (SELECT COUNT(*) AS n FROM documents)
+SELECT r.doc_id, r.lang, r.n_chars, g.q_value
+FROM r, t
+JOIN g ON g.gr = (r.rr * t.n + r.ng - 1) // r.ng
+"""
+
+
+def x_er_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage scoring over sorted-neighborhood candidates
+    (operators/dedup.py::linkage_score_pairs): customer near-misses in
+    name order, scored by integer Fellegi–Sunter-style field-agreement
+    weights (nation +10, segment +10, acctbal ±100.00 +25, name-prefix8
+    +40), threshold 35. The blocker never shuffles the wide rows —
+    attributes re-enter by two id-keyed joins."""
+    from pdcm_etl_spark.operators import dedup as dd
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_cents",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint"),
+    ).withColumn("name8", F.substring("c_name", 1, 8))
+    pairs = dd.sorted_neighborhood_pairs(
+        cust, id_col="c_custkey", key_col="c_name", window=5, bucket_len=16
+    )
+    return dd.linkage_score_pairs(
+        pairs,
+        cust,
+        "c_custkey",
+        exact_rules=[
+            ("nation_eq", "c_nationkey", 10),
+            ("segment_eq", "c_mktsegment", 10),
+            ("name8_eq", "name8", 40),
+        ],
+        tol_rules=[("bal_close", "bal_cents", 10000, 25)],
+        threshold=35,
+    )
+
+
+SQL_ER_SCORE_PAIRS = """
+WITH r AS (
+  SELECT c_custkey AS id, c_name AS k,
+         ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rnk
+  FROM customer
+),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 5
+),
+c AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents,
+         SUBSTR(c_name, 1, 8) AS name8
+  FROM customer
+),
+s AS (
+  SELECT p.id_a, p.id_b,
+         ca.c_nationkey = cb.c_nationkey AS nation_eq,
+         ca.c_mktsegment = cb.c_mktsegment AS segment_eq,
+         ca.name8 = cb.name8 AS name8_eq,
+         ABS(ca.bal_cents - cb.bal_cents) <= 10000 AS bal_close
+  FROM p
+  JOIN c ca ON ca.c_custkey = p.id_a
+  JOIN c cb ON cb.c_custkey = p.id_b
+)
+SELECT id_a, id_b, nation_eq, segment_eq, name8_eq, bal_close,
+       CAST(CASE WHEN nation_eq THEN 10 ELSE 0 END
+          + CASE WHEN segment_eq THEN 10 ELSE 0 END
+          + CASE WHEN name8_eq THEN 40 ELSE 0 END
+          + CASE WHEN bal_close THEN 25 ELSE 0 END AS BIGINT) AS score
+FROM s
+WHERE CASE WHEN nation_eq THEN 10 ELSE 0 END
+    + CASE WHEN segment_eq THEN 10 ELSE 0 END
+    + CASE WHEN name8_eq THEN 40 ELSE 0 END
+    + CASE WHEN bal_close THEN 25 ELSE 0 END >= 35
+"""
+
+
 EXTENSION_B_CATALOG: dict[str, tuple] = {
     "string_agg_ordered": (x_string_agg_ordered, SQL_STRING_AGG_ORDERED),
     "linreg_group": (x_linreg_group, SQL_LINREG_GROUP),
@@ -458,4 +600,7 @@ EXTENSION_B_CATALOG: dict[str, tuple] = {
     "dq_check": (x_dq_check, SQL_DQ_CHECK),
     "bfs_distance": (x_bfs_distance, SQL_BFS_DISTANCE),
     "sample_weighted": (x_sample_weighted, SQL_SAMPLE_WEIGHTED),
+    "bigram_lm_score": (x_bigram_lm_score, SQL_BIGRAM_LM_SCORE),
+    "quantile_normalize": (x_quantile_normalize, SQL_QUANTILE_NORMALIZE),
+    "er_score_pairs": (x_er_score_pairs, SQL_ER_SCORE_PAIRS),
 }

@@ -826,3 +826,42 @@ def test_bfs_no_bnlj_and_no_python(spark, sf_dir, queries):
     assert "BroadcastNestedLoopJoin" not in simple
     assert "CartesianProduct" not in simple
     assert "BatchEvalPython" not in simple
+
+
+def test_bigram_lm_no_positional_self_join_no_python(
+    spark, sf_dir, queries
+):
+    """Bigrams must come out of the word array MAP-SIDE (slice+zip) —
+    never a positional self-join of exploded words. Joins in the plan:
+    the w1-marginal join + the doc-scoring join, both keyed."""
+    simple = _plan(queries["bigram_lm_score"](spark, sf_dir), mode="simple")
+    assert "BatchEvalPython" not in simple
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" not in simple
+    n_joins = sum(simple.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins <= 3, simple  # marginal + scoring (+1 AQE variance)
+
+
+def test_quantile_normalize_no_global_sort(spark, sf_dir, queries):
+    """Global order statistics come from the range-bucket decomposition:
+    every data-sized ranking window partitions by the bucket or the
+    group; the only unpartitioned window is over the bucket-totals
+    aggregate (bounded at n_buckets rows)."""
+    plan = _plan(queries["quantile_normalize"](spark, sf_dir), mode="simple")
+    lines = plan.splitlines()
+    rn = [l for l in lines if "row_number() windowspecdefinition" in l]
+    assert rn and all(("__bk" in l) or ("lang" in l) for l in rn), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or plan.count(
+        "BroadcastNestedLoopJoin"
+    ) <= 1  # the 1-row total crossJoin broadcast only
+    # the order-stat join is keyed, never a broadcast of the data side
+    assert "BroadcastHashJoin [__idx" not in plan, plan
+
+
+def test_er_score_attribute_joins_keyed(spark, sf_dir, queries):
+    simple = _plan(queries["er_score_pairs"](spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "BatchEvalPython" not in simple

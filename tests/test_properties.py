@@ -1664,3 +1664,63 @@ def test_weighted_sample_margin_and_bias(spark, sf_dir):
     mean_s = samp.agg(F.avg("n_chars")).first()[0]
     mean_all = docs.agg(F.avg("n_chars")).first()[0]
     assert mean_s > mean_all
+
+
+def test_bigram_lm_exact_small_doc(spark):
+    from pdcm_etl_spark.operators.text import bigram_lm_score
+
+    # doc1 "a b a b a": bigrams ab,ba,ab,ba; doc2 "a c": bigram ac
+    # c1(a)=3 (ab,ab,ac), c1(b)=2 -> P(b|a)=2e6 div 3, P(a|b)=1e6,
+    # P(c|a)=1e6 div 3
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_score(df).collect()}
+    p_ab, p_ac = 2_000_000 // 3, 1_000_000 // 3
+    assert out[1]["n_bigrams"] == 4
+    assert out[1]["lm2_score_ppm"] == (2 * p_ab + 2 * 1_000_000) // 4
+    assert out[1]["min_cond_ppm"] == p_ab
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["lm2_score_ppm"] == p_ac
+    assert 3 not in out  # single-word doc has no bigrams
+
+
+def test_quantile_normalize_equalizes_groups(spark):
+    from pdcm_etl_spark.operators.ml import quantile_normalize
+
+    # two equal-size groups with different scales: after normalization
+    # both carry the SAME multiset of q_values (the defining property)
+    rows = [("g1", i, v) for i, v in enumerate([1, 2, 3, 4])] + [
+        ("g2", 10 + i, v) for i, v in enumerate([100, 200, 300, 400])
+    ]
+    df = spark.createDataFrame(rows, "g string, id int, v int")
+    out = quantile_normalize(df, "g", "v", "id")
+    g1 = sorted(r["q_value"] for r in out.filter("g = 'g1'").collect())
+    g2 = sorted(r["q_value"] for r in out.filter("g = 'g2'").collect())
+    assert g1 == g2
+    # type-1 order stats: idx = ceil(r*8/4) = 2,4,6,8 -> global sorted
+    # [1,2,3,4,100,200,300,400] positions -> [2,4,200,400]
+    assert g1 == [2, 4, 200, 400]
+
+
+def test_linkage_score_pairs_weights_and_threshold(spark):
+    from pdcm_etl_spark.operators.dedup import linkage_score_pairs
+
+    attrs = spark.createDataFrame(
+        [(1, "US", 100), (2, "US", 150), (3, "DE", 900)],
+        "id long, country string, bal long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    out = linkage_score_pairs(
+        pairs, attrs, "id",
+        exact_rules=[("country_eq", "country", 10)],
+        tol_rules=[("bal_close", "bal", 100, 5)],
+        threshold=15,
+    )
+    rows = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    assert set(rows) == {(1, 2)}  # (1,3): 0 + 0 < 15
+    assert rows[(1, 2)]["score"] == 15
+    assert rows[(1, 2)]["country_eq"] and rows[(1, 2)]["bal_close"]

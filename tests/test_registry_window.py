@@ -13,7 +13,8 @@ ROTATED_IN = [
     # round-6 additions (never driver-checked)
     "linreg_group", "chi_square_assoc", "benford_profile",
     "entropy_profile", "gini_concentration", "dq_check", "bfs_distance",
-    "string_agg_ordered", "sample_weighted",
+    "string_agg_ordered", "sample_weighted", "bigram_lm_score",
+    "quantile_normalize", "er_score_pairs",
     # the r5 queue — added in round 5 but outside that round's full
     # window; first driver hash this round
     "target_encode", "robust_scale", "spearman_corr",
@@ -95,6 +96,9 @@ def test_first_50_covers_every_family():
         "inequality": ["gini_concentration"],
         "benford": ["benford_profile"],
         "listagg": ["string_agg_ordered"],
+        "lm-filter": ["unigram_lm_score", "bigram_lm_score"],
+        "quantile-normalize": ["quantile_normalize"],
+        "entity-resolution": ["sorted_neighborhood", "er_score_pairs"],
         "streaming": ["stream_events_daily", "stream_events_sliding",
                       "session_window", "stream_stream_join",
                       "stream_sessionize", "stream_dedup",
