@@ -81,6 +81,7 @@ _PRIORITY: list[str] = [
     "bigram_lm_score",
     "quantile_normalize",
     "er_score_pairs",
+    "dedup_recall",
     # r5 queue -- first driver hash this round (oracle-checked in pytest
     # since round 5)
     "target_encode",
@@ -104,7 +105,6 @@ _PRIORITY: list[str] = [
     "rolling_window",
     "key_skew_profile",
     # sampling / curation
-    "shuffle_shards",
     "twap",
     "sample_domain_mix",
     "table_stats",
@@ -121,6 +121,7 @@ _PRIORITY: list[str] = [
     # ---- below the 50-row window: all driver-proven in r1-r5, still
     # oracle-checked every pytest run
     "heavy_hitters",
+    "shuffle_shards",
     "percentile_rank",
     "interval_overlap_join",
     "bpe_encode",

@@ -136,6 +136,7 @@ HEADLINE = [
     "bigram_lm_score",
     "quantile_normalize",
     "er_score_pairs",
+    "dedup_recall",
 ]
 
 

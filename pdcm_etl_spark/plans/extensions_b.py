@@ -590,6 +590,82 @@ WHERE CASE WHEN nation_eq THEN 10 ELSE 0 END
 """
 
 
+def x_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banding recall harness — ann_recall's twin for dedup: the
+    MinHash+LSH pipeline's verified pairs measured against the
+    CANDIDATE-COMPLETE exact truth at the same threshold (prefix
+    filtering at Jaccard ≥ 0.2, whose completeness is itself proven by
+    the brute-force dedup_prefix_filter oracle row). Both sides verify
+    with exact Jaccard on full shingle sets, so LSH output ⊆ truth and
+    the gap IS the banding miss rate — the number that decides
+    bands/rows tuning before a 100 TB dedup run.
+
+    Scale: truth + candidates are the two production pipelines
+    unchanged; the comparison adds one pair-keyed semi join and three
+    1-row aggregates (broadcast crossJoin)."""
+    from pdcm_etl_spark.operators import dedup as dd
+
+    docs = _docs(spark, sf_dir)
+    sh = dd.shingles(docs, n=3)
+    truth = dd.prefix_filter_pairs(sh, min_ppm=200_000).select(
+        "id_a", "id_b"
+    )
+    found = dd.minhash_dedup(docs, min_bp=2000).select("id_a", "id_b")
+    hit = found.join(truth, ["id_a", "id_b"], "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    nf = found.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh_pairs"))
+    nh = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    return (
+        nt.crossJoin(F.broadcast(nf))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_true_pairs",
+            "n_lsh_pairs",
+            "n_hit",
+            F.expr(
+                "CAST(CASE WHEN n_true_pairs = 0 THEN NULL"
+                " ELSE (n_hit * 1000000) div n_true_pairs END AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+def _sql_dedup_recall() -> str:
+    from pdcm_etl_spark.plans.extensions import _sql_dedup_minhash_lsh
+
+    return f"""
+WITH ws AS (
+  SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
+), d AS (
+  SELECT id, list_distinct(list_transform(
+           range(greatest(len(w) - 2, 0)),
+           i -> array_to_string(list_slice(w, i + 1, i + 3), ' '))) AS toks
+  FROM ws
+), p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         len(list_intersect(a.toks, b.toks)) AS i,
+         len(a.toks) AS na, len(b.toks) AS nb
+  FROM d a JOIN d b ON a.id < b.id
+  WHERE len(a.toks) > 0 AND len(b.toks) > 0
+), truth AS (
+  SELECT id_a, id_b FROM p
+  WHERE (i * 1000000) // (na + nb - i) >= 200000
+), found AS (
+  SELECT id_a, id_b FROM ({_sql_dedup_minhash_lsh(min_bp=2000)})
+), h AS (
+  SELECT COUNT(*) AS n_hit
+  FROM (SELECT id_a, id_b FROM found INTERSECT
+        SELECT id_a, id_b FROM truth)
+), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM truth),
+f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh_pairs FROM found)
+SELECT t.n_true_pairs, f.n_lsh_pairs, CAST(h.n_hit AS BIGINT) AS n_hit,
+       CAST(CASE WHEN t.n_true_pairs = 0 THEN NULL
+            ELSE (h.n_hit * 1000000) // t.n_true_pairs END AS BIGINT)
+         AS recall_ppm
+FROM t, f, h
+"""
+
+
 EXTENSION_B_CATALOG: dict[str, tuple] = {
     "string_agg_ordered": (x_string_agg_ordered, SQL_STRING_AGG_ORDERED),
     "linreg_group": (x_linreg_group, SQL_LINREG_GROUP),
@@ -603,4 +679,5 @@ EXTENSION_B_CATALOG: dict[str, tuple] = {
     "bigram_lm_score": (x_bigram_lm_score, SQL_BIGRAM_LM_SCORE),
     "quantile_normalize": (x_quantile_normalize, SQL_QUANTILE_NORMALIZE),
     "er_score_pairs": (x_er_score_pairs, SQL_ER_SCORE_PAIRS),
+    "dedup_recall": (x_dedup_recall, _sql_dedup_recall()),
 }

@@ -1724,3 +1724,16 @@ def test_linkage_score_pairs_weights_and_threshold(spark):
     assert set(rows) == {(1, 2)}  # (1,3): 0 + 0 < 15
     assert rows[(1, 2)]["score"] == 15
     assert rows[(1, 2)]["country_eq"] and rows[(1, 2)]["bal_close"]
+
+
+def test_dedup_recall_lsh_subset_of_truth(spark, sf_dir):
+    # LSH-verified pairs verify with exact Jaccard at the SAME threshold
+    # as the candidate-complete truth, so found ⊆ truth: n_hit ==
+    # n_lsh_pairs and recall_ppm ∈ [0, 1e6]
+    import __spark_entry__ as e
+
+    row = e.queries()["dedup_recall"](spark, sf_dir).collect()[0]
+    assert row["n_hit"] == row["n_lsh_pairs"]
+    assert row["n_true_pairs"] >= row["n_hit"]
+    if row["n_true_pairs"]:
+        assert 0 <= row["recall_ppm"] <= 1_000_000

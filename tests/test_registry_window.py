@@ -14,7 +14,7 @@ ROTATED_IN = [
     "linreg_group", "chi_square_assoc", "benford_profile",
     "entropy_profile", "gini_concentration", "dq_check", "bfs_distance",
     "string_agg_ordered", "sample_weighted", "bigram_lm_score",
-    "quantile_normalize", "er_score_pairs",
+    "quantile_normalize", "er_score_pairs", "dedup_recall",
     # the r5 queue — added in round 5 but outside that round's full
     # window; first driver hash this round
     "target_encode", "robust_scale", "spearman_corr",
@@ -61,6 +61,7 @@ def test_first_50_covers_every_family():
         "domain-mix": ["sample_domain_mix"],
         "similarity": ["ann_ivf_trained_topk"],
         "ann-eval": ["ann_recall"],
+        "dedup-eval": ["dedup_recall"],
         "text": ["text_quality", "text_tfidf", "text_chunk",
                  "text_pii_scrub", "text_contamination", "text_repetition",
                  "unigram_lm_score"],
