@@ -116,11 +116,14 @@ _PRIORITY: list[str] = [
     "partition_prune",
     "pack_sequences",
     "quality_percentile",
-    # streaming representatives
-    "stream_events_sliding",
+    # streaming representatives (sliding rotated out — r4/r5-proven;
+    # the round-6 DQ monitor keeps the family growing, windowed
+    # immediately)
+    "stream_dq_monitor",
     # ---- below the 50-row window: all driver-proven in r1-r5, still
     # oracle-checked every pytest run
     "heavy_hitters",
+    "stream_events_sliding",
     "shuffle_shards",
     "percentile_rank",
     "interval_overlap_join",

@@ -137,6 +137,7 @@ HEADLINE = [
     "quantile_normalize",
     "er_score_pairs",
     "dedup_recall",
+    "stream_dq_monitor",
 ]
 
 

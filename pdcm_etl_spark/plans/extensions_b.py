@@ -666,6 +666,38 @@ FROM t, f, h
 """
 
 
+def x_stream_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DQ monitor: tumbling-day windows of conditional
+    violation counters maintained by the watermarked stream; integer
+    ppm rates derived at the sink read
+    (streaming/events_stream.py::dq_monitor_stream). Oracle is the
+    batch equivalent by date_trunc."""
+    from pdcm_etl_spark.streaming.events_stream import dq_monitor_stream
+
+    return dq_monitor_stream(spark, sf_dir)
+
+
+SQL_STREAM_DQ_MONITOR = """
+WITH c AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type NOT IN
+                  ('click','view','signup','purchase','error')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_type,
+         CAST(SUM(CASE WHEN value IS NULL OR value <= 0 OR value > 400
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_value,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_error
+  FROM events GROUP BY 1
+)
+SELECT win_start, n_events, v_type, v_value,
+       CAST((v_value * 1000000) // n_events AS BIGINT)
+         AS value_violation_ppm,
+       CAST((n_error * 1000000) // n_events AS BIGINT) AS error_share_ppm
+FROM c
+"""
+
+
 EXTENSION_B_CATALOG: dict[str, tuple] = {
     "string_agg_ordered": (x_string_agg_ordered, SQL_STRING_AGG_ORDERED),
     "linreg_group": (x_linreg_group, SQL_LINREG_GROUP),
@@ -680,4 +712,5 @@ EXTENSION_B_CATALOG: dict[str, tuple] = {
     "quantile_normalize": (x_quantile_normalize, SQL_QUANTILE_NORMALIZE),
     "er_score_pairs": (x_er_score_pairs, SQL_ER_SCORE_PAIRS),
     "dedup_recall": (x_dedup_recall, _sql_dedup_recall()),
+    "stream_dq_monitor": (x_stream_dq_monitor, SQL_STREAM_DQ_MONITOR),
 }

@@ -417,3 +417,68 @@ def windowed_topk_stream(
         .filter(F.col("rank") <= k)
         .select("win_start", "event_type", "n_events", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def dq_monitor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality monitor: watermarked tumbling-day windows
+    carrying CONDITIONAL violation counts per rule — the
+    dq_check suite lifted onto the stream (the production shape: rule
+    rates as incremental windowed state, alerting reads the sink). The
+    violation predicates are pure row columns, so the streaming state
+    per window is one row of counters — never per-event state.
+
+    Rules over the event stream: type outside the expected domain,
+    value outside (0, 400], error-type share (an operational signal,
+    not a violation — same counter machinery). Integer-ppm rates
+    derived at the SINK read (a rate is a ratio of two counters — the
+    counters are the incremental part, exactly like the topk split).
+    """
+    ev = events_stream_source(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    ~F.col("event_type").isin(
+                        "click", "view", "signup", "purchase", "error"
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("v_type"),
+            F.sum(
+                F.when(
+                    F.col("value").isNull()
+                    | (F.col("value") <= 0)
+                    | (F.col("value") > 400),
+                    1,
+                ).otherwise(0)
+            ).alias("v_value"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("n_error"),
+        )
+        .select(F.col("win.start").alias("win_start"), "n_events",
+                "v_type", "v_value", "n_error")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("events_dq_monitor")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("events_dq_monitor").select(
+        "win_start",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("v_type").cast("bigint").alias("v_type"),
+        F.col("v_value").cast("bigint").alias("v_value"),
+        F.expr("CAST((v_value * 1000000) div n_events AS BIGINT)").alias(
+            "value_violation_ppm"
+        ),
+        F.expr("CAST((n_error * 1000000) div n_events AS BIGINT)").alias(
+            "error_share_ppm"
+        ),
+    )

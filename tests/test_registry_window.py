@@ -15,6 +15,7 @@ ROTATED_IN = [
     "entropy_profile", "gini_concentration", "dq_check", "bfs_distance",
     "string_agg_ordered", "sample_weighted", "bigram_lm_score",
     "quantile_normalize", "er_score_pairs", "dedup_recall",
+    "stream_dq_monitor",
     # the r5 queue — added in round 5 but outside that round's full
     # window; first driver hash this round
     "target_encode", "robust_scale", "spearman_corr",
@@ -103,7 +104,7 @@ def test_first_50_covers_every_family():
         "streaming": ["stream_events_daily", "stream_events_sliding",
                       "session_window", "stream_stream_join",
                       "stream_sessionize", "stream_dedup",
-                      "stream_windowed_topk"],
+                      "stream_windowed_topk", "stream_dq_monitor"],
     }
     missing = {
         fam: reps

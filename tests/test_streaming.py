@@ -83,3 +83,44 @@ def test_stream_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
     # idempotent restart: same checkpoint → no duplicate emission
     second = run_to_parquet(spark, sf_dir, out_dir, ckpt)
     assert second.count() == n_first
+
+
+def test_stream_dq_monitor_counters_match_batch(spark, sf_dir):
+    """The streaming DQ counters must equal the batch conditional-agg
+    over the same lake (the incremental state is pure counters, so the
+    AvailableNow drain is exactly the batch answer)."""
+    from pyspark.sql import functions as F
+
+    from pdcm_etl_spark.plans.catalog import load_events
+    from pdcm_etl_spark.streaming.events_stream import dq_monitor_stream
+
+    got = {
+        r["win_start"]: (r["n_events"], r["v_type"], r["v_value"])
+        for r in dq_monitor_stream(spark, sf_dir).collect()
+    }
+    want = {
+        r["d"]: (r["n"], r["vt"], r["vv"])
+        for r in load_events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    ~F.col("event_type").isin(
+                        "click", "view", "signup", "purchase", "error"
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("vt"),
+            F.sum(
+                F.when(
+                    F.col("value").isNull()
+                    | (F.col("value") <= 0)
+                    | (F.col("value") > 400),
+                    1,
+                ).otherwise(0)
+            ).alias("vv"),
+        )
+        .collect()
+    }
+    assert got == want and got
