@@ -114,9 +114,10 @@ def key_skew_profile(
         .select(
             "key",
             "key_rows",
-            F.expr("CAST((key_rows * 1000000) DIV total_rows AS BIGINT)").alias(
-                "share_ppm"
-            ),
+            F.expr(
+                "CAST((CAST(key_rows AS DECIMAL(38,0)) * 1000000)"
+                " DIV total_rows AS BIGINT)"
+            ).alias("share_ppm"),
             # per-mille of the average key weight: rows * n_keys / total.
             # The product rides DECIMAL(38,0): key_rows·n_keys·1000 passes
             # int64 once key_rows·n_keys ≥ 9.2e15 (a 1e9-row hot key over

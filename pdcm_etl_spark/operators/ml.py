@@ -407,7 +407,9 @@ def robust_scale_ppm(
             # truncates — off by one on every negative deviation
             F.expr(
                 "CASE WHEN mad = 0 THEN CAST(NULL AS BIGINT) ELSE "
-                "((m - med) * 1000000) div mad END"
+                # deviations are in micro units already: ×1e6 passes
+                # int64 once |m − med| > 9.2e12 micro — DECIMAL ride
+                "(CAST(m - med AS DECIMAL(38,0)) * 1000000) div mad END"
             ).cast("bigint").alias("robust_z_ppm"),
         )
     )

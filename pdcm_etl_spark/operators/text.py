@@ -626,7 +626,13 @@ def unigram_lm_score(
     scored_vocab = vocab.select(
         "w",
         "c",
-        F.expr(f"(c * 1000000) div {n_total}").alias("f_ppm"),
+        # c can reach corpus word count (~2e13 words at 100 TB of text):
+        # c * 1e6 passes int64 at 9.2e12 and ANSI Spark aborts — ride
+        # DECIMAL(38,0) (the r5/r6 overflow-audit class)
+        F.expr(
+            f"CAST((CAST(c AS DECIMAL(38,0)) * 1000000) div {n_total}"
+            " AS BIGINT)"
+        ).alias("f_ppm"),
     )
     return (
         doc_words.join(scored_vocab, "w")
@@ -799,7 +805,13 @@ def bigram_lm_score(
     # never a second corpus scan
     w1_tot = vocab2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     scored = vocab2.join(w1_tot, "w1").select(
-        "w1", "w2", F.expr("(c2 * 1000000) div c1").alias("p_ppm")
+        "w1",
+        "w2",
+        # same DECIMAL ride as the unigram f_ppm: c2 is corpus-scale
+        F.expr(
+            "CAST((CAST(c2 AS DECIMAL(38,0)) * 1000000) div c1"
+            " AS BIGINT)"
+        ).alias("p_ppm"),
     )
     return (
         doc_bi.join(scored, ["w1", "w2"])

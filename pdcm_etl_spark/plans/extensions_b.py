@@ -624,7 +624,8 @@ def x_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hit",
             F.expr(
                 "CAST(CASE WHEN n_true_pairs = 0 THEN NULL"
-                " ELSE (n_hit * 1000000) div n_true_pairs END AS BIGINT)"
+                " ELSE (CAST(n_hit AS DECIMAL(38,0)) * 1000000)"
+                " div n_true_pairs END AS BIGINT)"
             ).alias("recall_ppm"),
         )
     )

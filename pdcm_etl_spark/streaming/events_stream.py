@@ -475,10 +475,16 @@ def dq_monitor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("v_type").cast("bigint").alias("v_type"),
         F.col("v_value").cast("bigint").alias("v_value"),
-        F.expr("CAST((v_value * 1000000) div n_events AS BIGINT)").alias(
+        F.expr(
+            "CAST((CAST(v_value AS DECIMAL(38,0)) * 1000000)"
+            " div n_events AS BIGINT)"
+        ).alias(
             "value_violation_ppm"
         ),
-        F.expr("CAST((n_error * 1000000) div n_events AS BIGINT)").alias(
+        F.expr(
+            "CAST((CAST(n_error AS DECIMAL(38,0)) * 1000000)"
+            " div n_events AS BIGINT)"
+        ).alias(
             "error_share_ppm"
         ),
     )
