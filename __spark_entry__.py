@@ -104,9 +104,12 @@ _PRIORITY: list[str] = [
     # temporal / window / skew
     "rolling_window",
     "key_skew_profile",
-    # sampling / curation
-    "twap",
-    "sample_domain_mix",
+    # sampling / curation (twap + sample_domain_mix rotated out —
+    # r5-proven; their umbrella families stay repped by rolling_window /
+    # sample_weighted. The round-6 session-3 pair is windowed
+    # immediately)
+    "sample_weighted_grouped",
+    "join_cardinality_estimate",
     "table_stats",
     # tokenizer
     "bpe_train",
@@ -123,6 +126,8 @@ _PRIORITY: list[str] = [
     # ---- below the 50-row window: all driver-proven in r1-r5, still
     # oracle-checked every pytest run
     "heavy_hitters",
+    "twap",
+    "sample_domain_mix",
     "stream_events_sliding",
     "shuffle_shards",
     "percentile_rank",

@@ -138,6 +138,8 @@ HEADLINE = [
     "er_score_pairs",
     "dedup_recall",
     "stream_dq_monitor",
+    "sample_weighted_grouped",
+    "join_cardinality_estimate",
 ]
 
 

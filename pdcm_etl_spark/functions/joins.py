@@ -260,3 +260,56 @@ def bloom_semi_join(
         fact_key,
         "left_semi",
     )
+
+
+def join_cardinality_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Exact output cardinality of an equi join WITHOUT executing it:
+    |A ⋈ B| = Σₖ cntA(k)·cntB(k) — the pre-flight that decides whether
+    a fact⋈fact join is feasible at all (and finds the key whose
+    per-key product dominates the output — the row-explosion hotspot
+    salting/AQE can't fix, because it's real output, not skew).
+
+    Two keyed count aggregations collapse both sides to key
+    cardinality, meet in one key-keyed equi join, and reduce to ONE
+    row — cost is two map-side-partial aggs + a key-sized join, never
+    the join's own output. The product sum rides DECIMAL(38,0)
+    (two 1e12-row hot keys alone give 1e24 output rows — int64 died
+    at 9.2e18).
+
+    Returns (left_rows, right_rows, n_common_keys, join_rows,
+    max_key_rows) — max_key_rows is the largest single-key
+    contribution.
+    """
+    la = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    ra = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    per_key = la.join(ra, "k").select(
+        "k",
+        (F.col("ca").cast("decimal(38,0)") * F.col("cb")).alias("p"),
+    )
+    lt = left.agg(F.count(F.lit(1)).cast("bigint").alias("left_rows"))
+    rt = right.agg(F.count(F.lit(1)).cast("bigint").alias("right_rows"))
+    agg = per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common_keys"),
+        F.sum("p").cast("decimal(38,0)").alias("__jr"),
+        F.max("p").cast("decimal(38,0)").alias("__mx"),
+    )
+    return (
+        lt.crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(agg))
+        .select(
+            "left_rows",
+            "right_rows",
+            "n_common_keys",
+            F.col("__jr").cast("bigint").alias("join_rows"),
+            F.col("__mx").cast("bigint").alias("max_key_rows"),
+        )
+    )

@@ -992,3 +992,59 @@ def linkage_score_pairs(
     return j.select(
         "id_a", "id_b", *flags, score.cast("bigint").alias("score")
     ).filter(F.col("score") >= threshold)
+
+
+def banding_recall(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_ppm: int = 200_000,
+    num_perm: int = 32,
+    bands: int = 8,
+    sample_bp: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH banding recall against the candidate-complete exact
+    truth (prefix filtering) at the SAME Jaccard threshold — the
+    bands/rows tuning measurement. Both sides verify with exact Jaccard
+    on full shingle sets, so LSH output ⊆ truth and the gap is exactly
+    the banding miss rate.
+
+    ``sample_bp`` is the production knob: recall is a RATIO, so at
+    100 TB you measure it on a deterministic hash-sample of documents
+    (basis points of the corpus) instead of paying two full dedup
+    pipelines — the m² pair cost of the exact truth is what makes the
+    full-corpus harness a test-scale tool (an sf1 replicated-stress run
+    out-spilled an 80 GB scratch disk at t=0.2). Sampling documents
+    (not pairs) keeps both pipelines' semantics intact on the sampled
+    sub-corpus.
+    """
+    if sample_bp is not None:
+        docs = docs.filter(
+            portable_hash60(F.col(id_col).cast("string")) % 10000
+            < sample_bp
+        )
+    sh = shingles(docs, id_col, text_col, n)
+    min_bp = min_ppm // 100
+    truth = prefix_filter_pairs(sh, min_ppm=min_ppm).select("id_a", "id_b")
+    found = minhash_dedup(
+        docs, id_col, text_col, n, num_perm, bands, min_bp=min_bp
+    ).select("id_a", "id_b")
+    hit = found.join(truth, ["id_a", "id_b"], "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    nf = found.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh_pairs"))
+    nh = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    return (
+        nt.crossJoin(F.broadcast(nf))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_true_pairs",
+            "n_lsh_pairs",
+            "n_hit",
+            F.expr(
+                "CAST(CASE WHEN n_true_pairs = 0 THEN NULL"
+                " ELSE (CAST(n_hit AS DECIMAL(38,0)) * 1000000)"
+                " div n_true_pairs END AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )

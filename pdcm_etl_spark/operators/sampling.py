@@ -376,3 +376,38 @@ def weighted_sample(
         .limit(k)
         .drop("__clock")
     )
+
+
+def weighted_sample_grouped(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-group deterministic weighted sampling without replacement —
+    ``weighted_sample``'s stratified form (k items PER GROUP, inclusion
+    ∝ weight): the per-domain curriculum subsample (k best-weighted
+    docs per language/source) in one operator.
+
+    Same Efraimidis–Spirakis exponential clocks on the portable hash;
+    the top-k is a rank window PARTITIONED BY THE GROUP (one
+    group-keyed shuffle, per-group sort — parallelism = group count;
+    for few huge groups, fall back to the ungrouped operator per
+    group or sub-bucket the window like shuffle_shards). Output is
+    float-free membership, ties broken by key.
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash60(F.col(key_col).cast("string"))
+    u = (h % F.lit(1 << 30) + 1) / F.lit(float((1 << 30) + 1))
+    clock = -F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(
+        clock.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -605,30 +605,7 @@ def x_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row aggregates (broadcast crossJoin)."""
     from pdcm_etl_spark.operators import dedup as dd
 
-    docs = _docs(spark, sf_dir)
-    sh = dd.shingles(docs, n=3)
-    truth = dd.prefix_filter_pairs(sh, min_ppm=200_000).select(
-        "id_a", "id_b"
-    )
-    found = dd.minhash_dedup(docs, min_bp=2000).select("id_a", "id_b")
-    hit = found.join(truth, ["id_a", "id_b"], "left_semi")
-    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
-    nf = found.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh_pairs"))
-    nh = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
-    return (
-        nt.crossJoin(F.broadcast(nf))
-        .crossJoin(F.broadcast(nh))
-        .select(
-            "n_true_pairs",
-            "n_lsh_pairs",
-            "n_hit",
-            F.expr(
-                "CAST(CASE WHEN n_true_pairs = 0 THEN NULL"
-                " ELSE (CAST(n_hit AS DECIMAL(38,0)) * 1000000)"
-                " div n_true_pairs END AS BIGINT)"
-            ).alias("recall_ppm"),
-        )
-    )
+    return dd.banding_recall(_docs(spark, sf_dir), min_ppm=200_000)
 
 
 def _sql_dedup_recall() -> str:
@@ -699,6 +676,68 @@ FROM c
 """
 
 
+def x_sample_weighted_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-weighted subsample, k=50 per group
+    (operators/sampling.py::weighted_sample_grouped): A-ES clocks
+    ranked by a GROUP-partitioned window — one keyed shuffle, float-
+    free membership."""
+    from pdcm_etl_spark.operators.sampling import weighted_sample_grouped
+
+    return weighted_sample_grouped(
+        _docs(spark, sf_dir), "lang", "doc_id", "n_chars", k=50
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+_H60_DOC_G = DUCK_H60.format(col="CAST(doc_id AS VARCHAR)")
+
+SQL_SAMPLE_WEIGHTED_GROUPED = f"""
+WITH w AS (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY -ln((({_H60_DOC_G}) % 1073741824 + 1) / 1073741825.0)
+                    / CAST(n_chars AS DOUBLE), doc_id) AS rk
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang, source, n_chars FROM w WHERE rk <= 50
+"""
+
+
+def x_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-join output cardinality WITHOUT executing the join
+    (functions/joins.py::join_cardinality_estimate): orders x lineitem
+    on the orderkey — two keyed count aggs + a key-sized join reduce
+    to one row; the row-explosion pre-flight that pairs with
+    key_skew_profile before a 100 TB fact-fact join."""
+    from pdcm_etl_spark.functions.joins import join_cardinality_estimate
+
+    return join_cardinality_estimate(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        "o_orderkey",
+        "l_orderkey",
+    )
+
+
+SQL_JOIN_CARDINALITY_ESTIMATE = """
+WITH la AS (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1),
+ra AS (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1),
+pk AS (
+  SELECT k, CAST(ca AS HUGEINT) * cb AS p FROM la JOIN ra USING (k)
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_common_keys,
+         CAST(SUM(p) AS BIGINT) AS join_rows,
+         CAST(MAX(p) AS BIGINT) AS max_key_rows
+  FROM pk
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS left_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS right_rows,
+       n_common_keys, join_rows, max_key_rows
+FROM a
+"""
+
+
 EXTENSION_B_CATALOG: dict[str, tuple] = {
     "string_agg_ordered": (x_string_agg_ordered, SQL_STRING_AGG_ORDERED),
     "linreg_group": (x_linreg_group, SQL_LINREG_GROUP),
@@ -714,4 +753,8 @@ EXTENSION_B_CATALOG: dict[str, tuple] = {
     "er_score_pairs": (x_er_score_pairs, SQL_ER_SCORE_PAIRS),
     "dedup_recall": (x_dedup_recall, _sql_dedup_recall()),
     "stream_dq_monitor": (x_stream_dq_monitor, SQL_STREAM_DQ_MONITOR),
+    "sample_weighted_grouped": (
+        x_sample_weighted_grouped, SQL_SAMPLE_WEIGHTED_GROUPED),
+    "join_cardinality_estimate": (
+        x_join_cardinality_estimate, SQL_JOIN_CARDINALITY_ESTIMATE),
 }

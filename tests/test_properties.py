@@ -1737,3 +1737,45 @@ def test_dedup_recall_lsh_subset_of_truth(spark, sf_dir):
     assert row["n_true_pairs"] >= row["n_hit"]
     if row["n_true_pairs"]:
         assert 0 <= row["recall_ppm"] <= 1_000_000
+
+
+def test_weighted_sample_grouped_k_per_group_and_bias(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pdcm_etl_spark.operators.sampling import weighted_sample_grouped
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = weighted_sample_grouped(docs, "lang", "doc_id", "n_chars", k=5)
+    per = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in
+             docs.filter("n_chars > 0").groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for g, n in per.items():
+        assert n == min(5, sizes[g])
+
+
+def test_join_cardinality_estimate_matches_actual_join(spark, sf_dir):
+    from pdcm_etl_spark.functions.joins import join_cardinality_estimate
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = join_cardinality_estimate(
+        orders, li, "o_orderkey", "l_orderkey"
+    ).collect()[0]
+    actual = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+    assert row["join_rows"] == actual
+    assert row["max_key_rows"] <= row["join_rows"]
+    assert row["n_common_keys"] <= row["left_rows"]
+
+
+def test_banding_recall_sampled_mode(spark, sf_dir):
+    # the production sample knob: sampled recall is still a valid ratio
+    # and both pipelines run on the same sub-corpus
+    from pdcm_etl_spark.operators.dedup import banding_recall
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = banding_recall(docs, min_ppm=200_000, sample_bp=5000).collect()[0]
+    assert row["n_hit"] == row["n_lsh_pairs"]
+    if row["n_true_pairs"]:
+        assert 0 <= row["recall_ppm"] <= 1_000_000

@@ -15,7 +15,8 @@ ROTATED_IN = [
     "entropy_profile", "gini_concentration", "dq_check", "bfs_distance",
     "string_agg_ordered", "sample_weighted", "bigram_lm_score",
     "quantile_normalize", "er_score_pairs", "dedup_recall",
-    "stream_dq_monitor",
+    "stream_dq_monitor", "sample_weighted_grouped",
+    "join_cardinality_estimate",
     # the r5 queue — added in round 5 but outside that round's full
     # window; first driver hash this round
     "target_encode", "robust_scale", "spearman_corr",
@@ -59,7 +60,6 @@ def test_first_50_covers_every_family():
                   "dedup_paragraph", "dedup_containment", "dedup_winnow",
                   "dedup_prefix_filter"],
         "skyline": ["pareto_frontier"],
-        "domain-mix": ["sample_domain_mix"],
         "similarity": ["ann_ivf_trained_topk"],
         "ann-eval": ["ann_recall"],
         "dedup-eval": ["dedup_recall"],
@@ -71,14 +71,16 @@ def test_first_50_covers_every_family():
                        "multimodal_audio"],
         "temporal": ["asof_join", "range_join", "funnel_stages",
                      "sessionize_batch", "interval_overlap_join",
-                     "rolling_window"],
+                     "rolling_window", "twap"],
         "skew-profile": ["key_skew_profile"],
+        "join-planning": ["join_cardinality_estimate",
+                          "key_skew_profile"],
         "table-profile": ["table_stats", "profile_notnull"],
         "markov": ["event_transitions"],
-        "twap": ["twap"],
         "crosstab": ["crosstab_lift", "chi_square_assoc"],
         "sampling": ["sample_stratified", "shuffle_shards",
-                     "sample_weighted"],
+                     "sample_weighted", "sample_weighted_grouped",
+                     "sample_domain_mix"],
         "corpus-stats": ["ngram_topk", "inverted_index",
                          "corpus_language_mix"],
         "tokenizer": ["bpe_pair_counts", "bpe_train", "bpe_encode"],
