@@ -865,3 +865,32 @@ def test_er_score_attribute_joins_keyed(spark, sf_dir, queries):
     assert "CartesianProduct" not in simple
     assert "BroadcastNestedLoopJoin" not in simple
     assert "BatchEvalPython" not in simple
+
+
+def test_weighted_sample_grouped_partitioned_window(spark, sf_dir, queries):
+    # per-group top-k must rank under a GROUP-partitioned window —
+    # never an unpartitioned (single-task) global sort
+    plan = _plan(queries["sample_weighted_grouped"](spark, sf_dir))
+    import re
+
+    for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
+        assert m.group(1).strip() != "", "unpartitioned window in plan"
+    simple = _plan(
+        queries["sample_weighted_grouped"](spark, sf_dir), mode="simple"
+    )
+    assert "BatchEvalPython" not in simple
+
+
+def test_join_cardinality_never_executes_the_join(spark, sf_dir, queries):
+    """The estimate must reduce BOTH sides to key cardinality before
+    they meet: the key join's inputs are aggregates (HashAggregate
+    below the join), and the plan never joins the raw fact rows."""
+    simple = _plan(
+        queries["join_cardinality_estimate"](spark, sf_dir), mode="simple"
+    )
+    assert "CartesianProduct" not in simple
+    # the only BNLJ allowed: the two bounded 1-row total crossJoins
+    assert simple.count("BroadcastNestedLoopJoin") <= 2
+    # the key join consumes aggregated counts — 'ca'/'cb' columns exist
+    # only after the per-key aggregation
+    assert "partial_count" in simple
