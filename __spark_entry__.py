@@ -110,7 +110,6 @@ _PRIORITY: list[str] = [
     # immediately)
     "sample_weighted_grouped",
     "join_cardinality_estimate",
-    "table_stats",
     # tokenizer
     "bpe_train",
     "corpus_curation",
@@ -120,12 +119,16 @@ _PRIORITY: list[str] = [
     "pack_sequences",
     "quality_percentile",
     # streaming representatives (sliding rotated out — r4/r5-proven;
-    # the round-6 DQ monitor keeps the family growing, windowed
-    # immediately)
+    # the round-6 DQ monitor + stream-static enrichment keep the
+    # family growing, windowed immediately; table_stats rotates out —
+    # r5-proven, table-profile stays repped by the pytest-checked
+    # profile_notnull oracle row)
     "stream_dq_monitor",
+    "stream_static_join",
     # ---- below the 50-row window: all driver-proven in r1-r5, still
     # oracle-checked every pytest run
     "heavy_hitters",
+    "table_stats",
     "twap",
     "sample_domain_mix",
     "stream_events_sliding",

@@ -140,6 +140,7 @@ HEADLINE = [
     "stream_dq_monitor",
     "sample_weighted_grouped",
     "join_cardinality_estimate",
+    "stream_static_join",
 ]
 
 

@@ -423,12 +423,19 @@ def spearman_corr_ppm(
     id_col: str,
 ) -> DataFrame:
     """Spearman rank correlation per group, EXACT in integers: rank
-    both variables (ties broken by row id — the deterministic variant;
-    textbook Spearman average-ranks ties, which is fractional and
-    engine-rounding-prone), then ρ_ppm = 1e6 − (6·Σd²·1e6) div
-    (n(n²−1)) with d the per-row rank difference — the whole statistic
-    is rational, so both engines floor to the same ppm. Monotone
-    association without Pearson's sqrt/variance float path.
+    both variables with RANK() over (value, id) — ties broken by row
+    id, and rows IDENTICAL in (value, id) share the min-rank, so every
+    row's rank is a pure function of its content (row_number() here
+    was a real nondeterminism bug: the synthetic lineitem has ~14k
+    duplicate (orderkey, linenumber) ids, and two full-duplicate rows
+    got arbitrary rank order per run — caught when a 50-query gate run
+    hashed differently from the solo run). Textbook Spearman
+    average-ranks ties, which is fractional and engine-rounding-prone;
+    min-rank is the deterministic integer variant, mirrored exactly by
+    the oracle. ρ_ppm = 1e6 − (6·Σd²·1e6) div (n(n²−1)) with d the
+    per-row rank difference — the whole statistic is rational, so both
+    engines floor to the same ppm. Monotone association without
+    Pearson's sqrt/variance float path.
 
     Groups with n < 2 emit NULL (undefined). Two group-keyed rank
     windows + one group aggregation.
@@ -445,12 +452,12 @@ def spearman_corr_ppm(
     ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
     wx = Window.partitionBy("key").orderBy("x", "id")
     wy = Window.partitionBy("key").orderBy("y", "id")
-    # ranks cast to BIGINT before any arithmetic: row_number() is
-    # 32-bit and (rx − ry)² overflows int at ~50k rows per group
+    # ranks cast to BIGINT before any arithmetic: rank() is 32-bit
+    # and (rx − ry)² overflows int at ~50k rows per group
     # (ANSI mode aborts the job; non-ANSI silently wraps — worse)
     ranked = base.withColumn(
-        "rx", F.row_number().over(wx).cast("bigint")
-    ).withColumn("ry", F.row_number().over(wy).cast("bigint"))
+        "rx", F.rank().over(wx).cast("bigint")
+    ).withColumn("ry", F.rank().over(wy).cast("bigint"))
     return (
         ranked.withColumn("d2", F.expr("(rx - ry) * (rx - ry)"))
         .groupBy("key")

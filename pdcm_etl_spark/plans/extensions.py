@@ -3608,8 +3608,11 @@ WITH base AS (
 ),
 r AS (
   SELECT key,
-         ROW_NUMBER() OVER (PARTITION BY key ORDER BY x, id) AS rx,
-         ROW_NUMBER() OVER (PARTITION BY key ORDER BY y, id) AS ry
+         -- RANK, not ROW_NUMBER: full-duplicate rows (the synthetic
+         -- lineitem has duplicate ids) must share a content-determined
+         -- rank, or the hash is run-order dependent
+         RANK() OVER (PARTITION BY key ORDER BY x, id) AS rx,
+         RANK() OVER (PARTITION BY key ORDER BY y, id) AS ry
   FROM base
 ),
 a AS (

@@ -738,6 +738,30 @@ FROM a
 """
 
 
+def x_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: per micro-batch broadcast join of the
+    event stream against the customer dim (stateless — no join state),
+    then a watermarked tumbling-day aggregate per market segment
+    (streaming/events_stream.py::enriched_segment_stream). Oracle is
+    the batch equivalent."""
+    from pdcm_etl_spark.streaming.events_stream import (
+        enriched_segment_stream,
+    )
+
+    return enriched_segment_stream(spark, sf_dir)
+
+
+SQL_STREAM_STATIC_JOIN = """
+SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS win_start,
+       c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+         AS sum_value_micro
+FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+GROUP BY 1, 2
+"""
+
+
 EXTENSION_B_CATALOG: dict[str, tuple] = {
     "string_agg_ordered": (x_string_agg_ordered, SQL_STRING_AGG_ORDERED),
     "linreg_group": (x_linreg_group, SQL_LINREG_GROUP),
@@ -757,4 +781,5 @@ EXTENSION_B_CATALOG: dict[str, tuple] = {
         x_sample_weighted_grouped, SQL_SAMPLE_WEIGHTED_GROUPED),
     "join_cardinality_estimate": (
         x_join_cardinality_estimate, SQL_JOIN_CARDINALITY_ESTIMATE),
+    "stream_static_join": (x_stream_static_join, SQL_STREAM_STATIC_JOIN),
 }

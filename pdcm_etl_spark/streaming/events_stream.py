@@ -488,3 +488,57 @@ def dq_monitor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "error_share_ppm"
         ),
     )
+
+
+def enriched_segment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join — the canonical streaming pattern
+    the registry's stream-stream join doesn't cover: each micro-batch
+    of the event stream joins a static dimension (customer market
+    segment) STATELESSLY (no watermark bookkeeping for the dim side —
+    Spark re-plans the join per batch, broadcast when small), then a
+    watermarked tumbling-day aggregate per segment maintains the only
+    state. At 100 TB the dim is the broadcast side and the stream never
+    shuffles before the keyed window aggregation.
+
+    Events map to the dim by user_id + 1 = c_custkey (the synthetic
+    lake's id spaces); unmatched users fall out (inner join) exactly as
+    in the batch oracle.
+    """
+    ev = events_stream_source(spark, sf_dir)
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            (F.col("c_custkey") - 1).alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    agg = (
+        ev.join(F.broadcast(dim), "user_id")
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+            .cast("bigint")
+            .alias("sum_value_micro"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "segment",
+            "n_events",
+            "sum_value_micro",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("events_segment_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("events_segment_stream").select(
+        "win_start", "segment",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "sum_value_micro",
+    )

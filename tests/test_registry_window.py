@@ -16,7 +16,7 @@ ROTATED_IN = [
     "string_agg_ordered", "sample_weighted", "bigram_lm_score",
     "quantile_normalize", "er_score_pairs", "dedup_recall",
     "stream_dq_monitor", "sample_weighted_grouped",
-    "join_cardinality_estimate",
+    "join_cardinality_estimate", "stream_static_join",
     # the r5 queue — added in round 5 but outside that round's full
     # window; first driver hash this round
     "target_encode", "robust_scale", "spearman_corr",
@@ -75,7 +75,8 @@ def test_first_50_covers_every_family():
         "skew-profile": ["key_skew_profile"],
         "join-planning": ["join_cardinality_estimate",
                           "key_skew_profile"],
-        "table-profile": ["table_stats", "profile_notnull"],
+        "table-profile": ["table_stats", "profile_notnull",
+                          "entropy_profile", "benford_profile"],
         "markov": ["event_transitions"],
         "crosstab": ["crosstab_lift", "chi_square_assoc"],
         "sampling": ["sample_stratified", "shuffle_shards",
@@ -106,7 +107,8 @@ def test_first_50_covers_every_family():
         "streaming": ["stream_events_daily", "stream_events_sliding",
                       "session_window", "stream_stream_join",
                       "stream_sessionize", "stream_dedup",
-                      "stream_windowed_topk", "stream_dq_monitor"],
+                      "stream_windowed_topk", "stream_dq_monitor",
+                      "stream_static_join"],
     }
     missing = {
         fam: reps

@@ -124,3 +124,35 @@ def test_stream_dq_monitor_counters_match_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and got
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pdcm_etl_spark.plans.catalog import load_events
+    from pdcm_etl_spark.streaming.events_stream import (
+        enriched_segment_stream,
+    )
+
+    got = {
+        (r["win_start"], r["segment"]): (r["n_events"], r["sum_value_micro"])
+        for r in enriched_segment_stream(spark, sf_dir).collect()
+    }
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        (F.col("c_custkey") - 1).alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    want = {
+        (r["d"], r["segment"]): (r["n"], r["v"])
+        for r in load_events(spark, sf_dir)
+        .join(dim, "user_id")
+        .groupBy(F.date_trunc("day", "ts").alias("d"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+            .cast("bigint")
+            .alias("v"),
+        )
+        .collect()
+    }
+    assert got == want and got
