@@ -94,11 +94,13 @@ _PRIORITY: list[str] = [
     # dedup family representative (groups_star / winnow / containment /
     # paragraph / edit_distance all driver-proven r1-r5, outside)
     "dedup_prefix_filter",
-    # similarity search + eval
+    # similarity search + eval (ann_recall rotated out — r4-proven;
+    # the recall-harness family stays repped by dedup_recall)
     "ann_ivf_trained_topk",
-    "ann_recall",
-    # text analysis
-    "unigram_lm_score",
+    # round-6 session-4 additions (never driver-checked): exact
+    # multi-quantile profile + clickstream path mining
+    "grouped_quantiles",
+    "event_path_topk",
     # multimodal (audio r5-proven, rotated out; decode keeps the family)
     "multimodal_decode",
     # temporal / window / skew
@@ -128,6 +130,8 @@ _PRIORITY: list[str] = [
     # ---- below the 50-row window: all driver-proven in r1-r5, still
     # oracle-checked every pytest run
     "heavy_hitters",
+    "ann_recall",
+    "unigram_lm_score",
     "table_stats",
     "twap",
     "sample_domain_mix",

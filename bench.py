@@ -141,6 +141,8 @@ HEADLINE = [
     "sample_weighted_grouped",
     "join_cardinality_estimate",
     "stream_static_join",
+    "grouped_quantiles",
+    "event_path_topk",
 ]
 
 

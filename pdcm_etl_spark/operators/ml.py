@@ -577,3 +577,50 @@ def quantile_normalize(
         .join(order_stats, F.col("__idx") == F.col("__gr"))
         .select(id_col, key_col, value_col, "q_value")
     )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_micro,
+    quantiles_pct: tuple[int, ...] = (25, 50, 75, 90),
+) -> DataFrame:
+    """Exact multi-quantile profile per group in ONE rank pass — the
+    distribution summary (p25/p50/p75/p90) the approx_percentile sketch
+    estimates, as bit-exact DISCRETE order statistics (value at sorted
+    position ⌈q·n⌉, ties broken by id — the iqr/mad position-pick
+    idiom, generalized to any quantile list).
+
+    Plan: one per-group rank window + one conditional aggregation that
+    extracts ALL requested quantile rows in the same pass (a max(when)
+    per quantile — never one window or scan per quantile). Integer
+    percent quantiles keep the position formula ⌈q·n/100⌉ =
+    (q·n + 99) div 100 exact on both engines.
+
+    Returns (key, n, q<p>_micro ...) — one row per group.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        value_micro.cast("bigint").alias("m"),
+    ).filter(F.col("m").isNotNull())
+    w = Window.partitionBy("key").orderBy("m", "id")
+    ranked = base.withColumn(
+        "rn", F.row_number().over(w).cast("bigint")
+    ).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("key"))
+    )
+    aggs = [F.max("n").cast("bigint").alias("n")]
+    for q in quantiles_pct:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr(f"({q} * n + 99) div 100"),
+                    F.col("m"),
+                )
+            ).alias(f"q{q}_micro")
+        )
+    return ranked.groupBy("key").agg(*aggs)

@@ -555,3 +555,68 @@ def time_weighted_average(
             ).cast("bigint").alias("twap_micro"),
         )
     )
+
+
+def event_path_topk(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k most frequent event-type PATHS (length-``n`` consecutive
+    subsequences of each user's time-ordered event stream) — the
+    clickstream path-mining companion to event_transitions (which is
+    the n=2 matrix; paths expose multi-step funnels the pairwise
+    matrix marginalizes away).
+
+    Per-user event sequences assemble as ONE keyed aggregation
+    (array_sort over (ts, id, type) structs — a pure column sort,
+    deterministic because (ts, id) is total), and the n-gram windows
+    come out of the array MAP-SIDE (the bigram_lm slice+zip shape,
+    generalized) — no positional self-join, no rank window. The
+    per-user array is bounded by that user's event count: for
+    bot-scale keys pre-cap with a per-user limit upstream (same
+    caveat as sessionize). Path counting is one map-side-partial
+    aggregation; top-k is orderBy+limit → TakeOrderedAndProject
+    (ties broken by path string — total order, engine-portable).
+
+    Returns (path, n_occurrences), '>'-joined type names, k rows.
+    """
+    seq = (
+        events.groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("ts"),
+                        F.col(id_col).alias("id"),
+                        F.col(type_col).alias("t"),
+                    )
+                )
+            ).alias("evs")
+        )
+        .select(
+            "key", F.expr("transform(evs, e -> e.t)").alias("types")
+        )
+    )
+    grams = (
+        seq.withColumn("__m", F.greatest(F.size("types") - (n - 1), F.lit(0)))
+        .filter(F.col("__m") > 0)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, __m),"
+                    f" i -> array_join(slice(types, i, {n}), '>'))"
+                )
+            ).alias("path")
+        )
+    )
+    return (
+        grams.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+        .limit(k)
+    )

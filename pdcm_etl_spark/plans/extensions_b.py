@@ -762,6 +762,77 @@ GROUP BY 1, 2
 """
 
 
+def x_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75/p90 of the event value per event_type in ONE
+    rank pass (operators/ml.py::grouped_quantiles) — the bit-exact
+    twin of the approx_quantile sketch row: discrete order statistics
+    at position ceil(q*n/100), ties broken by event_id, all quantiles
+    extracted by one conditional aggregation."""
+    from pdcm_etl_spark.operators.ml import grouped_quantiles
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    metric = (F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint")
+    return grouped_quantiles(
+        ev, key_col="event_type", id_col="event_id", value_micro=metric
+    ).withColumnRenamed("key", "event_type")
+
+
+SQL_GROUPED_QUANTILES = """
+WITH base AS (
+  SELECT event_type AS key, event_id AS id,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT key, m,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY m, id) AS rn,
+         COUNT(*) OVER (PARTITION BY key) AS n
+  FROM base
+)
+SELECT key AS event_type, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(CASE WHEN rn = (25 * n + 99) // 100 THEN m END)
+            AS BIGINT) AS q25_micro,
+       CAST(MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN m END)
+            AS BIGINT) AS q50_micro,
+       CAST(MAX(CASE WHEN rn = (75 * n + 99) // 100 THEN m END)
+            AS BIGINT) AS q75_micro,
+       CAST(MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN m END)
+            AS BIGINT) AS q90_micro
+FROM r GROUP BY key
+"""
+
+
+def x_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 event-type trigram paths across all users
+    (operators/temporal.py::event_path_topk): per-user time-ordered
+    sequences assembled by one keyed array_sort aggregation, n-gram
+    windows map-side (the bigram slice+zip shape), one path count,
+    TakeOrderedAndProject top-k with path-string tie-break."""
+    from pdcm_etl_spark.operators.temporal import event_path_topk
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    return event_path_topk(load_events(spark, sf_dir), n=3, k=20)
+
+
+SQL_EVENT_PATH_TOPK = """
+WITH seq AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+  FROM events GROUP BY user_id
+),
+grams AS (
+  SELECT unnest(list_transform(range(1, len(types) - 1),
+                i -> types[i] || '>' || types[i + 1] || '>' || types[i + 2]))
+           AS path
+  FROM seq WHERE len(types) >= 3
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM grams GROUP BY path
+ORDER BY n_occurrences DESC, path ASC
+LIMIT 20
+"""
+
+
 EXTENSION_B_CATALOG: dict[str, tuple] = {
     "string_agg_ordered": (x_string_agg_ordered, SQL_STRING_AGG_ORDERED),
     "linreg_group": (x_linreg_group, SQL_LINREG_GROUP),
@@ -782,4 +853,6 @@ EXTENSION_B_CATALOG: dict[str, tuple] = {
     "join_cardinality_estimate": (
         x_join_cardinality_estimate, SQL_JOIN_CARDINALITY_ESTIMATE),
     "stream_static_join": (x_stream_static_join, SQL_STREAM_STATIC_JOIN),
+    "grouped_quantiles": (x_grouped_quantiles, SQL_GROUPED_QUANTILES),
+    "event_path_topk": (x_event_path_topk, SQL_EVENT_PATH_TOPK),
 }

@@ -1779,3 +1779,46 @@ def test_banding_recall_sampled_mode(spark, sf_dir):
     assert row["n_hit"] == row["n_lsh_pairs"]
     if row["n_true_pairs"]:
         assert 0 <= row["recall_ppm"] <= 1_000_000
+
+
+def test_grouped_quantiles_exact_positions(spark):
+    from pyspark.sql import functions as F
+
+    from pdcm_etl_spark.operators.ml import grouped_quantiles
+
+    # 100 rows valued 1..100: q-th percentile picks exactly value q
+    df = spark.createDataFrame(
+        [("g", i, i) for i in range(1, 101)], "k string, id int, v int"
+    )
+    row = grouped_quantiles(
+        df, "k", "id", F.col("v").cast("bigint")
+    ).collect()[0]
+    assert (row["q25_micro"], row["q50_micro"], row["q75_micro"],
+            row["q90_micro"]) == (25, 50, 75, 90)
+    assert row["n"] == 100
+    # n=1: every quantile is the single value
+    one = spark.createDataFrame([("s", 1, 7)], "k string, id int, v int")
+    r1 = grouped_quantiles(one, "k", "id", F.col("v").cast("bigint")).collect()[0]
+    assert all(r1[f"q{q}_micro"] == 7 for q in (25, 50, 75, 90))
+
+
+def test_event_path_topk_counts_paths(spark):
+    from pdcm_etl_spark.operators.temporal import event_path_topk
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "a"),
+        (2, "2024-01-01 00:01:00", 1, "b"),
+        (3, "2024-01-01 00:02:00", 1, "c"),
+        (4, "2024-01-01 00:03:00", 1, "a"),
+        (5, "2024-01-01 00:00:00", 2, "a"),
+        (6, "2024-01-01 00:01:00", 2, "b"),
+        (7, "2024-01-01 00:02:00", 2, "c"),
+        (8, "2024-01-01 00:00:00", 3, "x"),  # too short for a trigram
+        (9, "2024-01-01 00:01:00", 3, "y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    )
+    out = {r["path"]: r["n_occurrences"]
+           for r in event_path_topk(df, n=3, k=10).collect()}
+    assert out == {"a>b>c": 2, "b>c>a": 1}

@@ -17,6 +17,7 @@ ROTATED_IN = [
     "quantile_normalize", "er_score_pairs", "dedup_recall",
     "stream_dq_monitor", "sample_weighted_grouped",
     "join_cardinality_estimate", "stream_static_join",
+    "grouped_quantiles", "event_path_topk",
     # the r5 queue — added in round 5 but outside that round's full
     # window; first driver hash this round
     "target_encode", "robust_scale", "spearman_corr",
@@ -45,7 +46,8 @@ def test_first_50_covers_every_family():
         "cdc": ["scd2_merge", "stream_scd2_upsert", "ivm_merge"],
         "collect": ["collect_set_markers", "global_agg"],
         "json": ["json_agg_struct"],
-        "sketch": ["approx_distinct", "heavy_hitters", "approx_quantile"],
+        "sketch": ["approx_distinct", "heavy_hitters", "approx_quantile",
+                   "grouped_quantiles"],
         "pivot": ["pivot_status"],
         "timeseries": ["events_daily", "cohort_retention",
                        "timeseries_gapfill"],
@@ -61,11 +63,11 @@ def test_first_50_covers_every_family():
                   "dedup_prefix_filter"],
         "skyline": ["pareto_frontier"],
         "similarity": ["ann_ivf_trained_topk"],
-        "ann-eval": ["ann_recall"],
+        "ann-eval": ["ann_recall", "dedup_recall"],
         "dedup-eval": ["dedup_recall"],
         "text": ["text_quality", "text_tfidf", "text_chunk",
                  "text_pii_scrub", "text_contamination", "text_repetition",
-                 "unigram_lm_score"],
+                 "unigram_lm_score", "bigram_lm_score"],
         "multimodal": ["multimodal_decode", "multimodal_frames",
                        "multimodal_resize", "multimodal_dedup",
                        "multimodal_audio"],
@@ -77,7 +79,7 @@ def test_first_50_covers_every_family():
                           "key_skew_profile"],
         "table-profile": ["table_stats", "profile_notnull",
                           "entropy_profile", "benford_profile"],
-        "markov": ["event_transitions"],
+        "markov": ["event_transitions", "event_path_topk"],
         "crosstab": ["crosstab_lift", "chi_square_assoc"],
         "sampling": ["sample_stratified", "shuffle_shards",
                      "sample_weighted", "sample_weighted_grouped",
