@@ -60,7 +60,10 @@ _PRIORITY: list[str] = [
     "global_agg",
     "json_agg_struct",
     "pivot_status",
-    "approx_quantile",
+    # (approx_quantile rotated out — r5-proven; the sketch family
+    # stays repped by the exact grouped_quantiles twin. The round-6
+    # exact-moments profiler is windowed immediately)
+    "grouped_moments",
     # round-6 additions (never driver-checked), windowed immediately:
     # statistical analytics
     "linreg_group",
@@ -130,6 +133,7 @@ _PRIORITY: list[str] = [
     # ---- below the 50-row window: all driver-proven in r1-r5, still
     # oracle-checked every pytest run
     "heavy_hitters",
+    "approx_quantile",
     "ann_recall",
     "unigram_lm_score",
     "table_stats",

@@ -143,6 +143,7 @@ HEADLINE = [
     "stream_static_join",
     "grouped_quantiles",
     "event_path_topk",
+    "grouped_moments",
 ]
 
 

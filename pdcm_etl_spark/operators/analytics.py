@@ -529,3 +529,69 @@ def dq_profile(df: DataFrame, rules: list[tuple[str, F.Column]]) -> DataFrame:
         "violations",
         (F.col("violations") == 0).alias("pass"),
     )
+
+
+def grouped_moments(
+    df: DataFrame,
+    key_col: str,
+    value_micro,
+) -> DataFrame:
+    """Exact per-group location/spread moments on an integer metric —
+    the numeric completion of table_stats: n, min, max, mean (floor
+    micro), and variance from the CENTERED second moment, all integer
+    so the oracle matches bit-for-bit (float var/stddev aggregates are
+    accumulation-order-dependent and engine-divergent).
+
+    Two keyed passes, both scale-safe at 100 TB:
+      1. n/Σ/min/max (one map-side-partial agg) → integer mean
+         μ̂ = Σ div n;
+      2. Σ(x−μ̂)² against the broadcast-joined μ̂ — centering BEFORE
+         squaring keeps the sum ≤ n·range² (~2.4e30 at 1e13 rows of
+         5e8-micro values, inside DECIMAL(38,0)), where the textbook
+         n·Σx²−(Σx)² rearrangement needs ~2.4e43 and dies. The ONE
+         broadcast is group-cardinality-sized.
+
+    Variance is reported with BOTH denominators (population div n,
+    sample div n−1) — each bounded by range² and therefore always
+    int64-safe; the RAW centered sum is deliberately NOT an output
+    column: it grows with n in any fixed unit (4.8e19 already at
+    sf0.1 — past int64 — caught by the sf0.1 determinism screen while
+    the sf0.01 gate passed with 2× headroom). Returns (key, n,
+    min_micro, max_micro, mean_micro, var_micro2, var_sample_micro2).
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        value_micro.cast("bigint").alias("m"),
+    ).filter(F.col("m").isNotNull())
+    stats = base.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("m").cast("decimal(38,0)")).alias("__s"),
+        F.min("m").alias("min_micro"),
+        F.max("m").alias("max_micro"),
+    ).select(
+        "key", "n", "min_micro", "max_micro",
+        # integer mean: floor(Σ/n) — both engines truncate div
+        F.expr("CAST(__s div n AS BIGINT)").alias("mean_micro"),
+    )
+    centered = base.join(F.broadcast(stats), "key").select(
+        "key",
+        (
+            (F.col("m") - F.col("mean_micro")).cast("decimal(38,0)")
+            * (F.col("m") - F.col("mean_micro"))
+        ).alias("__d2"),
+    )
+    m2 = centered.groupBy("key").agg(
+        F.sum("__d2").cast("decimal(38,0)").alias("__m2")
+    )
+    return stats.join(m2, "key").select(
+        "key",
+        "n",
+        "min_micro",
+        "max_micro",
+        "mean_micro",
+        F.expr("CAST(__m2 div n AS BIGINT)").alias("var_micro2"),
+        F.expr(
+            "CAST(CASE WHEN n < 2 THEN NULL ELSE __m2 div (n - 1) END"
+            " AS BIGINT)"
+        ).alias("var_sample_micro2"),
+    )

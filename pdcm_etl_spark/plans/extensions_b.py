@@ -833,6 +833,50 @@ LIMIT 20
 """
 
 
+def x_grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type moments of the value metric
+    (operators/analytics.py::grouped_moments): two keyed passes —
+    n/min/max/integer-mean, then the CENTERED second moment against the
+    broadcast mean (centering before squaring keeps the decimal sum
+    ~1e30 where the textbook n·Σx²−(Σx)² needs ~1e43 and dies)."""
+    from pdcm_etl_spark.operators.analytics import grouped_moments
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    metric = (F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint")
+    return grouped_moments(ev, "event_type", metric).withColumnRenamed(
+        "key", "event_type"
+    )
+
+
+SQL_GROUPED_MOMENTS = """
+WITH base AS (
+  SELECT event_type AS key,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MIN(m) AS BIGINT) AS min_micro,
+         CAST(MAX(m) AS BIGINT) AS max_micro,
+         CAST(SUM(CAST(m AS HUGEINT)) // COUNT(*) AS BIGINT) AS mean_micro
+  FROM base GROUP BY key
+),
+c AS (
+  SELECT b.key,
+         SUM(CAST(b.m - s.mean_micro AS HUGEINT)
+             * (b.m - s.mean_micro)) AS m2
+  FROM base b JOIN s USING (key)
+  GROUP BY b.key
+)
+SELECT s.key AS event_type, s.n, s.min_micro, s.max_micro, s.mean_micro,
+       CAST(c.m2 // s.n AS BIGINT) AS var_micro2,
+       CAST(CASE WHEN s.n < 2 THEN NULL ELSE c.m2 // (s.n - 1) END
+            AS BIGINT) AS var_sample_micro2
+FROM s JOIN c ON c.key = s.key
+"""
+
+
 EXTENSION_B_CATALOG: dict[str, tuple] = {
     "string_agg_ordered": (x_string_agg_ordered, SQL_STRING_AGG_ORDERED),
     "linreg_group": (x_linreg_group, SQL_LINREG_GROUP),
@@ -855,4 +899,5 @@ EXTENSION_B_CATALOG: dict[str, tuple] = {
     "stream_static_join": (x_stream_static_join, SQL_STREAM_STATIC_JOIN),
     "grouped_quantiles": (x_grouped_quantiles, SQL_GROUPED_QUANTILES),
     "event_path_topk": (x_event_path_topk, SQL_EVENT_PATH_TOPK),
+    "grouped_moments": (x_grouped_moments, SQL_GROUPED_MOMENTS),
 }

@@ -1822,3 +1822,24 @@ def test_event_path_topk_counts_paths(spark):
     out = {r["path"]: r["n_occurrences"]
            for r in event_path_topk(df, n=3, k=10).collect()}
     assert out == {"a>b>c": 2, "b>c>a": 1}
+
+
+def test_grouped_moments_exact_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from pdcm_etl_spark.operators.analytics import grouped_moments
+
+    # values 2,4,6,8: mean 5, m2 = 9+1+1+9 = 20, var = 5
+    df = spark.createDataFrame(
+        [("g", v) for v in (2, 4, 6, 8)], "k string, v int"
+    )
+    row = grouped_moments(df, "k", F.col("v").cast("bigint")).collect()[0]
+    assert (row["n"], row["min_micro"], row["max_micro"]) == (4, 2, 8)
+    assert row["mean_micro"] == 5
+    assert row["var_micro2"] == 5  # m2 = 9+1+1+9 = 20, div 4
+    assert row["var_sample_micro2"] == 6  # 20 div 3
+    # integer-mean floor: values 1,2 -> mean 1, m2 = 0+1 = 1
+    df2 = spark.createDataFrame([("h", 1), ("h", 2)], "k string, v int")
+    r2 = grouped_moments(df2, "k", F.col("v").cast("bigint")).collect()[0]
+    assert r2["mean_micro"] == 1 and r2["var_micro2"] == 0
+    assert r2["var_sample_micro2"] == 1

@@ -17,7 +17,7 @@ ROTATED_IN = [
     "quantile_normalize", "er_score_pairs", "dedup_recall",
     "stream_dq_monitor", "sample_weighted_grouped",
     "join_cardinality_estimate", "stream_static_join",
-    "grouped_quantiles", "event_path_topk",
+    "grouped_quantiles", "event_path_topk", "grouped_moments",
     # the r5 queue — added in round 5 but outside that round's full
     # window; first driver hash this round
     "target_encode", "robust_scale", "spearman_corr",
@@ -78,7 +78,8 @@ def test_first_50_covers_every_family():
         "join-planning": ["join_cardinality_estimate",
                           "key_skew_profile"],
         "table-profile": ["table_stats", "profile_notnull",
-                          "entropy_profile", "benford_profile"],
+                          "entropy_profile", "benford_profile",
+                          "grouped_moments"],
         "markov": ["event_transitions", "event_path_topk"],
         "crosstab": ["crosstab_lift", "chi_square_assoc"],
         "sampling": ["sample_stratified", "shuffle_shards",
