@@ -11,6 +11,8 @@ DuckDB at test scale only).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -336,7 +338,10 @@ def chi_square_assoc(
         per_cell.agg(
             F.countDistinct("row_val").cast("bigint").alias("n_rows_cat"),
             F.countDistinct("col_val").cast("bigint").alias("n_cols_cat"),
-            F.sum("q_ppb").cast("decimal(38,0)").alias("sq"),
+            # q_ppb itself is bigint (Spark `div` yields LONG); cast
+            # BEFORE the sum so the accumulator is DECIMAL(38,0) —
+            # a bigint sum aborts past ~9.2e9 cells under ANSI
+            F.sum(F.col("q_ppb").cast("decimal(38,0)")).alias("sq"),
         )
         .crossJoin(
             F.broadcast(cells.agg(F.sum("n").cast("bigint").alias("total")))
@@ -424,6 +429,8 @@ def entropy_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     value-count aggregation + a bounded per-column fold (the melt is
     over column NAMES, map-side).
     """
+    if not cols:
+        raise ValueError("entropy_profile: cols list must be non-empty")
     per_col = []
     for c in cols:
         vc = (
@@ -513,6 +520,18 @@ def dq_profile(df: DataFrame, rules: list[tuple[str, F.Column]]) -> DataFrame:
     row violates. Cross-table rules (FK integrity) don't fit a one-table
     scan; callers union those in as extra rows (see x_dq_check).
     """
+    if not rules:
+        raise ValueError("dq_profile: rules list must be non-empty")
+    for rid, _ in rules:
+        # rule ids are interpolated into selectExpr/stack() — restrict
+        # to plain identifiers so a quote/space/backtick can't break the
+        # generated SQL, and reserve the internal count column's name
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", rid):
+            raise ValueError(f"dq_profile: invalid rule id {rid!r}")
+        if rid == "__checked":
+            raise ValueError("dq_profile: rule id '__checked' is reserved")
+    if len({rid for rid, _ in rules}) != len(rules):
+        raise ValueError("dq_profile: duplicate rule ids")
     aggs = [F.count(F.lit(1)).cast("bigint").alias("__checked")]
     for rid, pred in rules:
         aggs.append(

@@ -979,14 +979,20 @@ def linkage_score_pairs(
     )
     j = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
     flags, score = [], F.lit(0)
+    # every agreement flag is coalesced to FALSE so a NULL on either
+    # side reads as disagreement (boolean, never null) — consistent
+    # across exact and tolerance rule kinds
     for name, c, w in exact_rules:
-        agree = (F.col(f"__a_{c}") == F.col(f"__b_{c}")) & F.col(
-            f"__a_{c}"
-        ).isNotNull()
+        agree = F.coalesce(
+            F.col(f"__a_{c}") == F.col(f"__b_{c}"), F.lit(False)
+        )
         flags.append(agree.alias(name))
         score = score + F.when(agree, w).otherwise(0)
     for name, c, tol, w in tol_rules:
-        agree = F.abs(F.col(f"__a_{c}") - F.col(f"__b_{c}")) <= tol
+        agree = F.coalesce(
+            F.abs(F.col(f"__a_{c}") - F.col(f"__b_{c}")) <= tol,
+            F.lit(False),
+        )
         flags.append(agree.alias(name))
         score = score + F.when(agree, w).otherwise(0)
     return j.select(

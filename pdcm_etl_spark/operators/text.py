@@ -818,7 +818,9 @@ def bigram_lm_score(
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("p_ppm").alias("__s"),
+            # p_ppm is bigint; decimal accumulator so a pathological
+            # ~9.2e12-bigram doc can't ANSI-abort the sum
+            F.sum(F.col("p_ppm").cast("decimal(38,0)")).alias("__s"),
             F.min("p_ppm").alias("min_cond_ppm"),
         )
         .select(

@@ -817,7 +817,8 @@ def x_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EVENT_PATH_TOPK = """
 WITH seq AS (
-  SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+  SELECT user_id,
+         list(event_type ORDER BY ts, event_id, event_type) AS types
   FROM events GROUP BY user_id
 ),
 grams AS (
