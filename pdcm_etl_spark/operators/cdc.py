@@ -161,8 +161,19 @@ def merge_aggregates(
     one shuffle on the group keys.
     """
     merged = snapshot.unionByName(delta)
+    dtypes = dict(merged.dtypes)
+
+    def _sum(c):
+        # integral measures ride a DECIMAL(38,0) accumulator: the inputs
+        # are themselves aggregates (micro-unit sums), so a bigint
+        # re-sum is the first thing to abort when partials merge at
+        # scale; output dtype stays bigint
+        if dtypes.get(c) in ("bigint", "int", "smallint", "tinyint"):
+            return F.sum(F.col(c).cast("decimal(38,0)")).cast("bigint").alias(c)
+        return F.sum(c).alias(c)
+
     aggs = (
-        [F.sum(c).alias(c) for c in sum_cols]
+        [_sum(c) for c in sum_cols]
         + [F.min(c).alias(c) for c in min_cols]
         + [F.max(c).alias(c) for c in max_cols]
     )

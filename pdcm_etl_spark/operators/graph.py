@@ -340,7 +340,15 @@ def pagerank(
                 F.expr(f"(pr * {damp_pct}) div (100 * outdeg)").alias("share"),
             )
             .groupBy("node")
-            .agg(F.sum("share").alias("inflow"))
+            # decimal accumulator: a supernode's inflow is bounded by
+            # total mass n·scale, which a bigint sum would abort on
+            # first (the per-node pr value itself has ~100× headroom
+            # past that point at realistic graph sizes)
+            .agg(
+                F.sum(F.col("share").cast("decimal(38,0)"))
+                .cast("bigint")
+                .alias("inflow")
+            )
         )
         old = pr
         pr = (

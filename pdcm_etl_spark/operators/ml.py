@@ -329,11 +329,18 @@ def target_encode_loo(
         F.col(cat_col).alias("cat"),
         target_micro.cast("bigint").alias("t"),
     ).filter(F.col("t").isNotNull())
+    # DECIMAL(38,0) accumulators carried straight into the arithmetic:
+    # a hot category past ~1.7e7 rows of 5e11-micro targets busts a
+    # bigint cat_sum; Spark's `div`/`pmod` over decimals keep the same
+    # truncation semantics, and enc_micro is bounded by a single
+    # target's magnitude so the final bigint cast is always safe
     cats = base.groupBy("cat").agg(
-        F.sum("t").alias("cat_sum"), F.count(F.lit(1)).alias("cat_n")
+        F.sum(F.col("t").cast("decimal(38,0)")).alias("cat_sum"),
+        F.count(F.lit(1)).alias("cat_n"),
     )
     glob = base.agg(
-        F.sum("t").alias("g_sum"), F.count(F.lit(1)).alias("g_n")
+        F.sum(F.col("t").cast("decimal(38,0)")).alias("g_sum"),
+        F.count(F.lit(1)).alias("g_n"),
     ).withColumn("__one", F.lit(1))
     m = int(prior_weight)
     # global LOO mean for this row: (g_sum - t) / (g_n - 1)
@@ -461,7 +468,12 @@ def spearman_corr_ppm(
     return (
         ranked.withColumn("d2", F.expr("(rx - ry) * (rx - ry)"))
         .groupBy("key")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("d2").alias("sd2"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # Σd² ≤ ~2n³/3 overflows a bigint accumulator at n≈2.4e6
+            # rows per group (sf1 territory) — decimal from the start
+            F.sum(F.col("d2").cast("decimal(38,0)")).alias("sd2"),
+        )
         .select(
             "key",
             "n",

@@ -394,8 +394,12 @@ def chunk_documents(
             id_col,
             F.col("chunk_index").cast("bigint").alias("chunk_index"),
             "chunk_text",
+            # chunk_index widened before the multiply — int32 dies on a
+            # pathological 2^31/step-chunk document
             F.least(
-                F.lit(chunk_size), F.col("__n") - F.col("chunk_index") * step
+                F.lit(chunk_size),
+                F.col("__n")
+                - F.col("chunk_index").cast("bigint") * step,
             ).cast("bigint").alias("chunk_tokens"),
         )
     )
@@ -639,7 +643,9 @@ def unigram_lm_score(
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
-            F.sum("f_ppm").alias("__s"),
+            # f_ppm is bigint (div); decimal accumulator for the per-doc
+            # sum — same hardening as bigram_lm_score
+            F.sum(F.col("f_ppm").cast("decimal(38,0)")).alias("__s"),
             F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("__hapax"),
             F.min("c").alias("rarest_count"),
         )

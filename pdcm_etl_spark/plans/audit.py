@@ -1,0 +1,128 @@
+"""Expression-level overflow linter over analyzed Catalyst plans.
+
+The r5/r6 ANSI-abort class: an int32 producer (``size()``,
+``row_number()``, ``posexplode`` pos, int casts) multiplied by a ppm/ppb
+scale literal, or a bigint *product* accumulated by a bigint ``sum`` —
+both pass a small-sample correctness gate with headroom and abort (or
+silently wrap pre-ANSI) at real scale. This walks the ANALYZED logical
+plan via py4j and reports:
+
+  * ``int32-multiply`` — any ``Multiply`` whose result type is ``int``:
+    a 32-bit product anywhere in the plan aborts at ~2.1e9, which a
+    scale literal alone nearly reaches.
+  * ``bigint-sum-of-product`` — a ``Sum`` whose child is bigint and
+    whose def-use-resolved subtree contains a ``Multiply``: products
+    grow as value×value (or value×rank/literal), so a 64-bit
+    accumulator is the first thing to die at 100 TB. The fix is a
+    DECIMAL(38,0) accumulator (cast INSIDE the sum).
+
+Attribute indirection is resolved through ``Alias`` definitions
+collected across the whole plan (a product is usually defined in a
+``Project`` and summed in a later ``Aggregate``). Subquery plans
+(``ScalarSubquery``) are walked too. Known-bounded exceptions are the
+caller's business via an allowlist — the linter itself has no opinions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _seq(s) -> list:
+    return [s.apply(i) for i in range(s.length())]
+
+
+def _walk_plan(p):
+    yield p
+    for c in _seq(p.children()):
+        yield from _walk_plan(c)
+
+
+def _walk_expr(x):
+    yield x
+    for c in _seq(x.children()):
+        yield from _walk_expr(c)
+    # descend into subquery plans (correlated scalar counts etc.)
+    if x.getClass().getSimpleName() in (
+        "ScalarSubquery",
+        "ListQuery",
+        "Exists",
+        "LateralSubquery",
+    ):
+        try:
+            for node in _walk_plan(x.plan()):
+                for e in _seq(node.expressions()):
+                    yield from _walk_expr(e)
+        except Exception:  # noqa: BLE001 — subquery shape varies by version
+            pass
+
+
+def _alias_map(jplan) -> dict[int, object]:
+    defs: dict[int, object] = {}
+    for node in _walk_plan(jplan):
+        for e in _seq(node.expressions()):
+            for x in _walk_expr(e):
+                if x.getClass().getSimpleName() == "Alias":
+                    defs[x.exprId().id()] = x.child()
+    return defs
+
+
+_NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "decimal",
+                     "double", "float")
+
+
+def _is_numeric(x) -> bool:
+    try:
+        return x.dataType().simpleString().startswith(_NUMERIC_PREFIXES)
+    except Exception:  # noqa: BLE001 — e.g. unresolved/window frame nodes
+        return False
+
+
+def _resolved_walk(x, defs: dict[int, object], seen: set[int]):
+    """Walk the MAGNITUDE path of an expression, chasing
+    AttributeReferences through their Alias definitions (cycle-guarded
+    by exprId). Resolution stops at non-numeric intermediates: a value
+    derived through a boolean/string/hash (e.g. ``cast(rn = 1 as
+    bigint)``) is bounded regardless of what fed the comparison, so
+    products behind such a boundary cannot inflate the sum."""
+    if not _is_numeric(x):
+        return
+    yield x
+    cn = x.getClass().getSimpleName()
+    if cn == "AttributeReference":
+        eid = x.exprId().id()
+        if eid in defs and eid not in seen:
+            seen.add(eid)
+            yield from _resolved_walk(defs[eid], defs, seen)
+        return
+    for c in _seq(x.children()):
+        yield from _resolved_walk(c, defs, seen)
+
+
+def overflow_findings(df: DataFrame) -> list[str]:
+    """Lint one DataFrame's analyzed plan; return finding strings
+    (empty = clean)."""
+    jplan = df._jdf.queryExecution().analyzed()
+    defs = _alias_map(jplan)
+    findings: list[str] = []
+    for node in _walk_plan(jplan):
+        for e in _seq(node.expressions()):
+            for x in _walk_expr(e):
+                cn = x.getClass().getSimpleName()
+                if cn == "Multiply" and x.dataType().simpleString() == "int":
+                    findings.append(
+                        f"int32-multiply: {x.toString()[:120]}"
+                    )
+                elif cn == "Sum":
+                    child = _seq(x.children())[0]
+                    if child.dataType().simpleString() != "bigint":
+                        continue
+                    for r in _resolved_walk(child, defs, set()):
+                        if r.getClass().getSimpleName() == "Multiply":
+                            findings.append(
+                                "bigint-sum-of-product: "
+                                f"sum({child.toString()[:60]}) over product "
+                                f"{r.toString()[:80]}"
+                            )
+                            break
+    return findings

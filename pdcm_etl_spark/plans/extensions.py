@@ -2939,7 +2939,8 @@ def x_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "CAST(size(ws) AS BIGINT) AS n_tokens",
-        "CAST(size(array_distinct(ws)) * 10000 DIV size(ws) AS BIGINT)"
+        "CAST(CAST(size(array_distinct(ws)) AS BIGINT) * 10000"
+        " DIV size(ws) AS BIGINT)"
         " AS ttr_bp",
     )
     return token_budget_select(
@@ -3459,7 +3460,8 @@ def x_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "doc_id",
         "source",
-        "CAST(size(array_distinct(ws)) * 10000 DIV size(ws) AS BIGINT)"
+        "CAST(CAST(size(array_distinct(ws)) AS BIGINT) * 10000"
+        " DIV size(ws) AS BIGINT)"
         " AS ttr_bp",
     )
     return percentile_rank_ppm(
