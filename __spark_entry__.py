@@ -100,6 +100,9 @@ _PRIORITY: list[str] = [
     # similarity search + eval (ann_recall rotated out — r4-proven;
     # the recall-harness family stays repped by dedup_recall)
     "ann_ivf_trained_topk",
+    # round-7 addition, windowed immediately: IVF served from a
+    # persisted bucketed index (same oracle as the trained twin)
+    "ann_ivf_persisted",
     # round-6 session-4 additions (never driver-checked): exact
     # multi-quantile profile + clickstream path mining
     "grouped_quantiles",
@@ -129,9 +132,11 @@ _PRIORITY: list[str] = [
     # r5-proven, table-profile stays repped by the pytest-checked
     # profile_notnull oracle row)
     "stream_dq_monitor",
-    "stream_static_join",
-    # ---- below the 50-row window: all driver-proven in r1-r5, still
+    # ---- below the 50-row window: all driver-proven in r1-r6, still
     # oracle-checked every pytest run
+    # (stream_static_join rotated out — r6-proven; streaming family
+    # stays repped in-window by stream_dq_monitor + stream_scd2_upsert)
+    "stream_static_join",
     "heavy_hitters",
     "approx_quantile",
     "ann_recall",
@@ -214,6 +219,12 @@ def _optional_catalogs() -> list[dict]:
         from pdcm_etl_spark.plans.extensions_b import EXTENSION_B_CATALOG
 
         cats.append(EXTENSION_B_CATALOG)
+    except ImportError:
+        pass
+    try:
+        from pdcm_etl_spark.plans.extensions_c import EXTENSION_C_CATALOG
+
+        cats.append(EXTENSION_C_CATALOG)
     except ImportError:
         pass
     return cats

@@ -144,6 +144,8 @@ HEADLINE = [
     "grouped_quantiles",
     "event_path_topk",
     "grouped_moments",
+    # round-7 additions: persisted-index ANN serving
+    "ann_ivf_persisted",
 ]
 
 

@@ -613,3 +613,145 @@ def topk_recall(
             ).cast("bigint").alias("recall_bp"),
         )
     )
+
+
+def ivf_index_persist(
+    index: DataFrame,
+    base_dir: str,
+    table_name: str,
+    n_cells: int = 4,
+    iterations: int = 1,
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index ONCE and persist it — the production
+    similarity-search shape: at 100 TB the k-means train + assignment
+    + norm computation are paid at build time, and every query after
+    that reads the saved layout with zero training in its plan.
+
+    Persists two artifacts:
+      * ``{base_dir}/centroids`` — the trained centroid table
+        (cid, cv array<double>), k rows of plain parquet (broadcast-
+        sized by construction);
+      * ``table_name`` — the cell-assigned vector table
+        (neighbor_id, iv, inorm, cell) written as a BUCKETED parquet
+        table on ``cell`` (operators/layout.py::bucketize): the
+        probe-time cell join and any per-cell maintenance aggregation
+        (cell-size stats, re-balance candidates) plan with no Exchange
+        on the index side. Vector norms are precomputed — the serve
+        path never touches sqrt over the corpus again.
+
+    Centroid doubles survive the parquet round trip bit-exactly, so a
+    persisted-serve result is identical to ivf_trained_topk's inline
+    result (property-tested). Incremental-refresh twin note: like
+    dedup_minhash_incremental merges a delta's signatures into the
+    stored sketch table instead of re-shingling the corpus, a vector
+    delta is assigned against the SAVED centroids (one broadcast join)
+    and appended to the bucketed layout — retraining is a scheduled
+    event, not a per-query cost.
+
+    Returns (centroids_df, cells_df) read back from the persisted
+    layout.
+    """
+    from pdcm_etl_spark.operators.layout import bucketize
+
+    spark = index.sparkSession
+    cents, assigned = kmeans_fit(
+        index, n_cells, iterations, id_col, vec_col
+    )
+    cents_df = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
+        "cid int, cv array<double>",
+    )
+    cents_path = f"{base_dir.rstrip('/')}/centroids"
+    cents_df.coalesce(1).write.mode("overwrite").parquet(cents_path)
+
+    vecs = index.select(
+        F.col(id_col).alias("neighbor_id"), _dvec(vec_col).alias("iv")
+    ).withColumn("inorm", norm(F.col("iv")))
+    cells = vecs.join(
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("cid").alias("cell"),
+        ),
+        "neighbor_id",
+    )
+    cells_tbl = bucketize(
+        cells, "cell", n_buckets, table_name, f"{base_dir.rstrip('/')}/cells"
+    )
+    return spark.read.parquet(cents_path), cells_tbl
+
+
+def ivf_persisted_topk(
+    centroids: DataFrame,
+    cells: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve IVF top-k from a PERSISTED index (ivf_index_persist):
+    probe selection joins the query set against the saved centroid
+    table (k rows, broadcast — no plan literals, no driver collect),
+    then exact re-rank inside the probed cells against the saved
+    cell-assigned vectors with their precomputed norms. The plan
+    contains two parquet scans and zero k-means artifacts — pinned in
+    tests/test_plan_shapes.py (no posexplode, no decimal(28,9)
+    centroid-update aggregates).
+
+    Identical semantics to ivf_trained_topk at the same parameters:
+    same squared-L2 probe metric in array-index order, same
+    (dist asc, cid asc) probe tie-break, same (score desc, id asc)
+    result order. The probe table is queries×n_probe rows — broadcast
+    on the cell join while the query batch is small; for bulk scoring
+    (training-data joins) flip the hint and let the bucketed cell
+    layout shuffle-free the index side instead.
+
+    Returns (query_id, neighbor_id, score_ppm, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    qd = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "qv",
+        "qn",
+        F.col("cid").alias("cell"),
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("cell").asc()
+    )
+    probes = (
+        qd.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "qn", "cell")
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score_ppm",
+            F.floor(
+                dot(F.col("qv"), F.col("iv"))
+                / (F.col("qn") * F.col("inorm"))
+                * F.lit(1000000.0)
+            ).cast("bigint"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("score_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score_ppm", "rank")
+    )

@@ -31,7 +31,9 @@ TIE_SENSITIVE = re.compile(
 
 # Operators added in the current round — screened by name even when the
 # tie-sensitive regex does not match. Rotate each round.
-CURRENT_ROUND_EXTRAS: list[str] = []
+CURRENT_ROUND_EXTRAS: list[str] = [
+    "ann_ivf_persisted",
+]
 
 DET_SF_DIR = os.environ.get("SPARK_GRAFT_DET_SF_DIR", "/root/testdata/sf0.1")
 

@@ -894,3 +894,26 @@ def test_join_cardinality_never_executes_the_join(spark, sf_dir, queries):
     # the key join consumes aggregated counts — 'ca'/'cb' columns exist
     # only after the per-key aggregation
     assert "partial_count" in simple
+
+
+def test_ann_ivf_persisted_serve_plan_has_no_training(
+    spark, sf_dir, queries
+):
+    # the serve path must read the SAVED index: two parquet scans
+    # (centroids + bucketed cells) and zero k-means artifacts — no
+    # posexplode (centroid update), no decimal(28,9) sums (the exact
+    # mean accumulator), no pmod (the floor-division idiom of the
+    # trainer). Training happens at build time, not in the query.
+    df = queries["ann_ivf_persisted"](spark, sf_dir)
+    plan = _plan(df)
+    low = plan.lower()
+    assert "posexplode" not in low
+    assert "decimal(28,9)" not in low
+    assert "pmod" not in low
+    # the persisted layouts actually feed the plan
+    assert "centroids" in low
+    assert "ivf_cells_" in low
+    # index side joins the broadcast probe table — the corpus never
+    # shuffles at serve time
+    assert "broadcasthashjoin" in low
+    assert "sortmergejoin" not in low

@@ -1843,3 +1843,16 @@ def test_grouped_moments_exact_known_values(spark):
     r2 = grouped_moments(df2, "k", F.col("v").cast("bigint")).collect()[0]
     assert r2["mean_micro"] == 1 and r2["var_micro2"] == 0
     assert r2["var_sample_micro2"] == 1
+
+
+def test_ivf_persisted_serve_equals_inline_trained(spark):
+    # persisted-serve ≡ inline-trained: centroid doubles round-trip
+    # parquet bit-exactly and the serve math is the same expression
+    # tree, so the two registry paths must agree row-for-row
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    qs = e.queries()
+    a = sorted(map(tuple, qs["ann_ivf_persisted"](spark, sf).collect()))
+    b = sorted(map(tuple, qs["ann_ivf_trained_topk"](spark, sf).collect()))
+    assert a == b

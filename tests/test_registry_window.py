@@ -10,17 +10,8 @@ rotation actually landed every previously-unchecked query inside it
 # cumulatively driver-proven in r1-r4 and stays oracle-checked every
 # pytest run (tests/test_oracle_parity.py)
 ROTATED_IN = [
-    # round-6 additions (never driver-checked)
-    "linreg_group", "chi_square_assoc", "benford_profile",
-    "entropy_profile", "gini_concentration", "dq_check", "bfs_distance",
-    "string_agg_ordered", "sample_weighted", "bigram_lm_score",
-    "quantile_normalize", "er_score_pairs", "dedup_recall",
-    "stream_dq_monitor", "sample_weighted_grouped",
-    "join_cardinality_estimate", "stream_static_join",
-    "grouped_quantiles", "event_path_topk", "grouped_moments",
-    # the r5 queue — added in round 5 but outside that round's full
-    # window; first driver hash this round
-    "target_encode", "robust_scale", "spearman_corr",
+    # round-7 additions (never driver-checked)
+    "ann_ivf_persisted",
 ]
 
 
