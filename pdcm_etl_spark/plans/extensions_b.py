@@ -602,7 +602,12 @@ def x_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: truth + candidates are the two production pipelines
     unchanged; the comparison adds one pair-keyed semi join and three
-    1-row aggregates (broadcast crossJoin)."""
+    1-row aggregates (broadcast crossJoin). At 100 TB the harness runs
+    in SAMPLED mode — ``sample_bp`` hash-samples documents (basis
+    points of the corpus) before BOTH pipelines, so the quadratic
+    truth side is paid on a sliver while recall, being a ratio,
+    transfers: property-tested at sf0.1 (2500/5000 bp within ±5 pp of
+    the full-corpus recall, tests/test_properties.py)."""
     from pdcm_etl_spark.operators import dedup as dd
 
     return dd.banding_recall(_docs(spark, sf_dir), min_ppm=200_000)

@@ -542,3 +542,117 @@ def enriched_segment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         "sum_value_micro",
     )
+
+
+def daily_counts_stream_over(
+    spark: SparkSession, staging_dir: str, schema
+) -> DataFrame:
+    """The daily_counts aggregation over an arbitrary staging directory
+    (files may ARRIVE over time — the crash/restart test feeds half the
+    lake, kills the query, adds the rest, and resumes from checkpoint).
+    Same expressions as daily_counts_stream so the batch twin
+    (catalog.q_events_daily) stays the oracle."""
+    raw = spark.readStream.schema(schema).format("parquet").load(staging_dir)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        raw.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+            .cast("bigint")
+            .alias("sum_value_micro"),
+        )
+        .select(
+            F.col("win.start").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value_micro",
+        )
+    )
+
+
+def scd2_upsert_restartable(
+    spark: SparkSession,
+    staging_dir: str,
+    schema,
+    work_dir: str,
+    seed: DataFrame | None = None,
+) -> DataFrame:
+    """Crash-RECOVERABLE streaming CDC ingest: both the stream
+    checkpoint and the dimension snapshot live under ``work_dir``, so a
+    torn-down (or crashed) query restarted with the same ``work_dir``
+    resumes exactly where it stopped — the file-source checkpoint
+    replays only unprocessed files, and the dimension state reloads
+    from the last COMMITTED snapshot.
+
+    Commit protocol: each microbatch writes its merged dimension to a
+    ``snap_<batch_id>`` directory, then flips the ``_LATEST`` pointer
+    file (the atomic commit — a crash between parquet write and pointer
+    flip leaves the previous snapshot current). Exactly-once composes
+    from two idempotencies: the batch_id-keyed snapshot dir makes a
+    replayed write land in the same place, and ``scd2_merge`` itself is
+    a no-op when re-applied (identical tracked values → "keep" branch,
+    no new version rows), so a batch replayed after a crash-after-write
+    cannot double-version the dimension.
+
+    Unlike scd2_upsert_stream (whose SQL oracle is exact only for a
+    single-batch drain), this variant ACCEPTS multi-batch ingestion:
+    version history then legitimately includes intermediate states, and
+    the recovery contract — what tests/test_streaming.py pins — is that
+    the CURRENT rows equal the batch twin's current rows and every
+    key's version intervals chain without overlap.
+
+    Returns the dimension read from the committed snapshot.
+    """
+    import os
+
+    from pdcm_etl_spark.operators.cdc import scd2_merge
+
+    ptr = f"{work_dir}/_LATEST"
+
+    def _load_state() -> DataFrame:
+        if os.path.exists(ptr):
+            with open(ptr) as fh:
+                return spark.read.parquet(
+                    f"{work_dir}/snap_{fh.read().strip()}"
+                )
+        if seed is None:
+            raise ValueError("no committed snapshot and no seed")
+        return seed
+
+    state = {"df": _load_state()}
+
+    def upsert(batch_df, batch_id):
+        merged = scd2_merge(
+            state["df"],
+            batch_df.select("user_id", "event_type", "ts"),
+            keys=["user_id"],
+            tracked=["event_type"],
+        )
+        snap = f"{work_dir}/snap_{batch_id}"
+        merged.write.mode("overwrite").parquet(snap)
+        with open(ptr + ".tmp", "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(ptr + ".tmp", ptr)  # atomic pointer flip
+        state["df"] = batch_df.sparkSession.read.parquet(snap)
+
+    raw = spark.readStream.schema(schema).format("parquet").load(staging_dir)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = (
+        raw.select("user_id", "event_type", "ts")
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", f"{work_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _load_state().select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    )

@@ -1856,3 +1856,30 @@ def test_ivf_persisted_serve_equals_inline_trained(spark):
     a = sorted(map(tuple, qs["ann_ivf_persisted"](spark, sf).collect()))
     b = sorted(map(tuple, qs["ann_ivf_trained_topk"](spark, sf).collect()))
     assert a == b
+
+
+def test_banding_recall_sampled_brackets_full(spark):
+    # the production sample_bp knob (operators/dedup.py banding_recall):
+    # recall is a ratio, so measuring it on a deterministic hash-sample
+    # of documents must land near the full-corpus value. min_ppm=100k on
+    # the sf0.1 corpus makes the property NON-trivial (full recall
+    # 984615 ppm — LSH at 8 bands misses some sub-threshold-sim true
+    # pairs); both sampled measurements must sit within ±5 pp.
+    import os
+
+    import pytest as _pytest
+
+    sf = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf):
+        _pytest.skip("sf0.1 not present")
+    from pdcm_etl_spark.operators.dedup import banding_recall
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    full = banding_recall(docs, min_ppm=100_000).collect()[0]
+    assert full["recall_ppm"] < 1_000_000  # non-trivial corpus/threshold
+    for bp in (5000, 2500):
+        s = banding_recall(docs, min_ppm=100_000, sample_bp=bp).collect()[0]
+        assert s["n_true_pairs"] < full["n_true_pairs"]  # really sampled
+        assert abs(s["recall_ppm"] - full["recall_ppm"]) <= 50_000, (
+            bp, s["recall_ppm"], full["recall_ppm"],
+        )

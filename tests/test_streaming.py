@@ -156,3 +156,158 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and got
+
+
+def _stage_halves(spark, sf_dir, tmp_path):
+    """Split the raw events file into two time-halves as single parquet
+    FILES in a staging dir (file-stream sources list plain files), and
+    return (staging_dir, schema, half-2 file source, half-2 target)."""
+    import glob
+    import shutil
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = raw.schema
+    lo, hi = raw.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    mid = lo + (hi - lo) / 2 if not isinstance(lo, int) else (lo + hi) // 2
+    staging = str(tmp_path / "staging")
+    parts = str(tmp_path / "parts")
+    (tmp_path / "staging").mkdir()
+    raw.filter(F.col("ts") <= F.lit(mid)).coalesce(1).write.parquet(
+        f"{parts}/p1"
+    )
+    raw.filter(F.col("ts") > F.lit(mid)).coalesce(1).write.parquet(
+        f"{parts}/p2"
+    )
+    f1 = glob.glob(f"{parts}/p1/part-*.parquet")[0]
+    f2 = glob.glob(f"{parts}/p2/part-*.parquet")[0]
+    shutil.copy(f1, f"{staging}/a.parquet")
+    return staging, schema, f2, f"{staging}/b.parquet"
+
+
+def test_stream_agg_kill_and_restart_from_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """Crash recovery, the semantics a production pipeline relies on:
+    drain a checkpointed aggregate stream over HALF the input, tear the
+    query down, add the rest, restart from the same checkpoint — the
+    final sink must equal a never-crashed single run exactly (no dupes,
+    no gaps) and agree with the batch oracle on every emitted window."""
+    import shutil
+
+    from pdcm_etl_spark.plans.catalog import q_events_daily
+    from pdcm_etl_spark.streaming.events_stream import (
+        daily_counts_stream_over,
+    )
+
+    staging, schema, f2, f2_target = _stage_halves(spark, sf_dir, tmp_path)
+
+    def drain(out, ckpt):
+        q = (
+            daily_counts_stream_over(spark, staging, schema)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    phase1 = drain(out, ckpt).count()  # half the lake, then torn down
+    shutil.copy(f2, f2_target)  # the rest of the data arrives
+    restarted = drain(out, ckpt)  # resume from the SAME checkpoint
+    assert restarted.count() > phase1 > 0
+
+    # reference: the same stream never crashed (fresh checkpoint, all
+    # files present from the start) — identical final watermark, so the
+    # emitted-window set must match exactly: dupes OR gaps both fail
+    reference = drain(str(tmp_path / "sink_ref"), str(tmp_path / "ckpt_ref"))
+    key = lambda r: (r["day"], r["event_type"])  # noqa: E731
+    got = {key(r): (r["n_events"], r["sum_value_micro"])
+           for r in restarted.collect()}
+    want = {key(r): (r["n_events"], r["sum_value_micro"])
+            for r in reference.collect()}
+    assert len(got) == restarted.count()  # no duplicate windows
+    assert got == want
+
+    # and every emitted window carries the batch oracle's values
+    batch = {key(r): (r["n_events"], r["sum_value_micro"])
+             for r in q_events_daily(spark, sf_dir).collect()}
+    for k, v in got.items():
+        assert batch[k] == v, k
+
+
+def test_stream_scd2_kill_and_restart_from_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """SCD2 ingest crash recovery (scd2_upsert_restartable): half the
+    CDC feed, tear down, restart with the same work_dir. Contract: the
+    CURRENT rows equal the batch truth (latest event per user), every
+    user has exactly ONE current row, and each user's version intervals
+    chain closed.valid_to == successor.valid_from with no overlap —
+    multi-batch history may legitimately contain intermediate versions,
+    recovery must not duplicate or drop any."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from pdcm_etl_spark.plans.catalog import load_events
+    from pdcm_etl_spark.streaming.events_stream import (
+        scd2_upsert_restartable,
+    )
+
+    staging, schema, f2, f2_target = _stage_halves(spark, sf_dir, tmp_path)
+    ev = load_events(spark, sf_dir)
+    wf = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seed = (
+        ev.withColumn("__rn", F.row_number().over(wf))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    work = str(tmp_path / "scd2_work")
+    (tmp_path / "scd2_work").mkdir()
+    scd2_upsert_restartable(spark, staging, schema, work, seed=seed)
+    shutil.copy(f2, f2_target)
+    dim = scd2_upsert_restartable(spark, staging, schema, work, seed=seed)
+    rows = dim.collect()
+    assert rows
+
+    # exactly one current row per user; current value = batch truth
+    wl = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_type").desc()
+    )
+    truth = {
+        r["user_id"]: r["event_type"]
+        for r in ev.withColumn("__rn", F.row_number().over(wl))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_type")
+        .collect()
+    }
+    current = [r for r in rows if r["is_current"]]
+    assert len(current) == len({r["user_id"] for r in current})
+    assert {r["user_id"]: r["event_type"] for r in current} == truth
+
+    # version intervals chain: sort each user's rows by valid_from;
+    # every non-final row is closed at exactly the successor's start
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, vs in by_user.items():
+        vs.sort(key=lambda r: r["valid_from"])
+        for a, b in zip(vs, vs[1:]):
+            assert not a["is_current"] and a["valid_to"] == b["valid_from"], (
+                uid, a, b,
+            )
+        assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None, uid
