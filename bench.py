@@ -188,10 +188,32 @@ def main() -> None:
     # steady state (tiered JIT + page cache + AQE stats warm up across
     # runs — measured 154s -> 65 -> 41 -> 33 at sf0.1); one warm pass at
     # sf_dir moves the timed medians into the steady-state zone
+    # this first at-scale execution IS the cold number — record it
+    # (r6 verdict item 4: report the cold/warm split instead of letting
+    # the warmup hide it). The r7 profile of the cold/warm gap: warm
+    # steady state is ~8s plan build (JVM-side analysis of the
+    # ~60-entity DAG + AQE planning through the lazy localCheckpoints)
+    # + ~14s execution; the cold surplus (~40s) is one-time JVM/codegen
+    # /first-scan warmup, not plan cost — it amortizes across a session,
+    # which is exactly how a 100 TB deployment runs (long-lived driver).
+    flagship_split: dict[str, float] = {}
     fn = queries.get("etl_search_index")
     if fn is not None:
         try:
+            t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            flagship_split["flagship_cold_sec"] = round(time.time() - t0, 3)
+            # one warm pass, split into plan-construction vs execution
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            flagship_split["flagship_warm_build_sec"] = round(
+                time.time() - t0, 3
+            )
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            flagship_split["flagship_warm_exec_sec"] = round(
+                time.time() - t0, 3
+            )
         except Exception:
             pass
 
@@ -269,13 +291,28 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                **flagship_split,
             },
             fh,
             indent=1,
         )
-    compact = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])
-    )
+    print(format_bench_line(timings, sf_val, flagship_split))
+
+
+def format_bench_line(
+    timings: dict[str, float],
+    sf_val,
+    flagship_split: dict[str, float] | None = None,
+    budget: int = 1800,
+) -> str:
+    """The ONE printed JSON line, slowest-queries-first, truncated to
+    ``budget`` chars (the driver parses the last ~2000 chars of stdout —
+    r5's full 95-query line overflowed that tail and the round's numbers
+    were lost). Unit-tested against a 200-query registry in
+    tests/test_bench_line.py so the limit stays load-bearing-and-green
+    instead of load-bearing-and-silent."""
+    total = round(sum(timings.values()), 3)
+    compact = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
     payload = {
         "metric": "headline_operator_suite_wall_seconds",
         "value": total,
@@ -284,14 +321,14 @@ def main() -> None:
         "queries_timed": len(timings),
         "queries_full": "BENCH_FULL.json",
         "sf": sf_val,
+        **(flagship_split or {}),
     }
-    budget = 1800
     for name, sec in compact.items():
         payload["queries"][name] = sec
         if len(json.dumps(payload, separators=(",", ":"))) > budget:
             del payload["queries"][name]
             break
-    print(json.dumps(payload, separators=(",", ":")))
+    return json.dumps(payload, separators=(",", ":"))
 
 
 if __name__ == "__main__":
