@@ -61,9 +61,9 @@ _PRIORITY: list[str] = [
     "json_agg_struct",
     "pivot_status",
     # (approx_quantile rotated out — r5-proven; the sketch family
-    # stays repped by the exact grouped_quantiles twin. The round-6
-    # exact-moments profiler is windowed immediately)
-    "grouped_moments",
+    # stays repped by the exact grouped_quantiles twin; grouped_moments
+    # rotated out — r6-proven, table-profile family stays repped by
+    # entropy_profile + benford_profile)
     # round-6 additions (never driver-checked), windowed immediately:
     # statistical analytics
     "linreg_group",
@@ -100,13 +100,16 @@ _PRIORITY: list[str] = [
     # similarity search + eval (ann_recall rotated out — r4-proven;
     # the recall-harness family stays repped by dedup_recall)
     "ann_ivf_trained_topk",
-    # round-7 addition, windowed immediately: IVF served from a
-    # persisted bucketed index (same oracle as the trained twin)
+    # round-7 additions, windowed immediately: IVF served from a
+    # persisted bucketed index (same oracle as the trained twin),
+    # winsorization, link prediction, session attribution
     "ann_ivf_persisted",
-    # round-6 session-4 additions (never driver-checked): exact
-    # multi-quantile profile + clickstream path mining
+    "winsorize_group",
+    "link_predict_cn",
+    "attribution_touch",
+    # exact multi-quantile profile (event_path_topk rotated out —
+    # r6-proven; markov family stays repped by event_transitions)
     "grouped_quantiles",
-    "event_path_topk",
     # multimodal (audio r5-proven, rotated out; decode keeps the family)
     "multimodal_decode",
     # temporal / window / skew
@@ -117,7 +120,8 @@ _PRIORITY: list[str] = [
     # sample_weighted. The round-6 session-3 pair is windowed
     # immediately)
     "sample_weighted_grouped",
-    "join_cardinality_estimate",
+    # (join_cardinality_estimate rotated out — r6-proven; join-planning
+    # family stays repped by key_skew_profile)
     # tokenizer
     "bpe_train",
     "corpus_curation",
@@ -137,6 +141,9 @@ _PRIORITY: list[str] = [
     # (stream_static_join rotated out — r6-proven; streaming family
     # stays repped in-window by stream_dq_monitor + stream_scd2_upsert)
     "stream_static_join",
+    "grouped_moments",
+    "event_path_topk",
+    "join_cardinality_estimate",
     "heavy_hitters",
     "approx_quantile",
     "ann_recall",

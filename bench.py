@@ -144,8 +144,12 @@ HEADLINE = [
     "grouped_quantiles",
     "event_path_topk",
     "grouped_moments",
-    # round-7 additions: persisted-index ANN serving
+    # round-7 additions: persisted-index ANN serving, winsorization,
+    # link prediction, session attribution
     "ann_ivf_persisted",
+    "winsorize_group",
+    "link_predict_cn",
+    "attribution_touch",
 ]
 
 

@@ -636,3 +636,63 @@ def grouped_quantiles(
             ).alias(f"q{q}_micro")
         )
     return ranked.groupBy("key").agg(*aggs)
+
+
+def winsorize_group(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_micro,
+    lo_bp: int = 100,
+    hi_bp: int = 9900,
+) -> DataFrame:
+    """Per-group winsorization — clip every value to the group's
+    [lo_bp, hi_bp] basis-point order statistics (the outlier-taming
+    step a training pipeline runs before scaling; clipping keeps the
+    row count, unlike filtering). Bounds are bit-exact DISCRETE order
+    statistics (value at sorted position ⌈q·n/10000⌉, ties broken by
+    id — the grouped_quantiles idiom at basis-point resolution).
+
+    Plan: one group-keyed shuffle TOTAL — rank + group size + both
+    boundary extractions are windows over the SAME partitioning
+    (rank window, then whole-partition max(when(rn = idx)) windows on
+    top: Catalyst stacks them on one Exchange, no join-back). Per-row
+    clip is pure column arithmetic.
+
+    Returns (id, key, value_micro, lo_micro, hi_micro,
+    winsorized_micro).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        value_micro.cast("bigint").alias("m"),
+    ).filter(F.col("m").isNotNull())
+    w = Window.partitionBy("key").orderBy("m", "id")
+    wp = Window.partitionBy("key").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        base.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .withColumn("lo_idx", F.expr(f"greatest(({lo_bp} * n + 9999) div 10000, 1)"))
+        .withColumn("hi_idx", F.expr(f"greatest(({hi_bp} * n + 9999) div 10000, 1)"))
+    )
+    bounded = ranked.withColumn(
+        "lo_micro",
+        F.max(F.when(F.col("rn") == F.col("lo_idx"), F.col("m"))).over(wp),
+    ).withColumn(
+        "hi_micro",
+        F.max(F.when(F.col("rn") == F.col("hi_idx"), F.col("m"))).over(wp),
+    )
+    return bounded.select(
+        "id",
+        "key",
+        F.col("m").alias("value_micro"),
+        "lo_micro",
+        "hi_micro",
+        F.greatest(
+            "lo_micro", F.least("hi_micro", F.col("m"))
+        ).alias("winsorized_micro"),
+    )

@@ -620,3 +620,131 @@ def event_path_topk(
         .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
         .limit(k)
     )
+
+
+def attribution_touch(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    conversion_type: str = "purchase",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Session-scoped marketing attribution — revenue credited to the
+    FIRST touch (the session's opening event type) and to the LAST
+    touch (the latest non-conversion event strictly before the
+    session's first conversion; 'direct' when the session opens with
+    the conversion), per touch type. The two classical single-touch
+    models, computed together in one pass.
+
+    Deterministic: event order is (ts, event_id) everywhere; revenue
+    is the exact decimal micro sum of conversion values; sessions are
+    the same 30-min-gap integer-microsecond construction as
+    ``sessionize``.
+
+    Scale shape: one user-keyed shuffle for the lag/cumsum session
+    windows, one (user, session)-keyed shuffle for the session-frame
+    windows + the one-row-per-session pick, a map-side stack melt, and
+    a final touch-type aggregation (cardinality = |event types| × 2 —
+    broadcast-sized). Revenue re-sums ride DECIMAL(38,0). No joins, no
+    collects.
+
+    Returns (model ∈ {first,last}, touch_type, n_sessions,
+    revenue_micro).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap_us = gap_seconds * 1_000_000
+    sess = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.col(type_col).alias("typ"),
+            (F.col(value_col).cast("decimal(18,6)") * 1000000)
+            .cast("bigint")
+            .alias("v_micro"),
+        )
+        .withColumn(
+            "__new",
+            # identical-shift cast: unix_micros rejects TIMESTAMP_NTZ
+            # (the sessionize idiom)
+            F.when(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(
+                    F.lag("ts")
+                    .over(Window.partitionBy("u").orderBy("ts", "id"))
+                    .cast("timestamp")
+                )
+                > gap_us,
+                1,
+            )
+            .otherwise(0),
+        )
+        .withColumn(
+            "sess",
+            F.sum("__new").over(
+                Window.partitionBy("u")
+                .orderBy("ts", "id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    del w
+    ws = Window.partitionBy("u", "sess").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    is_conv = F.col("typ") == conversion_type
+    marked = (
+        sess.withColumn(
+            "__conv_first",
+            F.min(F.when(is_conv, F.struct("ts", "id"))).over(ws),
+        )
+        .withColumn(
+            "__first", F.min(F.struct("ts", "id", "typ")).over(ws)
+        )
+        .withColumn(
+            "__last_touch",
+            F.max(
+                F.when(
+                    (~is_conv)
+                    & F.col("__conv_first").isNotNull()
+                    & (F.struct("ts", "id") < F.col("__conv_first")),
+                    F.struct("ts", "id", "typ"),
+                )
+            ).over(ws),
+        )
+        .withColumn(
+            "__rev",
+            F.sum(
+                F.when(is_conv, F.col("v_micro")).cast("decimal(38,0)")
+            ).over(ws),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("u", "sess").orderBy("ts", "id")
+            ),
+        )
+    )
+    per_session = marked.filter(
+        (F.col("__rn") == 1) & F.col("__conv_first").isNotNull()
+    ).select(
+        F.col("__first.typ").alias("first_touch"),
+        F.coalesce(F.col("__last_touch.typ"), F.lit("direct")).alias(
+            "last_touch"
+        ),
+        F.col("__rev").cast("bigint").alias("rev_micro"),
+    )
+    melted = per_session.selectExpr(
+        "stack(2, 'first', first_touch, 'last', last_touch)"
+        " AS (model, touch_type)",
+        "rev_micro",
+    )
+    return melted.groupBy("model", "touch_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.col("rev_micro").cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("revenue_micro"),
+    )

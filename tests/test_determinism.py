@@ -33,6 +33,9 @@ TIE_SENSITIVE = re.compile(
 # tie-sensitive regex does not match. Rotate each round.
 CURRENT_ROUND_EXTRAS: list[str] = [
     "ann_ivf_persisted",
+    "winsorize_group",
+    "link_predict_cn",
+    "attribution_touch",
 ]
 
 DET_SF_DIR = os.environ.get("SPARK_GRAFT_DET_SF_DIR", "/root/testdata/sf0.1")

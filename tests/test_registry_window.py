@@ -12,6 +12,9 @@ rotation actually landed every previously-unchecked query inside it
 ROTATED_IN = [
     # round-7 additions (never driver-checked)
     "ann_ivf_persisted",
+    "winsorize_group",
+    "link_predict_cn",
+    "attribution_touch",
 ]
 
 
