@@ -76,18 +76,17 @@ _PRIORITY: list[str] = [
     # bounded-hop BFS keeps the graph/recursion families in-window
     # (pagerank + kcore rotated out -- r5 driver-proven)
     "bfs_distance",
-    # LISTAGG + weighted corpus sampling
+    # LISTAGG (sample_weighted rotated out — r6-proven; sampling family
+    # stays repped by sample_weighted_grouped)
     "string_agg_ordered",
-    "sample_weighted",
     # round-6 session-2 additions (never driver-checked): bigram LM,
     # quantile normalization, record-linkage scoring
     "bigram_lm_score",
     "quantile_normalize",
     "er_score_pairs",
     "dedup_recall",
-    # r5 queue -- first driver hash this round (oracle-checked in pytest
-    # since round 5)
-    "target_encode",
+    # (target_encode rotated out — r6-proven; feature-encode family
+    # stays repped by robust_scale)
     "robust_scale",
     "spearman_corr",
     # clustering representative (broadcast-centroid variant)
@@ -104,9 +103,11 @@ _PRIORITY: list[str] = [
     # persisted bucketed index (same oracle as the trained twin),
     # winsorization, link prediction, session attribution
     "ann_ivf_persisted",
+    "ann_ivf_delta_append",
     "winsorize_group",
     "link_predict_cn",
     "attribution_touch",
+    "stream_left_outer_join",
     # exact multi-quantile profile (event_path_topk rotated out —
     # r6-proven; markov family stays repped by event_transitions)
     "grouped_quantiles",
@@ -144,6 +145,8 @@ _PRIORITY: list[str] = [
     "grouped_moments",
     "event_path_topk",
     "join_cardinality_estimate",
+    "sample_weighted",
+    "target_encode",
     "heavy_hitters",
     "approx_quantile",
     "ann_recall",

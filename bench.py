@@ -147,9 +147,11 @@ HEADLINE = [
     # round-7 additions: persisted-index ANN serving, winsorization,
     # link prediction, session attribution
     "ann_ivf_persisted",
+    "ann_ivf_delta_append",
     "winsorize_group",
     "link_predict_cn",
     "attribution_touch",
+    "stream_left_outer_join",
 ]
 
 

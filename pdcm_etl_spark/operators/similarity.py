@@ -755,3 +755,58 @@ def ivf_persisted_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score_ppm", "rank")
     )
+
+
+def ivf_delta_assign(
+    centroids: DataFrame,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign a DELTA of new vectors against SAVED centroids — the
+    incremental refresh of a persisted IVF index (ivf_index_persist):
+    like dedup_minhash_incremental merges a day's signatures into the
+    stored sketch table instead of re-shingling the corpus, a vector
+    delta joins the broadcast centroid table, takes the (dist asc, cid
+    asc) argmin per row, and appends to the bucketed cell layout —
+    retraining is a scheduled event, never a per-ingest cost.
+
+    One broadcast join (k rows) + a map-side argmin via min(struct) —
+    the delta never shuffles on anything but the final append's
+    bucketing. Same squared-L2 metric and tie-break as every other
+    assignment path, so an appended index serves queries exactly as if
+    those vectors had been present at build time (oracle-proven in
+    ann_ivf_delta_append).
+
+    Returns (neighbor_id, iv, inorm, cell) — the cell-table schema,
+    ready to union/append.
+    """
+    v = delta.select(
+        F.col(id_col).alias("neighbor_id"), _dvec(vec_col).alias("iv")
+    ).withColumn("inorm", norm(F.col("iv")))
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        "neighbor_id",
+        "iv",
+        "inorm",
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("iv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.col("cid").alias("cid"),
+        ).alias("dc"),
+    )
+    return (
+        scored.groupBy("neighbor_id")
+        .agg(
+            F.first("iv").alias("iv"),
+            F.first("inorm").alias("inorm"),
+            F.min("dc").alias("best"),
+        )
+        .select(
+            "neighbor_id", "iv", "inorm", F.col("best.cid").alias("cell")
+        )
+    )

@@ -257,3 +257,186 @@ FROM melted GROUP BY 1, 2
 
 EXTENSION_C_CATALOG["attribution_touch"] = (
     x_attribution_touch, SQL_ATTRIBUTION_TOUCH)
+
+
+# (applicationId, sf_dir) -> (centroids_path, cells_table) for the
+# BASE-only index behind the delta-append query
+_IVF_BASE_INDEX: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def x_ann_ivf_delta_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF refresh (operators/similarity.py::
+    ivf_delta_assign): the index is built ONCE over the base corpus
+    (vec_id ≥ 10); a delta (5 ≤ vec_id < 10) is assigned against the
+    SAVED centroids by one broadcast join + map-side argmin and
+    unioned into the cell layout; queries (vec_id < 5) are served from
+    the refreshed index with no k-means anywhere in the serve or
+    refresh plan. The dedup_minhash_incremental twin for similarity
+    search. Oracle: the same Lloyd round over the base in SQL, the
+    same delta assignment, the same probe + re-rank."""
+    from pdcm_etl_spark.operators.similarity import (
+        ivf_delta_assign,
+        ivf_index_persist,
+        ivf_persisted_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 10)
+    delta = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+    queries = emb.filter(F.col("vec_id") < 5)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    if key not in _IVF_BASE_INDEX:
+        tag = re.sub(
+            r"[^A-Za-z0-9_]",
+            "_",
+            f"{app}_{os.path.basename(sf_dir.rstrip('/'))}_base",
+        )
+        bdir = os.path.join(tempfile.gettempdir(), f"pdcm_ivf_{tag}")
+        atexit.register(shutil.rmtree, bdir, ignore_errors=True)
+        ivf_index_persist(
+            base, base_dir=bdir, table_name=f"ivf_cells_{tag}",
+            n_cells=4, iterations=1, n_buckets=8,
+        )
+        _IVF_BASE_INDEX[key] = (f"{bdir}/centroids", f"ivf_cells_{tag}")
+    cents_path, tbl = _IVF_BASE_INDEX[key]
+    centroids = spark.read.parquet(cents_path)
+    refreshed = spark.table(tbl).unionByName(
+        ivf_delta_assign(centroids, delta)
+    )
+    return ivf_persisted_topk(centroids, refreshed, queries, k=10, n_probe=2)
+
+
+SQL_ANN_IVF_DELTA_APPEND = """
+WITH seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM (SELECT * FROM embeddings WHERE vec_id >= 10 ORDER BY vec_id LIMIT 4)
+), d1 AS (
+  SELECT e.vec_id, e.embedding, s.cid,
+         list_reduce(list_transform(range(64), i ->
+           (CAST(e.embedding[i+1] AS DOUBLE) - s.cv[i+1])
+           * (CAST(e.embedding[i+1] AS DOUBLE) - s.cv[i+1])),
+           (a,b) -> a + b) AS dist
+  FROM embeddings e CROSS JOIN seeds s WHERE e.vec_id >= 10
+), a1 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM d1
+  ) WHERE rn = 1
+), m1 AS (
+  SELECT cid, i AS pos,
+         CAST(SUM(CAST(CAST(embedding[i+1] AS DOUBLE) AS DECIMAL(28,9)))
+              * 1000000000 AS BIGINT) AS s_nano,
+         COUNT(*) AS n
+  FROM a1, (SELECT unnest(range(64)) AS i)
+  GROUP BY 1, 2
+), c1 AS (
+  SELECT cid,
+         list((s_nano - ((s_nano % n) + n) % n) // n / 1000000000.0
+              ORDER BY pos) AS cv
+  FROM m1 GROUP BY cid
+), d2 AS (
+  SELECT e.vec_id, s.cid,
+         list_reduce(list_transform(range(64), i ->
+           (CAST(e.embedding[i+1] AS DOUBLE) - s.cv[i+1])
+           * (CAST(e.embedding[i+1] AS DOUBLE) - s.cv[i+1])),
+           (a,b) -> a + b) AS dist
+  FROM embeddings e CROSS JOIN c1 s WHERE e.vec_id >= 5
+), a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM d2
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 5
+), qd AS (
+  SELECT q.query_id, s.cid,
+         list_reduce(list_transform(range(64), i ->
+           (q.qv[i+1] - s.cv[i+1]) * (q.qv[i+1] - s.cv[i+1])),
+           (a,b) -> a + b) AS dist
+  FROM q CROSS JOIN c1 s
+), probes AS (
+  SELECT query_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM qd
+  ) WHERE rn <= 2
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT p.query_id, a2.vec_id AS neighbor_id,
+         CAST(FLOOR(list_dot_product(qv.v, iv.v) / (qv.nrm * iv.nrm)
+                    * 1000000.0) AS BIGINT) AS score_ppm
+  FROM probes p
+  JOIN a2 ON a2.cid = p.cid AND a2.vec_id <> p.query_id
+  JOIN v qv ON qv.vec_id = p.query_id
+  JOIN v iv ON iv.vec_id = a2.vec_id
+)
+SELECT query_id, neighbor_id, score_ppm,
+       CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score_ppm DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+EXTENSION_C_CATALOG["ann_ivf_delta_append"] = (
+    x_ann_ivf_delta_append, SQL_ANN_IVF_DELTA_APPEND)
+
+
+def x_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER range join
+    (streaming/events_stream.py::attribution_stream_left_join): clicks
+    joined to same-user purchases in the preceding hour; unconverted
+    clicks null-emit once no match can still arrive. Deterministic
+    under AvailableNow: the global watermark is the MIN of the two
+    per-stream watermarks (multipleWatermarkPolicy=min), i.e.
+    min(max click_ts, max purchase_ts) − 1 day, and an outer click
+    null-emits iff click_ts < that watermark — the oracle applies the
+    identical cutoff, empirically pinned at BOTH sf0.001 (200 = 200)
+    and sf0.01 (1941 = 1941); the trailing-window clicks are
+    deterministically absent, exactly the rows a restarted production
+    stream would emit later."""
+    from pdcm_etl_spark.streaming.events_stream import (
+        attribution_stream_left_join,
+    )
+
+    return attribution_stream_left_join(spark, sf_dir)
+
+
+SQL_STREAM_LEFT_OUTER_JOIN = """
+WITH mx AS (
+  SELECT LEAST(
+    (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+    (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')) AS m
+),
+clicks AS (
+  SELECT event_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), pur AS (
+  SELECT user_id AS pu, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT c.event_id, c.user_id, c.click_ts, p.purchase_ts
+  FROM clicks c LEFT JOIN pur p
+    ON c.user_id = p.pu
+   AND c.click_ts >= p.purchase_ts
+   AND c.click_ts <= p.purchase_ts + INTERVAL 1 HOUR
+)
+SELECT event_id, user_id, click_ts, purchase_ts,
+       purchase_ts IS NOT NULL AS matched
+FROM j
+WHERE purchase_ts IS NOT NULL
+   OR click_ts < (SELECT m FROM mx) - INTERVAL 24 HOUR
+"""
+
+EXTENSION_C_CATALOG["stream_left_outer_join"] = (
+    x_stream_left_outer_join, SQL_STREAM_LEFT_OUTER_JOIN)

@@ -656,3 +656,69 @@ def scd2_upsert_restartable(
     return _load_state().select(
         "user_id", "event_type", "valid_from", "valid_to", "is_current"
     )
+
+
+def attribution_stream_left_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with an event-time range condition:
+    every click joins purchases by the same user within the preceding
+    hour — and clicks with NO purchase emit a null-extended row once
+    the watermark proves no match can still arrive (the semantics an
+    attribution pipeline needs: unconverted traffic must surface, not
+    linger in state forever).
+
+    The outer side's state is the scale hazard: a row can only be
+    null-emitted after the other side's watermark passes its joinable
+    range, so the watermark + range condition BOUND both the state and
+    the result. Drained with AvailableNow, the final watermark is
+    max(event time) − 1 day, so clicks in the trailing day stay
+    unfinalized and are (correctly, deterministically) absent — the
+    oracle applies the same cutoff.
+
+    Returns (event_id, user_id, click_ts, purchase_ts nullable,
+    matched).
+    """
+    clicks = (
+        events_stream_source(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 day")
+    )
+    purchases = (
+        events_stream_source(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user_id = p_user_id AND "
+            "click_ts >= purchase_ts AND "
+            "click_ts <= purchase_ts + INTERVAL 1 HOUR"
+        ),
+        "left_outer",
+    ).select(
+        "event_id",
+        F.col("c_user_id").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        F.col("purchase_ts").isNotNull().alias("matched"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attribution_stream_left")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("attribution_stream_left")

@@ -33,9 +33,11 @@ TIE_SENSITIVE = re.compile(
 # tie-sensitive regex does not match. Rotate each round.
 CURRENT_ROUND_EXTRAS: list[str] = [
     "ann_ivf_persisted",
+    "ann_ivf_delta_append",
     "winsorize_group",
     "link_predict_cn",
     "attribution_touch",
+    "stream_left_outer_join",
 ]
 
 DET_SF_DIR = os.environ.get("SPARK_GRAFT_DET_SF_DIR", "/root/testdata/sf0.1")

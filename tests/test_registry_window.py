@@ -12,9 +12,11 @@ rotation actually landed every previously-unchecked query inside it
 ROTATED_IN = [
     # round-7 additions (never driver-checked)
     "ann_ivf_persisted",
+    "ann_ivf_delta_append",
     "winsorize_group",
     "link_predict_cn",
     "attribution_touch",
+    "stream_left_outer_join",
 ]
 
 
