@@ -917,3 +917,54 @@ def test_ann_ivf_persisted_serve_plan_has_no_training(
     # shuffles at serve time
     assert "broadcasthashjoin" in low
     assert "sortmergejoin" not in low
+
+
+def _exchanges(df) -> int:
+    p = _plan(df, mode="simple")
+    return sum(
+        1 for ln in p.splitlines()
+        if "Exchange" in ln and "Reused" not in ln
+    )
+
+
+def test_winsorize_single_group_shuffle(spark, sf_dir, queries):
+    # rank + group count + both boundary extractions stack as four
+    # Window operators over ONE hashpartitioning(key) Exchange — the
+    # operator's whole one-shuffle contract
+    df = queries["winsorize_group"](spark, sf_dir)
+    assert _exchanges(df) == 1
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan and "HashJoin" not in plan
+
+
+def test_link_predict_wedges_never_all_pairs(spark, sf_dir, queries):
+    plan = _plan(queries["link_predict_cn"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # top-k is served by TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "pythonudf" not in plan.lower()
+
+
+def test_attribution_touch_bounded_shuffles_no_join(
+    spark, sf_dir, queries
+):
+    # user-keyed session windows + (user, sess) frame windows + melt +
+    # touch-type agg: no join anywhere, and the shuffle count stays a
+    # small constant (independent of data/config)
+    df = queries["attribution_touch"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert _exchanges(df) <= 4
+    assert "pythonudf" not in plan.lower()
+
+
+def test_ann_ivf_delta_refresh_has_no_training(spark, sf_dir, queries):
+    # refresh = broadcast centroid join + map-side argmin; serve = the
+    # persisted-index plan. No k-means artifacts anywhere.
+    df = queries["ann_ivf_delta_append"](spark, sf_dir)
+    low = _plan(df).lower()
+    assert "posexplode" not in low
+    assert "decimal(28,9)" not in low
+    assert "pmod" not in low
+    assert "sortmergejoin" not in low
