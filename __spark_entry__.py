@@ -85,10 +85,10 @@ _PRIORITY: list[str] = [
     "quantile_normalize",
     "er_score_pairs",
     "dedup_recall",
-    # (target_encode rotated out — r6-proven; feature-encode family
-    # stays repped by robust_scale)
+    # (target_encode and spearman_corr rotated out — r6-proven;
+    # feature-encode stays repped by robust_scale, correlation by
+    # linreg_group + chi_square_assoc)
     "robust_scale",
-    "spearman_corr",
     # clustering representative (broadcast-centroid variant)
     "kmeans_assign_bcast",
     # assoc rules (itemset_pairs r4-proven, outside)
@@ -108,6 +108,8 @@ _PRIORITY: list[str] = [
     "link_predict_cn",
     "attribution_touch",
     "stream_left_outer_join",
+    "distribution_drift",
+    "quantile_bin",
     # exact multi-quantile profile (event_path_topk rotated out —
     # r6-proven; markov family stays repped by event_transitions)
     "grouped_quantiles",
@@ -136,11 +138,12 @@ _PRIORITY: list[str] = [
     # family growing, windowed immediately; table_stats rotates out —
     # r5-proven, table-profile stays repped by the pytest-checked
     # profile_notnull oracle row)
-    "stream_dq_monitor",
     # ---- below the 50-row window: all driver-proven in r1-r6, still
     # oracle-checked every pytest run
-    # (stream_static_join rotated out — r6-proven; streaming family
-    # stays repped in-window by stream_dq_monitor + stream_scd2_upsert)
+    # (stream_dq_monitor + stream_static_join rotated out — r6-proven;
+    # streaming family stays repped in-window by stream_scd2_upsert +
+    # the new stream_left_outer_join)
+    "stream_dq_monitor",
     "stream_static_join",
     "grouped_moments",
     "event_path_topk",

@@ -152,6 +152,8 @@ HEADLINE = [
     "link_predict_cn",
     "attribution_touch",
     "stream_left_outer_join",
+    "distribution_drift",
+    "quantile_bin",
 ]
 
 

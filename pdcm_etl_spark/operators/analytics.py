@@ -614,3 +614,63 @@ def grouped_moments(
             " AS BIGINT)"
         ).alias("var_sample_micro2"),
     )
+
+
+def distribution_drift(
+    df: DataFrame,
+    key_col: str,
+    after_pred,
+) -> DataFrame:
+    """Categorical distribution drift between two corpus snapshots —
+    the train/serve (or before/after-cutoff) shift monitor a data
+    pipeline runs before trusting a refreshed corpus: each category's
+    share of the BEFORE slice vs the AFTER slice, and the absolute
+    share drift. Integer-ppm exact (PSI's ln(p/q) term is a float
+    surface and engine-divergent; total-variation drift — Σ|p−q|/2 via
+    these per-category rows — carries the same decision signal
+    exactly).
+
+    ONE key-keyed conditional aggregation + a broadcast crossJoin of
+    the 1-row totals; shares ride DECIMAL(38,0) products. Categories
+    absent from one slice surface with share 0 (never dropped — an
+    appearing/disappearing category is the loudest drift there is).
+
+    Returns (key, n_before, n_after, share_before_ppm, share_after_ppm,
+    drift_ppm).
+    """
+    marked = df.select(
+        F.col(key_col).alias("key"),
+        F.when(after_pred, 1).otherwise(0).alias("__after"),
+    )
+    per_key = marked.groupBy("key").agg(
+        F.sum(F.when(F.col("__after") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_before"),
+        F.sum("__after").cast("bigint").alias("n_after"),
+    )
+    totals = per_key.agg(
+        F.sum("n_before").cast("bigint").alias("__tb"),
+        F.sum("n_after").cast("bigint").alias("__ta"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n_before",
+            "n_after",
+            F.expr(
+                "CASE WHEN __tb = 0 THEN CAST(0 AS BIGINT) ELSE"
+                " CAST((CAST(n_before AS DECIMAL(38,0)) * 1000000)"
+                " div __tb AS BIGINT) END"
+            ).alias("share_before_ppm"),
+            F.expr(
+                "CASE WHEN __ta = 0 THEN CAST(0 AS BIGINT) ELSE"
+                " CAST((CAST(n_after AS DECIMAL(38,0)) * 1000000)"
+                " div __ta AS BIGINT) END"
+            ).alias("share_after_ppm"),
+        )
+        .withColumn(
+            "drift_ppm",
+            F.abs(F.col("share_after_ppm") - F.col("share_before_ppm")),
+        )
+    )

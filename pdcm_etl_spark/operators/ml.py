@@ -696,3 +696,47 @@ def winsorize_group(
             "lo_micro", F.least("hi_micro", F.col("m"))
         ).alias("winsorized_micro"),
     )
+
+
+def quantile_bin(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_micro,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-group equal-frequency discretization — each value replaced
+    by its quantile bin 1..n_bins (the feature-binning step before
+    crosstabs, WOE/target encodings, and monotone models; equal-WIDTH
+    binning collapses under skew, equal-frequency does not).
+
+    bin = ⌈rank·B/n⌉ = (rank·B + n − 1) div n over the (value, id)
+    rank — type-1 exact, identical truncation both engines; the
+    rank·B product rides bigint after an explicit cast (rank is the
+    int32 row_number class). Same ONE-group-shuffle shape as
+    winsorize_group: rank + size are windows over one partitioning,
+    the bin is pure arithmetic — no second pass, no join.
+
+    Returns (id, key, value_micro, bin).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        value_micro.cast("bigint").alias("m"),
+    ).filter(F.col("m").isNotNull())
+    w = Window.partitionBy("key").orderBy("m", "id")
+    wp = Window.partitionBy("key").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        base.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .select(
+            "id",
+            "key",
+            F.col("m").alias("value_micro"),
+            F.expr(f"(rn * {n_bins} + n - 1) div n").alias("bin"),
+        )
+    )

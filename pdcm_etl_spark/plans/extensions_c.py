@@ -440,3 +440,85 @@ WHERE purchase_ts IS NOT NULL
 
 EXTENSION_C_CATALOG["stream_left_outer_join"] = (
     x_stream_left_outer_join, SQL_STREAM_LEFT_OUTER_JOIN)
+
+
+def x_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type distribution drift across the 2024-01-16 cutoff
+    (operators/analytics.py::distribution_drift): per-category ppm
+    shares of the before/after slices and the absolute drift —
+    integer-exact total-variation signal (no PSI ln). One conditional
+    agg + broadcast totals."""
+    from pdcm_etl_spark.operators.analytics import distribution_drift
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    return distribution_drift(
+        ev, "event_type", F.col("ts") >= F.lit("2024-01-16")
+    )
+
+
+SQL_DISTRIBUTION_DRIFT = """
+WITH per_key AS (
+  SELECT event_type AS key,
+         CAST(SUM(CASE WHEN ts >= '2024-01-16' THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_before,
+         CAST(SUM(CASE WHEN ts >= '2024-01-16' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_after
+  FROM events GROUP BY 1
+), t AS (
+  SELECT SUM(n_before) AS tb, SUM(n_after) AS ta FROM per_key
+)
+SELECT key, n_before, n_after,
+       CAST(CASE WHEN t.tb = 0 THEN 0
+            ELSE (CAST(n_before AS HUGEINT) * 1000000) // t.tb END
+            AS BIGINT) AS share_before_ppm,
+       CAST(CASE WHEN t.ta = 0 THEN 0
+            ELSE (CAST(n_after AS HUGEINT) * 1000000) // t.ta END
+            AS BIGINT) AS share_after_ppm,
+       ABS(CAST(CASE WHEN t.ta = 0 THEN 0
+            ELSE (CAST(n_after AS HUGEINT) * 1000000) // t.ta END
+            AS BIGINT)
+         - CAST(CASE WHEN t.tb = 0 THEN 0
+            ELSE (CAST(n_before AS HUGEINT) * 1000000) // t.tb END
+            AS BIGINT)) AS drift_ppm
+FROM per_key, t
+"""
+
+EXTENSION_C_CATALOG["distribution_drift"] = (
+    x_distribution_drift, SQL_DISTRIBUTION_DRIFT)
+
+
+def x_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile binning of order totals per priority
+    (operators/ml.py::quantile_bin): equal-frequency discretization,
+    type-1 exact, one group-keyed shuffle (rank + size windows share
+    the partitioning; bin is arithmetic — no join-back)."""
+    from pdcm_etl_spark.operators.ml import quantile_bin
+
+    orders = _t(spark, sf_dir, "orders")
+    metric = (
+        F.col("o_totalprice").cast("decimal(18,6)") * 1000000
+    ).cast("bigint")
+    return quantile_bin(
+        orders, key_col="o_orderpriority", id_col="o_orderkey",
+        value_micro=metric, n_bins=10,
+    )
+
+
+SQL_QUANTILE_BIN = """
+WITH base AS (
+  SELECT o_orderpriority AS key, o_orderkey AS id,
+         CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m
+  FROM orders WHERE o_totalprice IS NOT NULL
+), r AS (
+  SELECT key, id, m,
+         CAST(ROW_NUMBER() OVER (PARTITION BY key ORDER BY m, id)
+              AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT) AS n
+  FROM base
+)
+SELECT id, key, m AS value_micro, (rn * 10 + n - 1) // n AS bin
+FROM r
+"""
+
+EXTENSION_C_CATALOG["quantile_bin"] = (x_quantile_bin, SQL_QUANTILE_BIN)

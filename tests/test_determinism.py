@@ -38,6 +38,8 @@ CURRENT_ROUND_EXTRAS: list[str] = [
     "link_predict_cn",
     "attribution_touch",
     "stream_left_outer_join",
+    "distribution_drift",
+    "quantile_bin",
 ]
 
 DET_SF_DIR = os.environ.get("SPARK_GRAFT_DET_SF_DIR", "/root/testdata/sf0.1")

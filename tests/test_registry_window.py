@@ -17,6 +17,8 @@ ROTATED_IN = [
     "link_predict_cn",
     "attribution_touch",
     "stream_left_outer_join",
+    "distribution_drift",
+    "quantile_bin",
 ]
 
 
@@ -107,7 +109,13 @@ def test_first_50_covers_every_family():
                       "session_window", "stream_stream_join",
                       "stream_sessionize", "stream_dedup",
                       "stream_windowed_topk", "stream_dq_monitor",
-                      "stream_static_join"],
+                      "stream_static_join", "stream_left_outer_join"],
+        # round-7 families
+        "ann-persist": ["ann_ivf_persisted", "ann_ivf_delta_append"],
+        "binning": ["winsorize_group", "quantile_bin"],
+        "link-prediction": ["link_predict_cn"],
+        "attribution": ["attribution_touch", "stream_left_outer_join"],
+        "drift": ["distribution_drift"],
     }
     missing = {
         fam: reps
