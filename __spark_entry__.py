@@ -85,10 +85,9 @@ _PRIORITY: list[str] = [
     "quantile_normalize",
     "er_score_pairs",
     "dedup_recall",
-    # (target_encode and spearman_corr rotated out — r6-proven;
-    # feature-encode stays repped by robust_scale, correlation by
-    # linreg_group + chi_square_assoc)
-    "robust_scale",
+    # (target_encode, spearman_corr and robust_scale rotated out —
+    # r6-proven; feature-encode stays repped by winsorize_group +
+    # quantile_bin, correlation by linreg_group + chi_square_assoc)
     # clustering representative (broadcast-centroid variant)
     "kmeans_assign_bcast",
     # assoc rules (itemset_pairs r4-proven, outside)
@@ -110,9 +109,11 @@ _PRIORITY: list[str] = [
     "stream_left_outer_join",
     "distribution_drift",
     "quantile_bin",
-    # exact multi-quantile profile (event_path_topk rotated out —
-    # r6-proven; markov family stays repped by event_transitions)
-    "grouped_quantiles",
+    "trimmed_mean_group",
+    "funnel_time_to_convert",
+    # (grouped_quantiles and event_path_topk rotated out — r6-proven;
+    # order-statistics stay repped by trimmed_mean_group + quantile_bin,
+    # markov by event_transitions)
     # multimodal (audio r5-proven, rotated out; decode keeps the family)
     "multimodal_decode",
     # temporal / window / skew
@@ -145,6 +146,8 @@ _PRIORITY: list[str] = [
     # the new stream_left_outer_join)
     "stream_dq_monitor",
     "stream_static_join",
+    "robust_scale",
+    "grouped_quantiles",
     "grouped_moments",
     "event_path_topk",
     "join_cardinality_estimate",

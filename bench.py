@@ -154,6 +154,8 @@ HEADLINE = [
     "stream_left_outer_join",
     "distribution_drift",
     "quantile_bin",
+    "trimmed_mean_group",
+    "funnel_time_to_convert",
 ]
 
 

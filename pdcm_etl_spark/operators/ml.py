@@ -329,17 +329,23 @@ def target_encode_loo(
         F.col(cat_col).alias("cat"),
         target_micro.cast("bigint").alias("t"),
     ).filter(F.col("t").isNotNull())
-    # DECIMAL(38,0) accumulators carried straight into the arithmetic:
-    # a hot category past ~1.7e7 rows of 5e11-micro targets busts a
-    # bigint cat_sum; Spark's `div`/`pmod` over decimals keep the same
-    # truncation semantics, and enc_micro is bounded by a single
-    # target's magnitude so the final bigint cast is always safe
+    # DECIMAL(38,0) ACCUMULATOR, bigint representation: the mid-sum
+    # int64 abort (a hot category past ~1.7e7 rows of 5e11-micro
+    # targets) is gone, and the cast back to bigint keeps the pmod/div
+    # encoding arithmetic on fast integer codegen (decimal arithmetic
+    # through the whole expression benched 2.6× the wall). If a
+    # category's TOTAL genuinely exceeds int64 (9.2e18 micro), the ANSI
+    # cast aborts loudly — never silently wrong.
     cats = base.groupBy("cat").agg(
-        F.sum(F.col("t").cast("decimal(38,0)")).alias("cat_sum"),
+        F.sum(F.col("t").cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("cat_sum"),
         F.count(F.lit(1)).alias("cat_n"),
     )
     glob = base.agg(
-        F.sum(F.col("t").cast("decimal(38,0)")).alias("g_sum"),
+        F.sum(F.col("t").cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("g_sum"),
         F.count(F.lit(1)).alias("g_n"),
     ).withColumn("__one", F.lit(1))
     m = int(prior_weight)
@@ -739,4 +745,66 @@ def quantile_bin(
             F.col("m").alias("value_micro"),
             F.expr(f"(rn * {n_bins} + n - 1) div n").alias("bin"),
         )
+    )
+
+
+def trimmed_mean_group(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_micro,
+    trim_bp: int = 500,
+) -> DataFrame:
+    """Per-group trimmed mean — the mean of the values STRICTLY inside
+    the [trim_bp, 10000−trim_bp] basis-point rank band (the robust
+    location estimate between the median and the mean: outliers are
+    dropped, not clipped like winsorize_group). Integer-exact: band
+    membership is a rank predicate, the kept sum rides DECIMAL(38,0),
+    and the mean is a floor division — bit-identical cross-engine
+    (a float trimmed mean would inherit accumulation-order noise).
+
+    Same ONE-group-shuffle discipline as the rest of the rank kit:
+    rank + group size are windows over one partitioning; the trim is a
+    conditional aggregation on the SAME key (map-side partial) — no
+    join, no second pass over data.
+
+    Returns (key, n, n_kept, trimmed_mean_micro, mean_micro) — the
+    untrimmed mean rides along so the trim's effect is visible in one
+    row.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        value_micro.cast("bigint").alias("m"),
+    ).filter(F.col("m").isNotNull())
+    w = Window.partitionBy("key").orderBy("m", "id")
+    wp = Window.partitionBy("key").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lo = f"({trim_bp} * n) div 10000"          # keep rn >  lo
+    hi = f"n - (({trim_bp} * n) div 10000)"    # keep rn <= hi
+    ranked = (
+        base.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .withColumn(
+            "__keep",
+            F.expr(f"rn > {lo} AND rn <= {hi}"),
+        )
+    )
+    return ranked.groupBy("key").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("__keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.expr(
+            "CAST(CASE WHEN sum(CASE WHEN __keep THEN 1 ELSE 0 END) = 0"
+            " THEN NULL ELSE"
+            " sum(CASE WHEN __keep THEN CAST(m AS DECIMAL(38,0)) END)"
+            " div sum(CASE WHEN __keep THEN 1 ELSE 0 END) END AS BIGINT)"
+        ).alias("trimmed_mean_micro"),
+        F.expr(
+            "CAST(sum(CAST(m AS DECIMAL(38,0))) div count(1) AS BIGINT)"
+        ).alias("mean_micro"),
     )

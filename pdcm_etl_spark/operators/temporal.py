@@ -748,3 +748,100 @@ def attribution_touch(
         .cast("bigint")
         .alias("revenue_micro"),
     )
+
+
+def funnel_time_to_convert(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    from_type: str = "view",
+    to_type: str = "purchase",
+) -> DataFrame:
+    """Time-to-convert by acquisition cohort: for each user, the
+    seconds between their FIRST ``from_type`` event and the first
+    ``to_type`` event after it; converted users grouped by the day of
+    their first-ever event (the cohort), with exact discrete p50/p90
+    of the conversion delay — funnel_stages says how many convert,
+    this says how fast, cohort-over-cohort.
+
+    Deterministic: all "first"s are (ts, id)-ordered struct minima;
+    delays are integer seconds (floor of the microsecond difference);
+    quantiles are the discrete ⌈q·n⌉ order statistics (ties by user
+    id) of the grouped_quantiles idiom.
+
+    Scale shape: one user-keyed shuffle (three stacked full-frame
+    windows: first event, first from-event, first to-event after it —
+    window-over-window on the same partitioning, no self-join), one
+    row kept per user, then one cohort-keyed shuffle for the rank +
+    conditional-agg quantile extraction. No joins, no collects.
+
+    Returns (cohort_day, n_converted, p50_convert_s, p90_convert_s).
+    """
+    wu = Window.partitionBy("u").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(id_col).alias("id"),
+        F.col(type_col).alias("typ"),
+    )
+    marked = (
+        base.withColumn("__first", F.min(F.struct("ts", "id")).over(wu))
+        .withColumn(
+            "__fv",
+            F.min(
+                F.when(F.col("typ") == from_type, F.struct("ts", "id"))
+            ).over(wu),
+        )
+        .withColumn(
+            "__fc",
+            F.min(
+                F.when(
+                    (F.col("typ") == to_type)
+                    & F.col("__fv").isNotNull()
+                    & (F.struct("ts", "id") > F.col("__fv")),
+                    F.struct("ts", "id"),
+                )
+            ).over(wu),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("u").orderBy("ts", "id")
+            ),
+        )
+    )
+    converted = marked.filter(
+        (F.col("__rn") == 1) & F.col("__fc").isNotNull()
+    ).select(
+        "u",
+        F.date_trunc("day", F.col("__first.ts")).alias("cohort_day"),
+        (
+            (
+                F.unix_micros(F.col("__fc.ts").cast("timestamp"))
+                - F.unix_micros(F.col("__fv.ts").cast("timestamp"))
+            )
+            / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("convert_s"),
+    )
+    wq = Window.partitionBy("cohort_day").orderBy("convert_s", "u")
+    wp = Window.partitionBy("cohort_day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = converted.withColumn(
+        "rn", F.row_number().over(wq).cast("bigint")
+    ).withColumn("n", F.count(F.lit(1)).over(wp))
+    return ranked.groupBy("cohort_day").agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(50 * n + 99) div 100"), F.col("convert_s"))
+        ).alias("p50_convert_s"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(90 * n + 99) div 100"), F.col("convert_s"))
+        ).alias("p90_convert_s"),
+    )

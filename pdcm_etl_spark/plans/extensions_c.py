@@ -522,3 +522,106 @@ FROM r
 """
 
 EXTENSION_C_CATALOG["quantile_bin"] = (x_quantile_bin, SQL_QUANTILE_BIN)
+
+
+def x_trimmed_mean_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of order totals per priority
+    (operators/ml.py::trimmed_mean_group): robust location between
+    median and mean, integer-exact, one group-keyed shuffle (rank/size
+    windows + a same-key conditional aggregation)."""
+    from pdcm_etl_spark.operators.ml import trimmed_mean_group
+
+    orders = _t(spark, sf_dir, "orders")
+    metric = (
+        F.col("o_totalprice").cast("decimal(18,6)") * 1000000
+    ).cast("bigint")
+    return trimmed_mean_group(
+        orders, key_col="o_orderpriority", id_col="o_orderkey",
+        value_micro=metric, trim_bp=500,
+    )
+
+
+SQL_TRIMMED_MEAN_GROUP = """
+WITH base AS (
+  SELECT o_orderpriority AS key, o_orderkey AS id,
+         CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m
+  FROM orders WHERE o_totalprice IS NOT NULL
+), r AS (
+  SELECT key, id, m,
+         CAST(ROW_NUMBER() OVER (PARTITION BY key ORDER BY m, id)
+              AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT) AS n
+  FROM base
+), marked AS (
+  SELECT *, (rn > (500 * n) // 10000
+             AND rn <= n - ((500 * n) // 10000)) AS keep
+  FROM r
+)
+SELECT key, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(CASE WHEN SUM(CASE WHEN keep THEN 1 ELSE 0 END) = 0 THEN NULL
+            ELSE SUM(CASE WHEN keep THEN CAST(m AS HUGEINT) END)
+                 // SUM(CASE WHEN keep THEN 1 ELSE 0 END) END
+            AS BIGINT) AS trimmed_mean_micro,
+       CAST(SUM(CAST(m AS HUGEINT)) // COUNT(*) AS BIGINT) AS mean_micro
+FROM marked GROUP BY key
+"""
+
+EXTENSION_C_CATALOG["trimmed_mean_group"] = (
+    x_trimmed_mean_group, SQL_TRIMMED_MEAN_GROUP)
+
+
+def x_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→purchase conversion delay by acquisition cohort
+    (operators/temporal.py::funnel_time_to_convert): per user, the
+    seconds from first view to the first purchase after it; converted
+    users grouped by first-event day with exact discrete p50/p90 —
+    one user-keyed shuffle (stacked full-frame windows), one
+    cohort-keyed quantile pass."""
+    from pdcm_etl_spark.operators.temporal import funnel_time_to_convert
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    return funnel_time_to_convert(load_events(spark, sf_dir))
+
+
+SQL_FUNNEL_TIME_TO_CONVERT = """
+WITH ev AS (
+  SELECT user_id AS u, ts, event_id AS id, event_type AS typ FROM events
+), firsts AS (
+  SELECT u, ts, ROW_NUMBER() OVER (PARTITION BY u ORDER BY ts, id) AS rn
+  FROM ev
+), fe AS (
+  SELECT u, date_trunc('day', ts) AS cohort_day FROM firsts WHERE rn = 1
+), fv AS (
+  SELECT u, ts AS vts, id AS vid FROM (
+    SELECT u, ts, id,
+           ROW_NUMBER() OVER (PARTITION BY u ORDER BY ts, id) AS rn
+    FROM ev WHERE typ = 'view'
+  ) WHERE rn = 1
+), fc AS (
+  SELECT u, cts FROM (
+    SELECT e.u, e.ts AS cts,
+           ROW_NUMBER() OVER (PARTITION BY e.u ORDER BY e.ts, e.id) AS rn
+    FROM ev e JOIN fv ON e.u = fv.u
+    WHERE e.typ = 'purchase' AND (e.ts, e.id) > (fv.vts, fv.vid)
+  ) WHERE rn = 1
+), conv AS (
+  SELECT fe.u, CAST(fe.cohort_day AS TIMESTAMP) AS cohort_day,
+         CAST(FLOOR(EPOCH(fc.cts - fv.vts)) AS BIGINT) AS convert_s
+  FROM fe JOIN fv ON fe.u = fv.u JOIN fc ON fe.u = fc.u
+), r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY cohort_day
+                                    ORDER BY convert_s, u) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY cohort_day) AS BIGINT) AS n
+  FROM conv
+)
+SELECT cohort_day, CAST(MAX(n) AS BIGINT) AS n_converted,
+       MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN convert_s END)
+         AS p50_convert_s,
+       MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN convert_s END)
+         AS p90_convert_s
+FROM r GROUP BY cohort_day
+"""
+
+EXTENSION_C_CATALOG["funnel_time_to_convert"] = (
+    x_funnel_time_to_convert, SQL_FUNNEL_TIME_TO_CONVERT)

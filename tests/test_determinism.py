@@ -40,6 +40,8 @@ CURRENT_ROUND_EXTRAS: list[str] = [
     "stream_left_outer_join",
     "distribution_drift",
     "quantile_bin",
+    "trimmed_mean_group",
+    "funnel_time_to_convert",
 ]
 
 DET_SF_DIR = os.environ.get("SPARK_GRAFT_DET_SF_DIR", "/root/testdata/sf0.1")

@@ -19,6 +19,8 @@ ROTATED_IN = [
     "stream_left_outer_join",
     "distribution_drift",
     "quantile_bin",
+    "trimmed_mean_group",
+    "funnel_time_to_convert",
 ]
 
 
@@ -45,7 +47,8 @@ def test_first_50_covers_every_family():
         "collect": ["collect_set_markers", "global_agg"],
         "json": ["json_agg_struct"],
         "sketch": ["approx_distinct", "heavy_hitters", "approx_quantile",
-                   "grouped_quantiles"],
+                   "grouped_quantiles", "trimmed_mean_group",
+                   "quantile_bin"],
         "pivot": ["pivot_status"],
         "timeseries": ["events_daily", "cohort_retention",
                        "timeseries_gapfill"],
@@ -93,7 +96,8 @@ def test_first_50_covers_every_family():
         "packing": ["pack_sequences"],
         "quality-filter": ["quality_percentile", "percentile_rank"],
         "feature-encode": ["target_encode", "percentile_rank",
-                           "robust_scale"],
+                           "robust_scale", "winsorize_group",
+                           "quantile_bin"],
         "correlation": ["spearman_corr", "crosstab_lift",
                         "chi_square_assoc", "linreg_group"],
         "regression": ["linreg_group"],
@@ -116,6 +120,8 @@ def test_first_50_covers_every_family():
         "link-prediction": ["link_predict_cn"],
         "attribution": ["attribution_touch", "stream_left_outer_join"],
         "drift": ["distribution_drift"],
+        "funnel-latency": ["funnel_time_to_convert"],
+        "robust-location": ["trimmed_mean_group"],
     }
     missing = {
         fam: reps
