@@ -95,9 +95,10 @@ _PRIORITY: list[str] = [
     # dedup family representative (groups_star / winnow / containment /
     # paragraph / edit_distance all driver-proven r1-r5, outside)
     "dedup_prefix_filter",
-    # similarity search + eval (ann_recall rotated out — r4-proven;
-    # the recall-harness family stays repped by dedup_recall)
-    "ann_ivf_trained_topk",
+    # similarity search + eval (ann_recall r4-proven and
+    # ann_ivf_trained_topk r6-proven rotated out — the family stays
+    # repped by the persisted/delta twins, which share the trained
+    # oracle; recall-harness repped by dedup_recall)
     # round-7 additions, windowed immediately: IVF served from a
     # persisted bucketed index (same oracle as the trained twin),
     # winsorization, link prediction, session attribution
@@ -111,6 +112,7 @@ _PRIORITY: list[str] = [
     "quantile_bin",
     "trimmed_mean_group",
     "funnel_time_to_convert",
+    "ks_drift",
     # (grouped_quantiles and event_path_topk rotated out — r6-proven;
     # order-statistics stay repped by trimmed_mean_group + quantile_bin,
     # markov by event_transitions)
@@ -148,6 +150,7 @@ _PRIORITY: list[str] = [
     "stream_static_join",
     "robust_scale",
     "grouped_quantiles",
+    "ann_ivf_trained_topk",
     "grouped_moments",
     "event_path_topk",
     "join_cardinality_estimate",

@@ -156,6 +156,7 @@ HEADLINE = [
     "quantile_bin",
     "trimmed_mean_group",
     "funnel_time_to_convert",
+    "ks_drift",
 ]
 
 

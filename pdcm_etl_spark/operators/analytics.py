@@ -674,3 +674,128 @@ def distribution_drift(
             F.abs(F.col("share_after_ppm") - F.col("share_before_ppm")),
         )
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    value_micro,
+    after_pred,
+    id_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between a BEFORE
+    and an AFTER slice of a numeric column — the numeric companion of
+    distribution_drift (that one watches category shares; this one
+    watches a continuous metric's whole shape). D = max |ECDF_b −
+    ECDF_a| reported in exact ppm — the KS statistic is purely
+    rank-based, so unlike PSI/KL there is NO float surface at all.
+
+    Scale shape — a global ECDF with NO global sort (the range-bucket
+    decomposition of quantile_normalize): rows range-bucket on the
+    value (bounds from a two-scalar agg, the only collect); running
+    counts are windows PARTITIONED by bucket; cross-bucket offsets
+    come from an unpartitioned window over the ≤ n_buckets-row bucket
+    totals (bounded — never over data) joined back by broadcast. The
+    ECDF gap is evaluated cross-multiplied (|cum_b·n_a − cum_a·n_b|,
+    DECIMAL(38,0) — division only at the final ppm render) and AFTER
+    each tie group (a value-partitioned max), which is the
+    right-continuous mathematical ECDF on both engines. One bounded
+    max aggregation finishes.
+
+    Returns one row: (n_before, n_after, ks_ppm).
+    """
+    tagged = df.select(
+        value_micro.cast("bigint").alias("m"),
+        F.col(id_col).alias("id"),
+        F.when(after_pred, 1).otherwise(0).alias("a"),
+    ).filter(F.col("m").isNotNull())
+
+    lo, hi = tagged.agg(F.min("m"), F.max("m")).first()
+    if lo is None:
+        empty = tagged.agg(
+            F.lit(0).cast("bigint").alias("n_before"),
+            F.lit(0).cast("bigint").alias("n_after"),
+            F.lit(None).cast("bigint").alias("ks_ppm"),
+        )
+        return empty.limit(0)
+    width = max((int(hi) - int(lo)) // n_buckets, 1)
+    bucketed = tagged.withColumn(
+        "__bk",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("m") - F.lit(int(lo))) / F.lit(width)).cast(
+                "int"
+            ),
+        ),
+    )
+    wb = Window.partitionBy("__bk").orderBy("m", "a", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = bucketed.withColumn(
+        "__la", F.sum("a").over(wb).cast("bigint")
+    ).withColumn("__ln", F.count(F.lit(1)).over(wb).cast("bigint"))
+    btot = bucketed.groupBy("__bk").agg(
+        F.sum("a").cast("bigint").alias("__ba"),
+        F.count(F.lit(1)).cast("bigint").alias("__bn"),
+    )
+    off_w = Window.orderBy("__bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = btot.select(
+        "__bk",
+        F.coalesce(F.sum("__ba").over(off_w), F.lit(0))
+        .cast("bigint")
+        .alias("__oa"),
+        F.coalesce(F.sum("__bn").over(off_w), F.lit(0))
+        .cast("bigint")
+        .alias("__on"),
+    )
+    wv = Window.partitionBy("m").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = (
+        local.join(F.broadcast(offsets), "__bk")
+        .withColumn(
+            "cum_a", (F.col("__oa") + F.col("__la")).cast("decimal(38,0)")
+        )
+        .withColumn(
+            "cum_b",
+            (
+                (F.col("__on") + F.col("__ln"))
+                - (F.col("__oa") + F.col("__la"))
+            ).cast("decimal(38,0)"),
+        )
+        # ECDF is right-continuous: the gap is defined AFTER the whole
+        # tie group of an equal value — take each value's final counts
+        .withColumn("va", F.max("cum_a").over(wv))
+        .withColumn("vb", F.max("cum_b").over(wv))
+    )
+    return (
+        cum.crossJoin(
+            F.broadcast(
+                tagged.agg(
+                    F.sum(F.lit(1) - F.col("a"))
+                    .cast("bigint")
+                    .alias("n_before"),
+                    F.sum("a").cast("bigint").alias("n_after"),
+                )
+            )
+        )
+        .select(
+            "n_before",
+            "n_after",
+            F.abs(
+                F.col("vb") * F.col("n_after")
+                - F.col("va") * F.col("n_before")
+            ).alias("__gap"),
+        )
+        .groupBy("n_before", "n_after")
+        .agg(
+            F.expr(
+                "CAST(CASE WHEN n_before = 0 OR n_after = 0 THEN NULL"
+                " ELSE (max(__gap) * 1000000)"
+                " div (CAST(n_before AS DECIMAL(38,0)) * n_after) END"
+                " AS BIGINT)"
+            ).alias("ks_ppm")
+        )
+    )

@@ -625,3 +625,55 @@ FROM r GROUP BY cohort_day
 
 EXTENSION_C_CATALOG["funnel_time_to_convert"] = (
     x_funnel_time_to_convert, SQL_FUNNEL_TIME_TO_CONVERT)
+
+
+def x_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic of the event value metric across
+    the 2024-01-16 cutoff (operators/analytics.py::ks_drift): purely
+    rank-based — zero float surface — cross-multiplied ECDF gap in
+    DECIMAL, final ppm render. distribution_drift's numeric
+    companion."""
+    from pdcm_etl_spark.operators.analytics import ks_drift
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    metric = (F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint")
+    return ks_drift(
+        ev, metric, F.col("ts") >= F.lit("2024-01-16"), id_col="event_id"
+    )
+
+
+SQL_KS_DRIFT = """
+WITH tagged AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m,
+         event_id AS id,
+         CASE WHEN ts >= '2024-01-16' THEN 1 ELSE 0 END AS a
+  FROM events WHERE value IS NOT NULL
+), cum AS (
+  SELECT m, a,
+         SUM(a) OVER w AS cum_a,
+         COUNT(*) OVER w - SUM(a) OVER w AS cum_b
+  FROM tagged
+  WINDOW w AS (ORDER BY m, a, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), v AS (
+  SELECT m,
+         MAX(cum_a) OVER (PARTITION BY m) AS va,
+         MAX(cum_b) OVER (PARTITION BY m) AS vb
+  FROM cum
+), t AS (
+  SELECT CAST(SUM(1 - a) AS BIGINT) AS n_before,
+         CAST(SUM(a) AS BIGINT) AS n_after
+  FROM tagged
+)
+SELECT t.n_before, t.n_after,
+       CAST(CASE WHEN t.n_before = 0 OR t.n_after = 0 THEN NULL
+            ELSE (MAX(ABS(CAST(vb AS HUGEINT) * t.n_after
+                          - CAST(va AS HUGEINT) * t.n_before)) * 1000000)
+                 // (CAST(t.n_before AS HUGEINT) * t.n_after) END
+            AS BIGINT) AS ks_ppm
+FROM v, t
+GROUP BY t.n_before, t.n_after
+"""
+
+EXTENSION_C_CATALOG["ks_drift"] = (x_ks_drift, SQL_KS_DRIFT)

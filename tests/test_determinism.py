@@ -42,6 +42,7 @@ CURRENT_ROUND_EXTRAS: list[str] = [
     "quantile_bin",
     "trimmed_mean_group",
     "funnel_time_to_convert",
+    "ks_drift",
 ]
 
 DET_SF_DIR = os.environ.get("SPARK_GRAFT_DET_SF_DIR", "/root/testdata/sf0.1")

@@ -968,3 +968,26 @@ def test_ann_ivf_delta_refresh_has_no_training(spark, sf_dir, queries):
     assert "decimal(28,9)" not in low
     assert "pmod" not in low
     assert "sortmergejoin" not in low
+
+
+def test_ks_drift_ecdf_is_bucket_decomposed(spark, sf_dir, queries):
+    """The global ECDF must come from the range-bucket decomposition:
+    the two DATA windows partition (by __bk for the running counts, by
+    m for the tie-group max); the ONLY unpartitioned window is the
+    bucket-offset cumsum ORDERED by __bk over the ≤ n_buckets-row
+    totals aggregate (bounded by construction, joined back by
+    broadcast). No global data sort anywhere."""
+    import re
+
+    plan = _plan(queries["ks_drift"](spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    specs = [
+        m.group(1)
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan)
+    ]
+    assert len(specs) >= 3
+    for spec in specs:
+        first = spec.split(",")[0].strip()
+        # partitioned data windows lead with a partition column (no
+        # ASC); the bounded offset window leads with "__bk ... ASC"
+        assert first.startswith(("__bk", "m#")), spec

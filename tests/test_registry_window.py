@@ -21,6 +21,7 @@ ROTATED_IN = [
     "quantile_bin",
     "trimmed_mean_group",
     "funnel_time_to_convert",
+    "ks_drift",
 ]
 
 
@@ -63,7 +64,8 @@ def test_first_50_covers_every_family():
                   "dedup_paragraph", "dedup_containment", "dedup_winnow",
                   "dedup_prefix_filter"],
         "skyline": ["pareto_frontier"],
-        "similarity": ["ann_ivf_trained_topk"],
+        "similarity": ["ann_ivf_trained_topk", "ann_ivf_persisted",
+                       "ann_ivf_delta_append"],
         "ann-eval": ["ann_recall", "dedup_recall"],
         "dedup-eval": ["dedup_recall"],
         "text": ["text_quality", "text_tfidf", "text_chunk",
@@ -119,7 +121,7 @@ def test_first_50_covers_every_family():
         "binning": ["winsorize_group", "quantile_bin"],
         "link-prediction": ["link_predict_cn"],
         "attribution": ["attribution_touch", "stream_left_outer_join"],
-        "drift": ["distribution_drift"],
+        "drift": ["distribution_drift", "ks_drift"],
         "funnel-latency": ["funnel_time_to_convert"],
         "robust-location": ["trimmed_mean_group"],
     }
