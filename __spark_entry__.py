@@ -48,10 +48,10 @@ _PRIORITY: list[str] = [
     "array_equality_group",
     # skyline
     "pareto_frontier",
-    # grouping / set ops / timeseries
+    # grouping / set ops / timeseries (timeseries_gapfill rotated out —
+    # r4-proven; timeseries family stays repped by funnel_time_to_convert)
     "corpus_language_mix",
     "except_keys",
-    "timeseries_gapfill",
     "anomaly_mad",
     # markov + CDC
     "event_transitions",
@@ -113,6 +113,7 @@ _PRIORITY: list[str] = [
     "trimmed_mean_group",
     "funnel_time_to_convert",
     "ks_drift",
+    "grouped_auc",
     # (grouped_quantiles and event_path_topk rotated out — r6-proven;
     # order-statistics stay repped by trimmed_mean_group + quantile_bin,
     # markov by event_transitions)
@@ -151,6 +152,7 @@ _PRIORITY: list[str] = [
     "robust_scale",
     "grouped_quantiles",
     "ann_ivf_trained_topk",
+    "timeseries_gapfill",
     "grouped_moments",
     "event_path_topk",
     "join_cardinality_estimate",

@@ -157,6 +157,7 @@ HEADLINE = [
     "trimmed_mean_group",
     "funnel_time_to_convert",
     "ks_drift",
+    "grouped_auc",
 ]
 
 

@@ -808,3 +808,74 @@ def trimmed_mean_group(
             "CAST(sum(CAST(m AS DECIMAL(38,0))) div count(1) AS BIGINT)"
         ).alias("mean_micro"),
     )
+
+
+def grouped_auc_ppm(
+    df: DataFrame,
+    key_col: str,
+    score_micro,
+    label_pred,
+) -> DataFrame:
+    """Exact ROC-AUC per group, in ppm — the model-eval primitive (how
+    well does ``score`` rank positives above negatives?), computed as
+    the Mann–Whitney U statistic over the score HISTOGRAM:
+
+        AUC = (#(pos > neg) + ½·#(pos == neg)) / (n_pos·n_neg)
+
+    held in integers as (2·gt + ties) ppm div (2·n_pos·n_neg) — no
+    trapezoids, no float ranks, no tie-averaging drift: bit-identical
+    cross-engine (float AUC implementations disagree on ties and
+    accumulation order).
+
+    Scale shape: one (key, score)-keyed aggregation collapses the data
+    to the per-group score histogram (map-side combined); a cumulative
+    window over the histogram — partitioned by key, sized by DISTINCT
+    scores, not rows — yields each score's count of negatives below;
+    one final key aggregation. Products ride DECIMAL(38,0)
+    (pos·cum_neg reaches n²/4). Groups with no positives or no
+    negatives emit NULL (AUC undefined).
+
+    Returns (key, n_pos, n_neg, auc_ppm nullable).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        score_micro.cast("bigint").alias("s"),
+        F.when(label_pred, 1).otherwise(0).alias("y"),
+    ).filter(F.col("s").isNotNull())
+    hist = base.groupBy("key", "s").agg(
+        F.sum("y").cast("bigint").alias("np"),
+        F.sum(F.lit(1) - F.col("y")).cast("bigint").alias("nn"),
+    )
+    w = Window.partitionBy("key").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.withColumn(
+        "neg_below",
+        F.coalesce(F.sum("nn").over(w), F.lit(0)).cast("bigint"),
+    )
+    return (
+        cum.groupBy("key")
+        .agg(
+            F.sum("np").cast("bigint").alias("n_pos"),
+            F.sum("nn").cast("bigint").alias("n_neg"),
+            F.sum(
+                F.col("np").cast("decimal(38,0)") * F.col("neg_below")
+            ).alias("__gt"),
+            F.sum(
+                F.col("np").cast("decimal(38,0)") * F.col("nn")
+            ).alias("__ties"),
+        )
+        .select(
+            "key",
+            "n_pos",
+            "n_neg",
+            F.expr(
+                "CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE"
+                " ((2 * __gt + __ties) * 1000000)"
+                " div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) END"
+                " AS BIGINT)"
+            ).alias("auc_ppm"),
+        )
+    )

@@ -677,3 +677,52 @@ GROUP BY t.n_before, t.n_after
 """
 
 EXTENSION_C_CATALOG["ks_drift"] = (x_ks_drift, SQL_KS_DRIFT)
+
+
+def x_grouped_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type ROC-AUC of the value metric as a predictor
+    of 'is this a purchase-user event' (operators/ml.py::
+    grouped_auc_ppm): Mann–Whitney over the score histogram —
+    histogram agg + one key-partitioned cumulative window + final agg,
+    all integer/DECIMAL. The model-eval primitive."""
+    from pdcm_etl_spark.operators.ml import grouped_auc_ppm
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    metric = (F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint")
+    return grouped_auc_ppm(
+        ev.filter(F.col("event_type").isin("click", "view", "purchase")),
+        key_col="event_type",
+        score_micro=metric,
+        label_pred=F.col("user_id") % 3 == 0,
+    )
+
+
+SQL_GROUPED_AUC = """
+WITH base AS (
+  SELECT event_type AS key,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS s,
+         CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase') AND value IS NOT NULL
+), hist AS (
+  SELECT key, s, CAST(SUM(y) AS BIGINT) AS np,
+         CAST(SUM(1 - y) AS BIGINT) AS nn
+  FROM base GROUP BY 1, 2
+), cum AS (
+  SELECT *, CAST(COALESCE(SUM(nn) OVER (PARTITION BY key ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS neg_below
+  FROM hist
+)
+SELECT key, CAST(SUM(np) AS BIGINT) AS n_pos,
+       CAST(SUM(nn) AS BIGINT) AS n_neg,
+       CAST(CASE WHEN SUM(np) = 0 OR SUM(nn) = 0 THEN NULL ELSE
+         ((2 * SUM(CAST(np AS HUGEINT) * neg_below)
+           + SUM(CAST(np AS HUGEINT) * nn)) * 1000000)
+         // (2 * CAST(SUM(np) AS HUGEINT) * SUM(nn)) END AS BIGINT)
+         AS auc_ppm
+FROM cum GROUP BY key
+"""
+
+EXTENSION_C_CATALOG["grouped_auc"] = (x_grouped_auc, SQL_GROUPED_AUC)

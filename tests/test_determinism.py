@@ -43,6 +43,7 @@ CURRENT_ROUND_EXTRAS: list[str] = [
     "trimmed_mean_group",
     "funnel_time_to_convert",
     "ks_drift",
+    "grouped_auc",
 ]
 
 DET_SF_DIR = os.environ.get("SPARK_GRAFT_DET_SF_DIR", "/root/testdata/sf0.1")

@@ -22,6 +22,7 @@ ROTATED_IN = [
     "trimmed_mean_group",
     "funnel_time_to_convert",
     "ks_drift",
+    "grouped_auc",
 ]
 
 
@@ -52,7 +53,7 @@ def test_first_50_covers_every_family():
                    "quantile_bin"],
         "pivot": ["pivot_status"],
         "timeseries": ["events_daily", "cohort_retention",
-                       "timeseries_gapfill"],
+                       "timeseries_gapfill", "funnel_time_to_convert"],
         "anomaly": ["anomaly_iqr", "anomaly_mad"],
         "recursion": ["recursive_closure", "pagerank", "bfs_distance"],
         "graph-analytics": ["triangle_count", "pagerank", "kcore",
@@ -124,6 +125,7 @@ def test_first_50_covers_every_family():
         "drift": ["distribution_drift", "ks_drift"],
         "funnel-latency": ["funnel_time_to_convert"],
         "robust-location": ["trimmed_mean_group"],
+        "model-eval": ["grouped_auc"],
     }
     missing = {
         fam: reps
