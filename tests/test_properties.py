@@ -1883,3 +1883,61 @@ def test_banding_recall_sampled_brackets_full(spark):
         assert abs(s["recall_ppm"] - full["recall_ppm"]) <= 50_000, (
             bp, s["recall_ppm"], full["recall_ppm"],
         )
+
+
+def test_grouped_auc_known_exact_values(spark):
+    from pyspark.sql import functions as F
+
+    from pdcm_etl_spark.operators.ml import grouped_auc_ppm
+
+    # perfect separation: every positive scores above every negative
+    rows = [("g", 10 + i, 1) for i in range(5)] + [
+        ("g", i, 0) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "k string, s int, y int")
+    r = grouped_auc_ppm(
+        df, "k", F.col("s").cast("bigint"), F.col("y") == 1
+    ).collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc_ppm"]) == (5, 5, 1_000_000)
+    # total inversion -> 0; all-tied scores -> exactly 500000
+    inv = grouped_auc_ppm(
+        df, "k", F.col("s").cast("bigint"), F.col("y") == 0
+    ).collect()[0]
+    assert inv["auc_ppm"] == 0
+    tied = spark.createDataFrame(
+        [("g", 7, i % 2) for i in range(8)], "k string, s int, y int"
+    )
+    t = grouped_auc_ppm(
+        tied, "k", F.col("s").cast("bigint"), F.col("y") == 1
+    ).collect()[0]
+    assert t["auc_ppm"] == 500_000
+    # degenerate group (no negatives) -> NULL
+    onecls = spark.createDataFrame(
+        [("g", i, 1) for i in range(3)], "k string, s int, y int"
+    )
+    assert grouped_auc_ppm(
+        onecls, "k", F.col("s").cast("bigint"), F.col("y") == 1
+    ).collect()[0]["auc_ppm"] is None
+
+
+def test_ks_drift_known_exact_values(spark):
+    from pyspark.sql import functions as F
+
+    from pdcm_etl_spark.operators.analytics import ks_drift
+
+    # disjoint ranges -> D = 1 exactly
+    rows = [(i, i, 0) for i in range(10)] + [
+        (100 + i, 100 + i, 1) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "m int, id int, a int")
+    r = ks_drift(
+        df, F.col("m").cast("bigint"), F.col("a") == 1, "id"
+    ).collect()[0]
+    assert (r["n_before"], r["n_after"], r["ks_ppm"]) == (10, 10, 1_000_000)
+    # identical multisets -> D = 0 exactly (ties resolved after groups)
+    rows2 = [(v, i, i % 2) for i, v in enumerate([1, 1, 2, 2, 3, 3, 4, 4])]
+    df2 = spark.createDataFrame(rows2, "m int, id int, a int")
+    r2 = ks_drift(
+        df2, F.col("m").cast("bigint"), F.col("a") == 1, "id"
+    ).collect()[0]
+    assert r2["ks_ppm"] == 0
