@@ -54,11 +54,19 @@ def pareto_frontier(
     lo, hi = df.agg(F.min(x_col), F.max(x_col)).first()
     if lo is None:
         return pts.select("x", "y", "n_rows")  # empty input
-    width = (float(hi) - float(lo)) / n_buckets or 1.0
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.floor((F.col("x") - F.lit(lo)) / F.lit(width)).cast("int"),
-    )
+    # Bucket ids are a DECOMPOSITION detail only (never in the output):
+    # the carry logic is exact for ANY bucketing monotone in x. Integer
+    # inputs take the pure-integer div path (uniform audit discipline);
+    # fractional inputs use float division, which is safe here because
+    # IEEE round-to-nearest is weakly monotone — floor((x−lo)/w) can
+    # mis-round at a boundary but never out of order.
+    if isinstance(lo, int) and isinstance(hi, int):
+        iwidth = max((hi - lo) // n_buckets, 1)
+        raw = F.expr(f"(x - {lo}) div {iwidth}")
+    else:
+        width = (float(hi) - float(lo)) / n_buckets or 1.0
+        raw = F.floor((F.col("x") - F.lit(lo)) / F.lit(width))
+    bucket = F.least(F.lit(n_buckets - 1), raw.cast("int"))
     b = pts.withColumn("__bk", bucket)
     w_in = (
         Window.partitionBy("__bk")
@@ -702,7 +710,9 @@ def ks_drift(
     right-continuous mathematical ECDF on both engines. One bounded
     max aggregation finishes.
 
-    Returns one row: (n_before, n_after, ks_ppm).
+    Returns one row (n_before, n_after, ks_ppm) — except on empty /
+    all-null input, which yields ZERO rows (matching the SQL oracle,
+    whose value×total cross join is empty when no values exist).
     """
     tagged = df.select(
         value_micro.cast("bigint").alias("m"),
@@ -712,20 +722,20 @@ def ks_drift(
 
     lo, hi = tagged.agg(F.min("m"), F.max("m")).first()
     if lo is None:
-        empty = tagged.agg(
-            F.lit(0).cast("bigint").alias("n_before"),
-            F.lit(0).cast("bigint").alias("n_after"),
-            F.lit(None).cast("bigint").alias("ks_ppm"),
+        # zero rows, contract schema (no dead one-row agg construction)
+        return df.sparkSession.createDataFrame(
+            [],
+            "n_before bigint, n_after bigint, ks_ppm bigint",
         )
-        return empty.limit(0)
     width = max((int(hi) - int(lo)) // n_buckets, 1)
+    # pure integer bucketing: m ≥ lo so truncating div == floor div —
+    # no float division anywhere in this operator (uniform with the
+    # plans/audit.py integer-arithmetic discipline)
     bucketed = tagged.withColumn(
         "__bk",
         F.least(
             F.lit(n_buckets - 1),
-            F.floor((F.col("m") - F.lit(int(lo))) / F.lit(width)).cast(
-                "int"
-            ),
+            F.expr(f"(m - {int(lo)}) div {width}").cast("int"),
         ),
     )
     wb = Window.partitionBy("__bk").orderBy("m", "a", "id").rowsBetween(

@@ -545,11 +545,20 @@ def quantile_normalize(
             id_col, key_col, value_col,
             F.col(value_col).alias("q_value"),
         ).limit(0)
-    width = (float(hi) - float(lo)) / n_buckets or 1.0
-    bk = F.least(
-        F.lit(n_buckets - 1),
-        F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
-    )
+    # Bucket ids are a DECOMPOSITION detail only (the global rank is
+    # bucket-local rank + exact offsets, correct for ANY bucketing
+    # monotone in value). Integer inputs take the pure-integer div path
+    # (uniform audit discipline); fractional inputs use float division,
+    # safe because IEEE round-to-nearest is weakly monotone — a
+    # boundary value can mis-round into the neighbor bucket but never
+    # out of order.
+    if isinstance(lo, int) and isinstance(hi, int):
+        iwidth = max((hi - lo) // n_buckets, 1)
+        raw_bk = F.expr(f"({value_col} - {lo}) div {iwidth}")
+    else:
+        width = (float(hi) - float(lo)) / n_buckets or 1.0
+        raw_bk = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bk = F.least(F.lit(n_buckets - 1), raw_bk.cast("int"))
     in_bucket = Window.partitionBy("__bk").orderBy(
         F.col(value_col).asc(), F.col(key_col).asc(), F.col(id_col).asc()
     )

@@ -313,15 +313,19 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 
 def q_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of l_extendedprice (20 bins) — the column-
-    profiling companion to profile_notnull. Bin ids come from one double
-    subtraction/division/floor per row (identical IEEE ops both engines),
-    clamped to [0, 19]; counts and decimal sums per bin."""
+    profiling companion to profile_notnull. Bin ids are pure INTEGER
+    arithmetic on exact cents ((price_c − 90000) div 520500, clamped to
+    [0, 19]) — no float division anywhere, so a cents value landing
+    exactly on a bin boundary can never round to the wrong side (the
+    double-division form risked floor(k − ulp) = k−1 on exact
+    multiples); counts and decimal sums per bin."""
     li = _t(spark, sf_dir, "lineitem")
-    x = F.col("l_extendedprice").cast("double")
-    raw_bin = F.floor((x - F.lit(900.0)) / F.lit(5205.0))
+    price_c = (F.col("l_extendedprice").cast(D182) * 100).cast("bigint")
+    raw_bin = F.expr("(__pc - 90000) div 520500")
     bin_id = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(19)).cast("int")
     return (
-        li.select(bin_id.alias("bin_id"), "l_extendedprice")
+        li.select(price_c.alias("__pc"), "l_extendedprice")
+        .select(bin_id.alias("bin_id"), "l_extendedprice")
         .groupBy("bin_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -333,8 +337,9 @@ def q_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_PROFILE_HISTOGRAM = """
-SELECT CAST(LEAST(GREATEST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 900.0)
-             / 5205.0), 0), 19) AS INTEGER) AS bin_id,
+SELECT CAST(LEAST(GREATEST(
+             (CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              - 90000) // 520500, 0), 19) AS INTEGER) AS bin_id,
        COUNT(*) AS n,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_c
 FROM lineitem GROUP BY 1

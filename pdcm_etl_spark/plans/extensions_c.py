@@ -9,6 +9,7 @@ Determinism rules are the repo-wide ones (plans/catalog.py header).
 from __future__ import annotations
 
 import atexit
+import hashlib
 import os
 import re
 import shutil
@@ -47,7 +48,14 @@ def x_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = spark.sparkContext.applicationId
     key = (app, sf_dir)
     if key not in _IVF_INDEX:
-        tag = re.sub(r"[^A-Za-z0-9_]", "_", f"{app}_{os.path.basename(sf_dir.rstrip('/'))}")
+        # hash of the FULL path, not just the basename: two sf_dirs
+        # sharing a basename must never collide on persisted artifacts
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        tag = re.sub(
+            r"[^A-Za-z0-9_]",
+            "_",
+            f"{app}_{os.path.basename(sf_dir.rstrip('/'))}_{digest}",
+        )
         base = os.path.join(tempfile.gettempdir(), f"pdcm_ivf_{tag}")
         atexit.register(shutil.rmtree, base, ignore_errors=True)
         ivf_index_persist(
@@ -287,10 +295,11 @@ def x_ann_ivf_delta_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = spark.sparkContext.applicationId
     key = (app, sf_dir)
     if key not in _IVF_BASE_INDEX:
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         tag = re.sub(
             r"[^A-Za-z0-9_]",
             "_",
-            f"{app}_{os.path.basename(sf_dir.rstrip('/'))}_base",
+            f"{app}_{os.path.basename(sf_dir.rstrip('/'))}_{digest}_base",
         )
         bdir = os.path.join(tempfile.gettempdir(), f"pdcm_ivf_{tag}")
         atexit.register(shutil.rmtree, bdir, ignore_errors=True)
@@ -726,3 +735,35 @@ FROM cum GROUP BY key
 """
 
 EXTENSION_C_CATALOG["grouped_auc"] = (x_grouped_auc, SQL_GROUPED_AUC)
+
+
+def x_etl_search_index_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta-aware flagship (plans/incremental.py): the base run's
+    materialized search_index (partitioned by provider) merged with ONE
+    provider's freshly-recomputed rows — the metadata DAG runs over
+    that provider's raw modules alone. The oracle is the FULL-REBUILD
+    67-column SQL, so every driver-hash check proves delta-applied ≡
+    rebuilt from scratch (what the reference's Luigi memoization cannot
+    do: a provider drop there reruns the whole DAG over all data —
+    etl/workflow/config.py:4-7)."""
+    from pdcm_etl_spark.plans.incremental import (
+        run_etl_search_index_incremental,
+    )
+
+    return run_etl_search_index_incremental(spark, sf_dir)
+
+
+def _sql_incremental_oracle() -> str:
+    from pdcm_etl_spark.plans.catalog_extra import (
+        _sql_etl_search_index_full,
+    )
+
+    return _sql_etl_search_index_full()
+
+
+EXTENSION_C_CATALOG["etl_search_index_incremental"] = (
+    x_etl_search_index_incremental,
+    _sql_incremental_oracle(),
+)

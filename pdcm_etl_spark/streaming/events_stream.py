@@ -627,6 +627,19 @@ def scd2_upsert_restartable(
     state = {"df": _load_state()}
 
     def upsert(batch_df, batch_id):
+        # Crash window: if the last run died AFTER the pointer flip but
+        # BEFORE the stream checkpoint committed, the replayed batch
+        # arrives with the pointer already at batch_id. Re-merging
+        # would lazily read snap_<batch_id> while overwriting it
+        # (AnalysisException), so an already-committed batch is a pure
+        # no-op: reload the committed state and return.
+        if os.path.exists(ptr):
+            with open(ptr) as fh:
+                if fh.read().strip() == str(batch_id):
+                    state["df"] = batch_df.sparkSession.read.parquet(
+                        f"{work_dir}/snap_{batch_id}"
+                    )
+                    return
         merged = scd2_merge(
             state["df"],
             batch_df.select("user_id", "event_type", "ts"),

@@ -1941,3 +1941,11 @@ def test_ks_drift_known_exact_values(spark):
         df2, F.col("m").cast("bigint"), F.col("a") == 1, "id"
     ).collect()[0]
     assert r2["ks_ppm"] == 0
+    # empty / all-null input -> ZERO rows, contract schema intact
+    # (matches the SQL oracle, whose value x total cross join is empty)
+    df3 = spark.createDataFrame([], "m int, id int, a int")
+    r3 = ks_drift(df3, F.col("m").cast("bigint"), F.col("a") == 1, "id")
+    assert r3.count() == 0
+    assert [f.name for f in r3.schema.fields] == [
+        "n_before", "n_after", "ks_ppm",
+    ]

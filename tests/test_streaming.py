@@ -311,3 +311,82 @@ def test_stream_scd2_kill_and_restart_from_checkpoint(
                 uid, a, b,
             )
         assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None, uid
+
+
+def test_stream_scd2_replay_after_pointer_flip_crash(
+    spark, sf_dir, tmp_path
+):
+    """The EXACT torn-commit window of scd2_upsert_restartable's
+    protocol: crash AFTER the _LATEST pointer flip but BEFORE the
+    stream checkpoint commit. Simulated faithfully by deleting the
+    newest file in ckpt/commits/ — on restart Spark replays that
+    batch_id while the pointer already names it. Pre-fix this raised
+    AnalysisException (overwriting snap_<id> while lazily reading it);
+    the contract is that the replay is a committed-batch no-op and the
+    final dimension equals the batch truth."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from pdcm_etl_spark.plans.catalog import load_events
+    from pdcm_etl_spark.streaming.events_stream import (
+        scd2_upsert_restartable,
+    )
+
+    staging, schema, f2, f2_target = _stage_halves(spark, sf_dir, tmp_path)
+    ev = load_events(spark, sf_dir)
+    wf = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seed = (
+        ev.withColumn("__rn", F.row_number().over(wf))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    work = str(tmp_path / "scd2_work_torn")
+    (tmp_path / "scd2_work_torn").mkdir()
+    scd2_upsert_restartable(spark, staging, schema, work, seed=seed)
+    shutil.copy(f2, f2_target)
+    scd2_upsert_restartable(spark, staging, schema, work, seed=seed)
+
+    # tear the commit: pointer is flipped, checkpoint says "not done"
+    commits = sorted(
+        glob.glob(f"{work}/ckpt/commits/*"),
+        key=lambda p: int(os.path.basename(p)),
+    )
+    committed_ptr = open(f"{work}/_LATEST").read().strip()
+    os.remove(commits[-1])
+    # drop the Hadoop checksum sidecar too — a real crash-before-commit
+    # leaves neither, and a stale .crc fails the commit-log rename
+    crc = os.path.join(
+        os.path.dirname(commits[-1]),
+        f".{os.path.basename(commits[-1])}.crc",
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert committed_ptr == os.path.basename(commits[-1])
+
+    # restart: the replayed batch must be a no-op, not an
+    # AnalysisException — and the dimension must match batch truth
+    dim = scd2_upsert_restartable(spark, staging, schema, work, seed=seed)
+    wl = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_type").desc()
+    )
+    truth = {
+        r["user_id"]: r["event_type"]
+        for r in ev.withColumn("__rn", F.row_number().over(wl))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_type")
+        .collect()
+    }
+    current = [r for r in dim.collect() if r["is_current"]]
+    assert len(current) == len({r["user_id"] for r in current})
+    assert {r["user_id"]: r["event_type"] for r in current} == truth
