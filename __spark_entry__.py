@@ -42,6 +42,10 @@ _PRIORITY: list[str] = [
     # keeps an in-window representative (tests/test_registry_window.py).
     # flagship (full 67-column hash oracle since round 4)
     "etl_search_index",
+    # round-8 additions (never driver-checked), windowed immediately:
+    # delta-aware incremental flagship — oracle IS the full-rebuild SQL,
+    # so the hash proves delta-applied ≡ rebuilt from scratch
+    "etl_search_index_incremental",
     # joins / subqueries / cascades
     "correlated_count",
     "harmonisation_cascade",
@@ -103,7 +107,6 @@ _PRIORITY: list[str] = [
     # persisted bucketed index (same oracle as the trained twin),
     # winsorization, link prediction, session attribution
     "ann_ivf_persisted",
-    "ann_ivf_delta_append",
     "winsorize_group",
     "link_predict_cn",
     "attribution_touch",
@@ -147,6 +150,9 @@ _PRIORITY: list[str] = [
     # (stream_dq_monitor + stream_static_join rotated out — r6-proven;
     # streaming family stays repped in-window by stream_scd2_upsert +
     # the new stream_left_outer_join)
+    # (ann_ivf_delta_append rotated out — r7-proven; ann-persist family
+    # stays repped by ann_ivf_persisted, which shares its oracle)
+    "ann_ivf_delta_append",
     "stream_dq_monitor",
     "stream_static_join",
     "robust_scale",

@@ -10,19 +10,8 @@ rotation actually landed every previously-unchecked query inside it
 # cumulatively driver-proven in r1-r4 and stays oracle-checked every
 # pytest run (tests/test_oracle_parity.py)
 ROTATED_IN = [
-    # round-7 additions (never driver-checked)
-    "ann_ivf_persisted",
-    "ann_ivf_delta_append",
-    "winsorize_group",
-    "link_predict_cn",
-    "attribution_touch",
-    "stream_left_outer_join",
-    "distribution_drift",
-    "quantile_bin",
-    "trimmed_mean_group",
-    "funnel_time_to_convert",
-    "ks_drift",
-    "grouped_auc",
+    # round-8 additions (never driver-checked)
+    "etl_search_index_incremental",
 ]
 
 
@@ -117,6 +106,8 @@ def test_first_50_covers_every_family():
                       "stream_sessionize", "stream_dedup",
                       "stream_windowed_topk", "stream_dq_monitor",
                       "stream_static_join", "stream_left_outer_join"],
+        # round-8 families
+        "incremental-etl": ["etl_search_index_incremental"],
         # round-7 families
         "ann-persist": ["ann_ivf_persisted", "ann_ivf_delta_append"],
         "binning": ["winsorize_group", "quantile_bin"],
