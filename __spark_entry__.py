@@ -46,6 +46,15 @@ _PRIORITY: list[str] = [
     # delta-aware incremental flagship — oracle IS the full-rebuild SQL,
     # so the hash proves delta-applied ≡ rebuilt from scratch
     "etl_search_index_incremental",
+    # round-8 analytics/curation additions (never driver-checked):
+    # U-shaped multi-touch attribution (exact integer conservation),
+    # gains/lift deciles, per-category chi-square drift decomposition,
+    # first-occurrence n-gram novelty, reciprocal-rank fusion
+    "attribution_position",
+    "grouped_gain_curve",
+    "chisq_drift",
+    "ngram_novelty",
+    "rrf_fusion",
     # joins / subqueries / cascades
     "correlated_count",
     "harmonisation_cascade",
@@ -109,14 +118,9 @@ _PRIORITY: list[str] = [
     "ann_ivf_persisted",
     "winsorize_group",
     "link_predict_cn",
-    "attribution_touch",
-    "stream_left_outer_join",
-    "distribution_drift",
     "quantile_bin",
     "trimmed_mean_group",
     "funnel_time_to_convert",
-    "ks_drift",
-    "grouped_auc",
     # (grouped_quantiles and event_path_topk rotated out — r6-proven;
     # order-statistics stay repped by trimmed_mean_group + quantile_bin,
     # markov by event_transitions)
@@ -153,6 +157,15 @@ _PRIORITY: list[str] = [
     # (ann_ivf_delta_append rotated out — r7-proven; ann-persist family
     # stays repped by ann_ivf_persisted, which shares its oracle)
     "ann_ivf_delta_append",
+    # (attribution_touch, stream_left_outer_join, distribution_drift,
+    # ks_drift, grouped_auc rotated out — r7-proven; attribution is
+    # repped by attribution_position, drift by chisq_drift, model-eval
+    # by grouped_gain_curve, streaming by stream_scd2_upsert)
+    "attribution_touch",
+    "stream_left_outer_join",
+    "distribution_drift",
+    "ks_drift",
+    "grouped_auc",
     "stream_dq_monitor",
     "stream_static_join",
     "robust_scale",
@@ -252,6 +265,12 @@ def _optional_catalogs() -> list[dict]:
         from pdcm_etl_spark.plans.extensions_c import EXTENSION_C_CATALOG
 
         cats.append(EXTENSION_C_CATALOG)
+    except ImportError:
+        pass
+    try:
+        from pdcm_etl_spark.plans.extensions_d import EXTENSION_D_CATALOG
+
+        cats.append(EXTENSION_D_CATALOG)
     except ImportError:
         pass
     return cats

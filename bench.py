@@ -226,6 +226,23 @@ def main() -> None:
             flagship_split["flagship_warm_exec_sec"] = round(
                 time.time() - t0, 3
             )
+            # budget guard (r7 verdict item 8): DAG growth must not
+            # silently double the flagship. Soft warning, not a hard
+            # fail — host noise at sf0.1 is ±50% — but the driver tail
+            # captures this line, so a breach is visible per-round.
+            warm_total = (
+                flagship_split["flagship_warm_build_sec"]
+                + flagship_split["flagship_warm_exec_sec"]
+            )
+            budget = float(
+                os.environ.get("SPARK_GRAFT_FLAGSHIP_BUDGET_SEC", "25")
+            )
+            if warm_total > budget:
+                print(
+                    "WARNING: flagship warm build+exec "
+                    f"{warm_total:.1f}s exceeds {budget:.0f}s budget",
+                    file=sys.stderr,
+                )
         except Exception:
             pass
 

@@ -809,3 +809,69 @@ def ks_drift(
             ).alias("ks_ppm")
         )
     )
+
+
+def chisq_drift(
+    df: DataFrame,
+    category_col: str,
+    after_pred,
+) -> DataFrame:
+    """Per-category chi-square drift decomposition between a BEFORE and
+    an AFTER slice of a categorical column — answers not just "did the
+    distribution move?" (distribution_drift's total-variation number)
+    but "WHICH categories drove it?", exactly.
+
+    For the 2×C homogeneity table the per-category contribution
+    admits the exact rational form (algebraic identity, no floats):
+
+        contrib_c = (o_ac·n_b − o_bc·n_a)² / (n_a·n_b·(o_ac+o_bc))
+
+    rendered in milli units by one cross-multiplied DECIMAL(38,0)
+    division per category (exact for slice sizes up to ~3·10⁸ rows —
+    the numerator is (o·n)²·10³; beyond that, render coarser). The
+    total χ² is the plain sum of the per-category rows.
+
+    Scale shape: ONE (category, slice) aggregation collapses the data
+    to the bounded category table; slice totals re-derive from it via
+    a broadcast; everything after is category-cardinality-sized. No
+    second scan, no collects.
+
+    Returns (category, n_before, n_after, contrib_milli).
+    """
+    cells = (
+        df.select(
+            F.col(category_col).alias("category"),
+            F.when(after_pred, 1).otherwise(0).alias("a"),
+        )
+        .groupBy("category")
+        .agg(
+            F.sum(F.lit(1) - F.col("a")).cast("bigint").alias("n_before"),
+            F.sum("a").cast("bigint").alias("n_after"),
+        )
+        # bounded (category cardinality); materialized once so the slice
+        # totals re-derive from it instead of re-scanning the data (the
+        # chi_square_assoc idiom)
+        .localCheckpoint(eager=True)
+    )
+    totals = F.broadcast(
+        cells.agg(
+            F.sum("n_before").cast("bigint").alias("nb"),
+            F.sum("n_after").cast("bigint").alias("na"),
+        )
+    )
+    return cells.crossJoin(totals).select(
+        "category",
+        "n_before",
+        "n_after",
+        F.expr(
+            "CAST(CASE WHEN na = 0 OR nb = 0"
+            " OR n_before + n_after = 0 THEN NULL ELSE"
+            " (CAST(n_after AS DECIMAL(38,0)) * nb"
+            "  - CAST(n_before AS DECIMAL(38,0)) * na)"
+            " * (CAST(n_after AS DECIMAL(38,0)) * nb"
+            "    - CAST(n_before AS DECIMAL(38,0)) * na)"
+            " * 1000"
+            " div (CAST(na AS DECIMAL(38,0)) * nb * (n_before + n_after))"
+            " END AS BIGINT)"
+        ).alias("contrib_milli"),
+    )

@@ -888,3 +888,153 @@ def grouped_auc_ppm(
             ).alias("auc_ppm"),
         )
     )
+
+
+def grouped_gain_curve(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    score_micro,
+    label_pred,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table per group — the targeting-model
+    eval primitive ("the top decile by score captures X% of all
+    positives at Y× the base rate"), exact in integers:
+
+      rank rows by (score desc, id asc) — a TOTAL order, so ties are
+      deterministic and portable; bucket b = 1 + ((rank−1)·k) div n
+      (pure integer split, near-equal buckets); per bucket count rows
+      and positives; cumulate over the ≤k-row bucket table;
+      gain_ppm  = (1e6·cum_pos) div total_pos,
+      lift_ppm  = (1e6·cum_pos·n) div (cum_n·total_pos),
+      both single cross-multiplied divisions on DECIMAL(38,0) — no
+      float percentage anywhere. Groups with zero positives emit NULL
+      gains (undefined).
+
+    Scale shape: ONE key-partitioned Exchange carries the rank window
+    and the group-size/total-positive windows (same partitioning); the
+    bucket aggregation shuffles (key, bucket) — cardinality k·|keys|;
+    the cumulative window runs over that bounded table, never over
+    rows. No joins, no collects.
+
+    Returns (key, bucket, n_rows, n_pos, cum_pos, gain_ppm, lift_ppm).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        score_micro.cast("bigint").alias("s"),
+        F.when(label_pred, 1).otherwise(0).alias("y"),
+    ).filter(F.col("s").isNotNull())
+    wr = Window.partitionBy("key").orderBy(
+        F.col("s").desc(), F.col("id").asc()
+    )
+    wk = Window.partitionBy("key")
+    ranked = (
+        base.withColumn("__r", F.row_number().over(wr).cast("bigint"))
+        .withColumn("__n", F.count(F.lit(1)).over(wk).cast("bigint"))
+        .withColumn("__tp", F.sum("y").over(wk).cast("bigint"))
+        .withColumn(
+            "bucket",
+            F.expr(f"1 + ((__r - 1) * {n_buckets}) div __n").cast("int"),
+        )
+    )
+    per_bucket = ranked.groupBy("key", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.max("__n").alias("__n"),
+        F.max("__tp").alias("__tp"),
+    )
+    wc = Window.partitionBy("key").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_bucket.withColumn(
+            "cum_pos", F.sum("n_pos").over(wc).cast("bigint")
+        )
+        .withColumn("__cum_n", F.sum("n_rows").over(wc).cast("bigint"))
+        .select(
+            "key",
+            "bucket",
+            "n_rows",
+            "n_pos",
+            "cum_pos",
+            F.expr(
+                "CAST(CASE WHEN __tp = 0 THEN NULL ELSE"
+                " (CAST(cum_pos AS DECIMAL(38,0)) * 1000000) div __tp END"
+                " AS BIGINT)"
+            ).alias("gain_ppm"),
+            F.expr(
+                "CAST(CASE WHEN __tp = 0 THEN NULL ELSE"
+                " (CAST(cum_pos AS DECIMAL(38,0)) * __n * 1000000)"
+                " div (CAST(__cum_n AS DECIMAL(38,0)) * __tp) END"
+                " AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+def rrf_fusion(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    score_a,
+    score_b,
+    k: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankers per group — the standard
+    way to combine heterogeneous retrieval/curation signals (BM25 +
+    embedding, quality + freshness) WITHOUT calibrating their score
+    scales: each ranker contributes 1/(k + rank), and only ranks
+    matter.
+
+    Exact integer contract: contribution = 1000000 div (k + rank) —
+    the integer-floored micro form of the classic k=60 RRF (float
+    implementations disagree in the last ulp when summing many
+    reciprocals; floored micro contributions compare identically on
+    both engines). Ranks are total-ordered by (score desc, id asc),
+    fusion ties break by id.
+
+    Scale shape: both rank windows AND the fused top-n window share ONE
+    group-keyed Exchange (the winsorize window-over-window idiom —
+    same partitionBy → Catalyst plans one shuffle, three sorts); no
+    joins, no global sort, no collects.
+
+    Returns top-n per group: (key, id, rank_a, rank_b, rrf_micro).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        score_a.cast("bigint").alias("sa"),
+        score_b.cast("bigint").alias("sb"),
+    ).filter(F.col("sa").isNotNull() & F.col("sb").isNotNull())
+    wa = Window.partitionBy("key").orderBy(
+        F.col("sa").desc(), F.col("id").asc()
+    )
+    wb = Window.partitionBy("key").orderBy(
+        F.col("sb").desc(), F.col("id").asc()
+    )
+    ranked = (
+        base.withColumn("rank_a", F.row_number().over(wa).cast("bigint"))
+        .withColumn("rank_b", F.row_number().over(wb).cast("bigint"))
+        .withColumn(
+            "rrf_micro",
+            F.expr(
+                f"1000000 div ({k} + rank_a)"
+                f" + 1000000 div ({k} + rank_b)"
+            ).cast("bigint"),
+        )
+    )
+    wf = Window.partitionBy("key").orderBy(
+        F.col("rrf_micro").desc(), F.col("id").asc()
+    )
+    return (
+        ranked.withColumn("__fr", F.row_number().over(wf))
+        .filter(F.col("__fr") <= top_n)
+        .select("key", "id", "rank_a", "rank_b", "rrf_micro")
+    )

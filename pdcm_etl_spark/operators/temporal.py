@@ -750,6 +750,153 @@ def attribution_touch(
     )
 
 
+def attribution_position(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    conversion_type: str = "purchase",
+    gap_seconds: int = 1800,
+    first_bp: int = 4000,
+    last_bp: int = 4000,
+) -> DataFrame:
+    """Position-based (U-shaped) attribution — the multi-touch
+    completion of attribution_touch: a session's conversion revenue is
+    SPLIT across its pre-conversion touches: ``first_bp``/10000 to the
+    first touch, ``last_bp``/10000 to the last, the remaining share
+    divided equally over the middle touches. Sessions converting with
+    no prior touch credit 'direct'.
+
+    EXACT integer splitting — credits conserve revenue to the micro:
+    shares are bigint ``div`` (Spark div ≡ DuckDB // — both truncate,
+    the round-5 cross-engine rule), the middle pool is what's LEFT
+    after both end shares (never an independent percentage, so rounding
+    can't leak), its per-touch share is ``pool div (n−2)`` and the
+    remainder goes to the EARLIEST middle touch; n==1 takes everything,
+    n==2 splits ceil/floor. Σ credits == Σ converting-session revenue
+    bit-for-bit (property-tested).
+
+    Scale shape: the same one user-keyed + one session-keyed shuffle as
+    attribution_touch (sessionization windows, then rank/count windows
+    over the SAME (u, sess) partitioning — one Exchange for the whole
+    middle section), final agg touch-type-sized. No joins, no collects.
+
+    Returns (touch_type, n_touches, credit_micro).
+    """
+    gap_us = gap_seconds * 1_000_000
+    sess = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.col(type_col).alias("typ"),
+            (F.col(value_col).cast("decimal(18,6)") * 1000000)
+            .cast("bigint")
+            .alias("v_micro"),
+        )
+        .withColumn(
+            "__new",
+            F.when(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(
+                    F.lag("ts")
+                    .over(Window.partitionBy("u").orderBy("ts", "id"))
+                    .cast("timestamp")
+                )
+                > gap_us,
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sess",
+            F.sum("__new").over(
+                Window.partitionBy("u")
+                .orderBy("ts", "id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    ws = Window.partitionBy("u", "sess").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    is_conv = F.col("typ") == conversion_type
+    pre_cond = (
+        (~is_conv)
+        & F.col("__cf").isNotNull()
+        & (F.struct("ts", "id") < F.col("__cf"))
+    )
+    marked = (
+        sess.withColumn(
+            "__cf", F.min(F.when(is_conv, F.struct("ts", "id"))).over(ws)
+        )
+        .withColumn(
+            "__rev",
+            F.coalesce(
+                F.sum(
+                    F.when(is_conv, F.col("v_micro")).cast("decimal(38,0)")
+                ).over(ws),
+                F.lit(0).cast("decimal(38,0)"),
+            ).cast("bigint"),
+        )
+        .withColumn("__pre", F.when(pre_cond, 1).otherwise(0))
+        .withColumn("n", F.sum("__pre").over(ws).cast("bigint"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("u", "sess").orderBy("ts", "id")
+            ),
+        )
+    )
+    # rank the pre-conversion touches; same (u, sess) partitioning
+    touches = (
+        marked.filter(pre_cond)
+        .withColumn(
+            "r",
+            F.row_number()
+            .over(Window.partitionBy("u", "sess").orderBy("ts", "id"))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "credit",
+            F.expr(
+                f"""CASE
+                  WHEN n = 1 THEN __rev
+                  WHEN n = 2 AND r = 1 THEN __rev - (__rev div 2)
+                  WHEN n = 2 THEN __rev div 2
+                  WHEN r = 1 THEN (__rev * {first_bp}) div 10000
+                  WHEN r = n THEN (__rev * {last_bp}) div 10000
+                  ELSE (__rev - (__rev * {first_bp}) div 10000
+                              - (__rev * {last_bp}) div 10000)
+                         div (n - 2)
+                     + CASE WHEN r = 2 THEN
+                         (__rev - (__rev * {first_bp}) div 10000
+                                - (__rev * {last_bp}) div 10000)
+                           % (n - 2)
+                       ELSE 0 END
+                END"""
+            ),
+        )
+        .select(F.col("typ").alias("touch_type"), "credit")
+    )
+    direct = marked.filter(
+        (F.col("__rn") == 1) & F.col("__cf").isNotNull() & (F.col("n") == 0)
+    ).select(
+        F.lit("direct").alias("touch_type"), F.col("__rev").alias("credit")
+    )
+    return (
+        touches.unionByName(direct)
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum(F.col("credit").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("credit_micro"),
+        )
+    )
+
+
 def funnel_time_to_convert(
     events: DataFrame,
     user_col: str = "user_id",

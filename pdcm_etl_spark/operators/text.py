@@ -836,3 +836,66 @@ def bigram_lm_score(
             "min_cond_ppm",
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY — what share of a document's distinct
+    word n-grams does the corpus see here FIRST (first = the smallest
+    doc id containing the shingle)? The training-data curation signal
+    between exact dedup and quality scoring: boilerplate-heavy or
+    near-duplicate documents score near zero, genuinely new text near
+    one. (The complement of contamination_check: that asks "seen in a
+    benchmark?", this asks "seen anywhere earlier in the corpus?".)
+
+    Exact and deterministic: shingles are the dedup kit's distinct word
+    n-grams; first-occurrence is a min over a total-ordered id;
+    novelty_ppm = (1e6·n_novel) div n_shingles — integer floor, no
+    float ratio.
+
+    Scale shape: ONE shingle-keyed Exchange carries the
+    first-occurrence window (min(id) OVER (PARTITION BY shingle) — no
+    self-join, no second scan of the shingle table); one doc-keyed
+    aggregation follows; documents too short to shingle surface with
+    NULL novelty via one keyed left join against the id spine. The
+    shingle table is the same explode the dedup family shuffles —
+    nothing here is heavier than minhash's stage one.
+
+    Returns (doc_id, n_shingles, n_novel, novelty_ppm nullable).
+    """
+    from pyspark.sql import Window
+
+    from pdcm_etl_spark.operators.dedup import shingles
+
+    sh = shingles(docs, id_col, text_col, n)
+    w = Window.partitionBy("shingle")
+    per_doc = (
+        sh.withColumn("__first", F.min("id").over(w))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("id") == F.col("__first"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.expr(
+                "CAST(CASE WHEN n_shingles IS NULL OR n_shingles = 0"
+                " THEN NULL ELSE (CAST(n_novel AS DECIMAL(38,0)) * 1000000)"
+                " div n_shingles END AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )

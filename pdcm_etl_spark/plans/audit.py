@@ -126,3 +126,66 @@ def overflow_findings(df: DataFrame) -> list[str]:
                             )
                             break
     return findings
+
+
+# ---------------------------------------------------------------------------
+# Physical-plan fingerprinting (round-8): a compact, path-free summary of
+# the plan shapes that matter for scale — exchanges, join strategies,
+# Python boundaries, scan pushdown. tests/test_plan_fingerprints.py
+# snapshots one per registry query so a silent regression (a lost
+# broadcast, a new shuffle, a Python UDF creeping into a scalar path)
+# fails a test instead of only showing up in the next bench.
+
+_JOIN_NODES = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+)
+
+_PYTHON_NODES = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+    "FlatMapCoGroupsInPandas",
+    "ApplyInPandasWithState",
+)
+
+
+def plan_fingerprint(df: DataFrame) -> dict:
+    """Shape summary of the (initial) physical plan. Deliberately
+    EXCLUDES anything volatile — paths, exprIds, partition counts,
+    statistics — so the only thing that can change it is a genuine
+    plan-shape change."""
+    import re
+
+    s = df._jdf.queryExecution().executedPlan().toString()
+    fp: dict = {}
+    fp["shuffle_exchanges"] = len(
+        re.findall(r"\bExchange (?:hash|range|Single|rebalance)", s)
+    )
+    fp["broadcast_exchanges"] = len(re.findall(r"\bBroadcastExchange\b", s))
+    joins = {}
+    for j in _JOIN_NODES:
+        c = len(re.findall(rf"\b{j}\b", s))
+        if c:
+            joins[j] = c
+    fp["joins"] = joins
+    fp["python_ops"] = sum(
+        len(re.findall(rf"\b{n}\b", s)) for n in _PYTHON_NODES
+    )
+    fp["file_scans"] = len(re.findall(r"\bFileScan parquet\b", s))
+    fp["pushed_filter_scans"] = len(
+        re.findall(r"PushedFilters: \[[^\]]", s)
+    )
+    fp["partition_filter_scans"] = len(
+        re.findall(r"PartitionFilters: \[[^\]]", s)
+    )
+    fp["windows"] = len(re.findall(r"\bWindow(?:GroupLimit)? \[", s))
+    fp["aggregates"] = len(
+        re.findall(r"\b(?:HashAggregate|SortAggregate|ObjectHashAggregate)\b", s)
+    )
+    fp["generates"] = len(re.findall(r"\bGenerate\b", s))
+    return fp

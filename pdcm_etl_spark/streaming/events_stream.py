@@ -735,3 +735,75 @@ def attribution_stream_left_join(
     )
     q.awaitTermination()
     return spark.table("attribution_stream_left")
+
+
+def attribution_stream_left_join_restartable(
+    spark: SparkSession,
+    staging_dir: str,
+    schema,
+    work_dir: str,
+) -> DataFrame:
+    """Crash-recoverable twin of attribution_stream_left_join: file
+    sources over ``staging_dir``, parquet sink + checkpoint under
+    ``work_dir`` — a torn-down (or crashed) drain restarted with the
+    same ``work_dir`` resumes from the checkpoint and appends ONLY the
+    still-unemitted rows.
+
+    The recovery semantics under test are the riskiest in the streaming
+    suite: an outer null-emit happens when the watermark proves no match
+    can arrive, so the join STATE (buffered clicks + purchases + which
+    clicks already emitted) must survive restart exactly — a lost click
+    drops an unconverted row, a replayed one duplicates it. Both the
+    buffered rows and the emitted-set live in the state store keyed by
+    the checkpoint, which is what the kill/restart test pins.
+
+    Returns the accumulated parquet sink.
+    """
+    raw = spark.readStream.schema(schema).format("parquet").load(staging_dir)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = (
+        raw.filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 day")
+    )
+    purchases = (
+        raw.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user_id = p_user_id AND "
+            "click_ts >= purchase_ts AND "
+            "click_ts <= purchase_ts + INTERVAL 1 HOUR"
+        ),
+        "left_outer",
+    ).select(
+        "event_id",
+        F.col("c_user_id").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        F.col("purchase_ts").isNotNull().alias("matched"),
+    )
+    out = f"{work_dir}/out"
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{work_dir}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)

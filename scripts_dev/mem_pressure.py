@@ -1,0 +1,141 @@
+"""Memory-pressure scale proof (round-7 verdict item 3).
+
+Runs the flagship + the heavy dedup family at a big-lake sf_dir under a
+DELIBERATELY constrained session — the reference's own local profile
+(local_template.properties:9-11: driver_memory=4g / executor_memory=4g)
+— and records wall time, spill counters (memory + disk bytes spilled
+from the status store), and OOM/failure outcome per query. The 100 TB
+claim is about SURVIVING memory pressure by spilling, not about wall
+time on a roomy heap.
+
+Run in a fresh process (driver memory is a JVM-start-time setting):
+
+    SPARK_DRIVER_MEMORY=4g python scripts_dev/mem_pressure.py \
+        [sf_dir] [out_jsonl] [--cap N] [--queries a,b,c]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_QUERIES = [
+    "etl_search_index",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_semantic",
+    "dedup_simhash",
+    "dedup_embedding",
+    "dedup_groups_star",
+]
+
+
+def _spill_totals(spark) -> tuple[int, int]:
+    """Cumulative (memoryBytesSpilled, diskBytesSpilled) across all
+    stages so far, from the app status store (v1 StageData)."""
+    sc = spark.sparkContext
+    try:
+        store = sc._jsc.sc().statusStore()
+        jvm = sc._jvm
+        stages = store.stageList(
+            jvm.java.util.ArrayList(),
+            False,
+            False,
+            sc._gateway.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        )
+        it = stages.iterator()
+        mem = disk = 0
+        while it.hasNext():
+            s = it.next()
+            mem += s.memoryBytesSpilled()
+            disk += s.diskBytesSpilled()
+        return mem, disk
+    except Exception:  # noqa: BLE001 — absent under Spark Connect
+        return -1, -1
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/tmp/sf1"
+    out = args[1] if len(args) > 1 else "/tmp/mem_pressure.jsonl"
+    cap = 1200
+    names = DEFAULT_QUERIES
+    for a in sys.argv[1:]:
+        if a.startswith("--cap="):
+            cap = int(a.split("=", 1)[1])
+        if a.startswith("--queries="):
+            names = a.split("=", 1)[1].split(",")
+
+    from pdcm_etl_spark.session import get_spark
+
+    heap = os.environ.get("SPARK_DRIVER_MEMORY", "4g")
+    spark = get_spark("mem_pressure")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    def release() -> None:
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
+
+    for i, name in enumerate(names):
+        if name not in qs:
+            print(f"skip unknown query {name}")
+            continue
+        release()
+        spark.range(10).count()
+        group = f"mem-{name}"
+        spark.sparkContext.setJobGroup(group, name, True)
+        timer = threading.Timer(
+            cap, spark.sparkContext.cancelJobGroup, [group]
+        )
+        timer.start()
+        m0, d0 = _spill_totals(spark)
+        t0 = time.time()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            m1, d1 = _spill_totals(spark)
+            rec = {
+                "name": name,
+                "status": "OK",
+                "heap": heap,
+                "sec": round(time.time() - t0, 1),
+                "mem_spill_mb": round((m1 - m0) / 1e6, 1),
+                "disk_spill_mb": round((d1 - d0) / 1e6, 1),
+            }
+        except Exception as e:  # noqa: BLE001
+            wall = round(time.time() - t0, 1)
+            status = "TIMEOUT" if wall >= cap - 2 else "ERROR"
+            if "OutOfMemory" in str(e) or "java heap space" in str(e):
+                status = "OOM"
+            rec = {
+                "name": name, "status": status, "heap": heap,
+                "sec": wall, "err": f"{type(e).__name__}: {e}"[:300],
+            }
+        finally:
+            timer.cancel()
+            spark.sparkContext.setJobGroup("idle", "idle", False)
+        with open(out, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        print(f"[{i + 1}/{len(names)}] {rec}", flush=True)
+    print("mem-pressure run complete")
+
+
+if __name__ == "__main__":
+    main()

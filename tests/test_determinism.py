@@ -32,18 +32,12 @@ TIE_SENSITIVE = re.compile(
 # Operators added in the current round — screened by name even when the
 # tie-sensitive regex does not match. Rotate each round.
 CURRENT_ROUND_EXTRAS: list[str] = [
-    "ann_ivf_persisted",
-    "ann_ivf_delta_append",
-    "winsorize_group",
-    "link_predict_cn",
-    "attribution_touch",
-    "stream_left_outer_join",
-    "distribution_drift",
-    "quantile_bin",
-    "trimmed_mean_group",
-    "funnel_time_to_convert",
-    "ks_drift",
-    "grouped_auc",
+    "etl_search_index_incremental",
+    "attribution_position",
+    "grouped_gain_curve",
+    "chisq_drift",
+    "ngram_novelty",
+    "rrf_fusion",
 ]
 
 DET_SF_DIR = os.environ.get("SPARK_GRAFT_DET_SF_DIR", "/root/testdata/sf0.1")

@@ -991,3 +991,78 @@ def test_ks_drift_ecdf_is_bucket_decomposed(spark, sf_dir, queries):
         # partitioned data windows lead with a partition column (no
         # ASC); the bounded offset window leads with "__bk ... ASC"
         assert first.startswith(("__bk", "m#")), spec
+
+
+def test_attribution_position_bounded_shuffles_no_join(
+    spark, sf_dir, queries
+):
+    # sessionization + frame windows + pre-touch ranking all stack on
+    # the user / (user, sess) partitionings; credits are pure column
+    # arithmetic; 'direct' unions in from the same frames — no join
+    df = queries["attribution_position"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert _exchanges(df) <= 6
+    assert "pythonudf" not in plan.lower()
+
+
+def test_grouped_gain_curve_windows_share_group_exchange(
+    spark, sf_dir, queries
+):
+    # rank + size + positive-total windows ride ONE key Exchange; the
+    # (key, bucket) agg and the bounded cumulative window add at most
+    # two more — never a join, never a global sort
+    df = queries["grouped_gain_curve"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert _exchanges(df) <= 3
+    assert "pythonudf" not in plan.lower()
+
+
+def test_chisq_drift_single_bounded_aggregation(spark, sf_dir, queries):
+    # ONE (category) aggregation collapses the data; totals re-enter by
+    # broadcast — no window over raw rows, no second scan join strategy
+    # other than the broadcast cross
+    df = queries["chisq_drift"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert _exchanges(df) <= 2
+    # totals re-derive from the checkpointed cell table — the raw data
+    # is scanned exactly once (inside the checkpoint, not this plan)
+    assert "FileScan parquet" not in _plan(df, mode="simple")
+
+
+def test_ngram_novelty_no_self_join(spark, sf_dir, queries):
+    # first-occurrence is a WINDOW over the shingle partitioning, not a
+    # join of the shingle table against its own aggregate — one shingle
+    # Exchange, one doc agg, one keyed join against the id spine only
+    df = queries["ngram_novelty"](spark, sf_dir)
+    plan = _plan(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate ") <= 1  # the shingle explode, once
+    # first-occurrence is a window over the shingle partitioning
+    assert "Window [min(" in plan
+    assert "pythonudf" not in plan.lower()
+
+
+def test_rrf_fusion_three_windows_one_group_exchange(
+    spark, sf_dir, queries
+):
+    # both ranker windows and the fused top-n filter share the single
+    # group-keyed Exchange (the winsorize window-over-window idiom)
+    df = queries["rrf_fusion"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert _exchanges(df) == 1
+    assert "pythonudf" not in plan.lower()
+
+
+def test_incremental_flagship_base_scan_partition_pruned(
+    spark, sf_dir, queries
+):
+    # the provider drop on the base side must be PartitionFilters (the
+    # base materialization is written partitionBy(data_source)), so at
+    # scale the other providers' rows are never read for the merge
+    plan = _plan(queries["etl_search_index_incremental"](spark, sf_dir))
+    assert "PartitionFilters: [" in plan

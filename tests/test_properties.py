@@ -1949,3 +1949,56 @@ def test_ks_drift_known_exact_values(spark):
     assert [f.name for f in r3.schema.fields] == [
         "n_before", "n_after", "ks_ppm",
     ]
+
+
+def test_attribution_position_conserves_revenue_exactly(spark):
+    """U-shaped credits must re-sum to the converting sessions' total
+    conversion revenue BIT-FOR-BIT — the remainder discipline (middle
+    pool = exact leftover; its remainder to the earliest middle touch)
+    is what makes multi-touch attribution auditable."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from pdcm_etl_spark.operators.temporal import attribution_position
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(uid, i, typ, val):
+        return (uid, t0 + datetime.timedelta(seconds=10 * i), i, typ, val)
+
+    rows = [
+        # user 1: 4 touches then purchase of 10.000001 -> 40/20/40 with
+        # middle remainder pinned to the earliest middle touch
+        ev(1, 1, "view", None), ev(1, 2, "click", None),
+        ev(1, 3, "view", None), ev(1, 4, "click", None),
+        ev(1, 5, "purchase", 10.000001),
+        # user 2: single touch takes everything
+        ev(2, 1, "click", None), ev(2, 2, "purchase", 5.5),
+        # user 3: two touches -> ceil/floor split of an odd micro total
+        ev(3, 1, "view", None), ev(3, 2, "click", None),
+        ev(3, 3, "purchase", 0.000003),
+        # user 4: direct conversion (no prior touch)
+        ev(4, 1, "purchase", 7.25),
+        # user 5: no conversion -> no credit at all
+        ev(5, 1, "view", None), ev(5, 2, "click", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint,"
+        " event_type string, value double"
+    )
+    out = {
+        r["touch_type"]: (r["n_touches"], r["credit_micro"])
+        for r in attribution_position(df).collect()
+    }
+    total_credit = sum(c for _, c in out.values())
+    assert total_credit == 10_000_001 + 5_500_000 + 3 + 7_250_000
+    # user 1: first 4000000, last 4000000, middle pool 2000001 ->
+    # each 1000000, remainder 1 to the EARLIEST middle touch (click@2)
+    # user 2: click 5500000; user 3: view ceil=2, click floor=1
+    assert out["direct"] == (1, 7_250_000)
+    # view: u1 first@1 = 4000000, u1 middle@3 = 1000000, u3 ceil = 2
+    assert out["view"] == (3, 4_000_000 + 1_000_000 + 2)
+    # click: u1 middle@2 = 1000000+1 (remainder), u1 last@4 = 4000000,
+    # u2 single = 5500000, u3 floor = 1
+    assert out["click"] == (4, 1_000_001 + 4_000_000 + 5_500_000 + 1)

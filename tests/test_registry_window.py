@@ -12,6 +12,11 @@ rotation actually landed every previously-unchecked query inside it
 ROTATED_IN = [
     # round-8 additions (never driver-checked)
     "etl_search_index_incremental",
+    "attribution_position",
+    "grouped_gain_curve",
+    "chisq_drift",
+    "ngram_novelty",
+    "rrf_fusion",
 ]
 
 
@@ -60,7 +65,7 @@ def test_first_50_covers_every_family():
         "dedup-eval": ["dedup_recall"],
         "text": ["text_quality", "text_tfidf", "text_chunk",
                  "text_pii_scrub", "text_contamination", "text_repetition",
-                 "unigram_lm_score", "bigram_lm_score"],
+                 "unigram_lm_score", "bigram_lm_score", "ngram_novelty"],
         "multimodal": ["multimodal_decode", "multimodal_frames",
                        "multimodal_resize", "multimodal_dedup",
                        "multimodal_audio"],
@@ -105,18 +110,22 @@ def test_first_50_covers_every_family():
                       "session_window", "stream_stream_join",
                       "stream_sessionize", "stream_dedup",
                       "stream_windowed_topk", "stream_dq_monitor",
-                      "stream_static_join", "stream_left_outer_join"],
+                      "stream_static_join", "stream_left_outer_join",
+                      "stream_scd2_upsert"],
         # round-8 families
         "incremental-etl": ["etl_search_index_incremental"],
+        "rank-fusion": ["rrf_fusion"],
+        "novelty": ["ngram_novelty"],
         # round-7 families
         "ann-persist": ["ann_ivf_persisted", "ann_ivf_delta_append"],
         "binning": ["winsorize_group", "quantile_bin"],
         "link-prediction": ["link_predict_cn"],
-        "attribution": ["attribution_touch", "stream_left_outer_join"],
-        "drift": ["distribution_drift", "ks_drift"],
+        "attribution": ["attribution_touch", "stream_left_outer_join",
+                        "attribution_position"],
+        "drift": ["distribution_drift", "ks_drift", "chisq_drift"],
         "funnel-latency": ["funnel_time_to_convert"],
         "robust-location": ["trimmed_mean_group"],
-        "model-eval": ["grouped_auc"],
+        "model-eval": ["grouped_auc", "grouped_gain_curve"],
     }
     missing = {
         fam: reps

@@ -390,3 +390,51 @@ def test_stream_scd2_replay_after_pointer_flip_crash(
     current = [r for r in dim.collect() if r["is_current"]]
     assert len(current) == len({r["user_id"] for r in current})
     assert {r["user_id"]: r["event_type"] for r in current} == truth
+
+
+def test_stream_left_outer_join_kill_and_restart(spark, sf_dir, tmp_path):
+    """Crash recovery for the stream-stream LEFT OUTER join — the
+    riskiest state in the suite: outer null-emits depend on watermark
+    state surviving restart. Drain half the events, tear down, add the
+    rest, restart from the same checkpoint: the final sink must equal a
+    never-crashed run exactly — no duplicated clicks (each event_id's
+    result set emitted once), no dropped unconverted rows."""
+    import shutil
+
+    from pdcm_etl_spark.streaming.events_stream import (
+        attribution_stream_left_join_restartable,
+    )
+
+    staging, schema, f2, f2_target = _stage_halves(spark, sf_dir, tmp_path)
+    work = str(tmp_path / "lj_work")
+    (tmp_path / "lj_work").mkdir()
+    attribution_stream_left_join_restartable(spark, staging, schema, work)
+    shutil.copy(f2, f2_target)
+    restarted = attribution_stream_left_join_restartable(
+        spark, staging, schema, work
+    )
+
+    # never-crashed reference over the identical complete staging dir
+    staging2 = str(tmp_path / "staging2")
+    (tmp_path / "staging2").mkdir()
+    shutil.copy(f"{staging}/a.parquet", f"{staging2}/a.parquet")
+    shutil.copy(f"{staging}/b.parquet", f"{staging2}/b.parquet")
+    work2 = str(tmp_path / "lj_work2")
+    (tmp_path / "lj_work2").mkdir()
+    reference = attribution_stream_left_join_restartable(
+        spark, staging2, schema, work2
+    )
+
+    def rows(df):
+        return sorted(
+            (r["event_id"], r["user_id"], r["click_ts"],
+             r["purchase_ts"], r["matched"])
+            for r in df.collect()
+        )
+
+    got, want = rows(restarted), rows(reference)
+    assert want  # reference emits something
+    assert got == want
+    # each (event_id, purchase_ts) pair exactly once — replay-after-
+    # crash must not double-emit
+    assert len(got) == len({(g[0], g[3]) for g in got})
