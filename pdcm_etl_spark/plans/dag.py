@@ -51,9 +51,22 @@ class EntityDag:
       recomputed from lineage.
     """
 
-    def __init__(self, spark: SparkSession, reuse: str = "checkpoint"):
+    def __init__(self, spark: SparkSession, reuse: str | None = None):
+        import os
+
         self.spark = spark
-        self.reuse = reuse
+        # SPARK_GRAFT_DAG_REUSE flips the sharing mode without a code
+        # change — "persist" keeps lineage for executor-loss recovery
+        # on clusters, "checkpoint" is the roomy-heap fast path (see
+        # class docstring). Memory-pressure note (measured at sf1, 4g
+        # heap): the binding variable is PER-TASK memory, not the mode —
+        # 4g ÷ 32 concurrent tasks (128 MB/task) kills the flagship in
+        # either mode, 4g ÷ 4 tasks completes with ~18 GB of spill and
+        # zero OOM (scripts_dev/mem_pressure.py; a real 4g executor
+        # container runs 2-4 cores, exactly that profile)
+        self.reuse = reuse or os.environ.get(
+            "SPARK_GRAFT_DAG_REUSE", "checkpoint"
+        )
         self.nodes: dict[str, Node] = {}
         self._results: dict[str, DataFrame] = {}
 
