@@ -145,3 +145,62 @@ def test_incremental_run_recomputes_only_changed_cone(
         for r in _project_columns(ref, SEARCH_INDEX_COLUMNS).collect()
     )
     assert got == want
+
+
+def test_incremental_runs_compose_across_consecutive_drops(
+    spark, sf_dir, tmp_path_factory
+):
+    """Two drops in sequence: drop 1 changes model_image, drop 2 changes
+    sharing. Each incremental run must serve clean entities from the
+    (re-materialized) lake and end bit-equal to a from-scratch rebuild
+    over the final raw — the 'consecutive incremental runs compose'
+    contract in EntityDag.incremental_run's docstring."""
+    from pdcm_etl_spark.plans.dag import build_metadata_dag
+    from pdcm_etl_spark.plans.synth import (
+        SEARCH_INDEX_COLUMNS,
+        _project_columns,
+        synthesize_provider_modules,
+    )
+
+    lake = str(tmp_path_factory.mktemp("ilake2"))
+    raw = synthesize_provider_modules(spark, sf_dir)
+    build_metadata_dag(spark, raw).materialized_run(
+        lake, targets=["search_index"]
+    )
+
+    raw1 = dict(raw)
+    raw1["model_image"] = raw["model_image"].filter(
+        F.xxhash64("url") % 2 == 0
+    )
+    dag1 = build_metadata_dag(spark, raw1)
+    out1, rec1, _ = dag1.incremental_run(
+        lake, {"raw/model_image"}, targets=["search_index"]
+    )
+    assert "search_index" in rec1
+
+    raw2 = dict(raw1)
+    raw2["patient_treatment"] = raw1["patient_treatment"].filter(
+        F.xxhash64(F.coalesce("treatment_name", F.lit(""))) % 3 != 0
+    )
+    dag2 = build_metadata_dag(spark, raw2)
+    out2, rec2, loaded2 = dag2.incremental_run(
+        lake, {"raw/patient_treatment"}, targets=["search_index"]
+    )
+    # drop 2's cone must NOT re-touch the imaging entities
+    assert "model_image" not in rec2 and "images_json_agg" not in rec2
+    assert "model_image" in loaded2 or "images_json_agg" in loaded2
+
+    ref = build_metadata_dag(spark, raw2).run(targets=["search_index"])[
+        "search_index"
+    ]
+    got = sorted(
+        tuple(r)
+        for r in _project_columns(
+            out2["search_index"], SEARCH_INDEX_COLUMNS
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _project_columns(ref, SEARCH_INDEX_COLUMNS).collect()
+    )
+    assert got == want

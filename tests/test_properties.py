@@ -2002,3 +2002,89 @@ def test_attribution_position_conserves_revenue_exactly(spark):
     # click: u1 middle@2 = 1000000+1 (remainder), u1 last@4 = 4000000,
     # u2 single = 5500000, u3 floor = 1
     assert out["click"] == (4, 1_000_001 + 4_000_000 + 5_500_000 + 1)
+
+
+def test_grouped_gain_curve_known_exact_values(spark):
+    from pyspark.sql import functions as F
+
+    from pdcm_etl_spark.operators.ml import grouped_gain_curve
+
+    # one group, 10 rows, scores 10..1, positives at the top 3 scores
+    rows = [("g", i, 11 - i, 1 if i <= 3 else 0) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "key string, id int, s int, y int")
+    out = {
+        r["bucket"]: (r["n_rows"], r["n_pos"], r["cum_pos"],
+                      r["gain_ppm"], r["lift_ppm"])
+        for r in grouped_gain_curve(
+            df, "key", "id", F.col("s").cast("bigint"), F.col("y") == 1
+        ).collect()
+    }
+    # 10 rows / 10 buckets -> 1 row per bucket; positives are ranks 1-3
+    assert len(out) == 10
+    assert out[1] == (1, 1, 1, 333_333, 3_333_333)  # 1/3 gain, 10/3 lift
+    assert out[3] == (1, 1, 3, 1_000_000, 3_333_333)
+    assert out[10] == (1, 0, 3, 1_000_000, 1_000_000)  # all found, lift 1
+
+
+def test_chisq_drift_known_exact_value(spark):
+    from pyspark.sql import functions as F
+
+    from pdcm_etl_spark.operators.analytics import chisq_drift
+
+    # before: 30 a / 10 b ; after: 10 a / 30 b  (classic 2x2)
+    rows = (
+        [("a", 0)] * 30 + [("b", 0)] * 10 + [("a", 1)] * 10 + [("b", 1)] * 30
+    )
+    df = spark.createDataFrame(rows, "cat string, aft int")
+    out = {
+        r["category"]: (r["n_before"], r["n_after"], r["contrib_milli"])
+        for r in chisq_drift(df, "cat", F.col("aft") == 1).collect()
+    }
+    # D = o_a*nb - o_b*na = 10*40 - 30*40 = -800; D^2 = 640000
+    # contrib = 640000 / (40*40*40) = 10.0 exactly -> 10000 milli each
+    assert out["a"] == (30, 10, 10_000)
+    assert out["b"] == (10, 30, 10_000)
+    # total chi2 = 20.0 == the textbook value for this table
+
+
+def test_rrf_fusion_known_exact_values(spark):
+    from pyspark.sql import functions as F
+
+    from pdcm_etl_spark.operators.ml import rrf_fusion
+
+    # ranker A orders 1,2,3 ; ranker B orders 3,2,1
+    rows = [("g", 1, 30, 10), ("g", 2, 20, 20), ("g", 3, 10, 30)]
+    df = spark.createDataFrame(rows, "key string, id int, sa int, sb int")
+    out = {
+        r["id"]: (r["rank_a"], r["rank_b"], r["rrf_micro"])
+        for r in rrf_fusion(
+            df, "key", "id",
+            F.col("sa").cast("bigint"), F.col("sb").cast("bigint"),
+        ).collect()
+    }
+    c1, c2, c3 = 1_000_000 // 61, 1_000_000 // 62, 1_000_000 // 63
+    assert out[1] == (1, 3, c1 + c3)
+    assert out[2] == (2, 2, c2 + c2)
+    assert out[3] == (3, 1, c3 + c1)
+
+
+def test_ngram_novelty_short_and_duplicate_docs(spark):
+    from pdcm_etl_spark.operators.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),     # 2 shingles, both novel
+            (2, "alpha beta gamma epsilon"),   # 1 of 2 novel
+            (3, "alpha beta gamma delta"),     # exact dup of 1 -> 0 novel
+            (4, "too short"),                  # < 3 words -> NULL ppm
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_ppm"])
+        for r in ngram_novelty(docs).collect()
+    }
+    assert out[1] == (2, 2, 1_000_000)
+    assert out[2] == (2, 1, 500_000)
+    assert out[3] == (2, 0, 0)
+    assert out[4] == (0, 0, None)
