@@ -35,132 +35,84 @@ def entry(spark: SparkSession) -> DataFrame:
 # remains pinned inside the window by tests/test_registry_window.py.
 _PRIORITY: list[str] = [
     # ---- window slots 1-50: the driver's correctness gate hashes these.
-    # Round-6 rotation: the 12 round-6 additions + the r5 queue
-    # (target_encode / robust_scale / spearman_corr) take the slots of 15
-    # r5-driver-proven rows; every rotated-out row stays oracle-checked
-    # every pytest run (tests/test_oracle_parity.py) and every family
-    # keeps an in-window representative (tests/test_registry_window.py).
-    # flagship (full 67-column hash oracle since round 4)
+    # Round-8 rotation: the 17 round-8 additions are windowed immediately;
+    # the other 32 slots are a set-cover over the operator-family map
+    # (tests/test_registry_window.py) so every family keeps an in-window
+    # representative — except five families benched THIS round (layout,
+    # packing, pipeline, quality-filter, tree-train), every rep of which
+    # is driver-hash-green in CORRECTNESS_r07.json and oracle-checked
+    # every pytest run; the window test pins that exemption mechanically.
+    # flagship + the delta-incremental twin (oracle = full-rebuild SQL)
     "etl_search_index",
-    # round-8 additions (never driver-checked), windowed immediately:
-    # delta-aware incremental flagship — oracle IS the full-rebuild SQL,
-    # so the hash proves delta-applied ≡ rebuilt from scratch
     "etl_search_index_incremental",
-    # round-8 analytics/curation additions (never driver-checked):
-    # U-shaped multi-touch attribution (exact integer conservation),
-    # gains/lift deciles, per-category chi-square drift decomposition,
-    # first-occurrence n-gram novelty, reciprocal-rank fusion
+    # round-8 session-1 additions (never driver-checked before this round)
     "attribution_position",
     "grouped_gain_curve",
     "chisq_drift",
     "ngram_novelty",
     "rrf_fusion",
-    # joins / subqueries / cascades
-    "correlated_count",
+    # round-8 session-2 additions: weighted / seasonal rank-kit
+    # completions, growth accounting, collocation mining, split-leakage
+    "weighted_median_group",
+    "concentration_topn",
+    "seasonal_anomaly",
+    "user_accumulation",
+    "bigram_pmi_topk",
+    "split_leakage_audit",
+    # round-8 session-3 additions: deterministic mode, referential-
+    # integrity audit, source vocabulary overlap, Heaps growth, churn
+    "mode_group",
+    "fk_orphan_audit",
+    "source_token_overlap",
+    "vocab_accumulation",
+    "churn_summary",
+    # family set-cover representatives (all driver-proven r1-r7)
+    "quantile_bin",
     "harmonisation_cascade",
-    "array_equality_group",
-    # skyline
-    "pareto_frontier",
-    # grouping / set ops / timeseries (timeseries_gapfill rotated out —
-    # r4-proven; timeseries family stays repped by funnel_time_to_convert)
-    "corpus_language_mix",
-    "except_keys",
-    "anomaly_mad",
-    # markov + CDC
-    "event_transitions",
     "stream_scd2_upsert",
-    # scalar kit / JSON / pivot / sketches
     "global_agg",
+    "linreg_group",
+    "benford_profile",
+    "bfs_distance",
+    "dedup_recall",
+    "ann_ivf_persisted",
+    "funnel_time_to_convert",
+    "rolling_window",
+    "key_skew_profile",
+    "correlated_count",
+    "array_equality_group",
+    "pareto_frontier",
+    "except_keys",
+    "event_transitions",
     "json_agg_struct",
     "pivot_status",
-    # (approx_quantile rotated out — r5-proven; the sketch family
-    # stays repped by the exact grouped_quantiles twin; grouped_moments
-    # rotated out — r6-proven, table-profile family stays repped by
-    # entropy_profile + benford_profile)
-    # round-6 additions (never driver-checked), windowed immediately:
-    # statistical analytics
-    "linreg_group",
     "chi_square_assoc",
-    "benford_profile",
     "entropy_profile",
-    "gini_concentration",
-    # declarative data-quality suite
-    "dq_check",
-    # bounded-hop BFS keeps the graph/recursion families in-window
-    # (pagerank + kcore rotated out -- r5 driver-proven)
-    "bfs_distance",
-    # LISTAGG (sample_weighted rotated out — r6-proven; sampling family
-    # stays repped by sample_weighted_grouped)
     "string_agg_ordered",
-    # round-6 session-2 additions (never driver-checked): bigram LM,
-    # quantile normalization, record-linkage scoring
     "bigram_lm_score",
     "quantile_normalize",
     "er_score_pairs",
-    "dedup_recall",
-    # (target_encode, spearman_corr and robust_scale rotated out —
-    # r6-proven; feature-encode stays repped by winsorize_group +
-    # quantile_bin, correlation by linreg_group + chi_square_assoc)
-    # clustering representative (broadcast-centroid variant)
     "kmeans_assign_bcast",
-    # assoc rules (itemset_pairs r4-proven, outside)
     "assoc_rules",
-    # dedup family representative (groups_star / winnow / containment /
-    # paragraph / edit_distance all driver-proven r1-r5, outside)
     "dedup_prefix_filter",
-    # similarity search + eval (ann_recall r4-proven and
-    # ann_ivf_trained_topk r6-proven rotated out — the family stays
-    # repped by the persisted/delta twins, which share the trained
-    # oracle; recall-harness repped by dedup_recall)
-    # round-7 additions, windowed immediately: IVF served from a
-    # persisted bucketed index (same oracle as the trained twin),
-    # winsorization, link prediction, session attribution
-    "ann_ivf_persisted",
-    "winsorize_group",
     "link_predict_cn",
-    "quantile_bin",
     "trimmed_mean_group",
-    "funnel_time_to_convert",
-    # (grouped_quantiles and event_path_topk rotated out — r6-proven;
-    # order-statistics stay repped by trimmed_mean_group + quantile_bin,
-    # markov by event_transitions)
-    # multimodal (audio r5-proven, rotated out; decode keeps the family)
     "multimodal_decode",
-    # temporal / window / skew
-    "rolling_window",
-    "key_skew_profile",
-    # sampling / curation (twap + sample_domain_mix rotated out —
-    # r5-proven; their umbrella families stay repped by rolling_window /
-    # sample_weighted. The round-6 session-3 pair is windowed
-    # immediately)
-    "sample_weighted_grouped",
-    # (join_cardinality_estimate rotated out — r6-proven; join-planning
-    # family stays repped by key_skew_profile)
-    # tokenizer
     "bpe_train",
+    # ---- below the 50-row window: all driver-proven in r1-r7, still
+    # oracle-checked every pytest run (tests/test_oracle_parity.py)
+    "corpus_language_mix",
+    "anomaly_mad",
+    "gini_concentration",
+    "dq_check",
+    "sample_weighted_grouped",
+    "winsorize_group",
     "corpus_curation",
     "stump_train",
-    # layout
     "partition_prune",
     "pack_sequences",
     "quality_percentile",
-    # streaming representatives (sliding rotated out — r4/r5-proven;
-    # the round-6 DQ monitor + stream-static enrichment keep the
-    # family growing, windowed immediately; table_stats rotates out —
-    # r5-proven, table-profile stays repped by the pytest-checked
-    # profile_notnull oracle row)
-    # ---- below the 50-row window: all driver-proven in r1-r6, still
-    # oracle-checked every pytest run
-    # (stream_dq_monitor + stream_static_join rotated out — r6-proven;
-    # streaming family stays repped in-window by stream_scd2_upsert +
-    # the new stream_left_outer_join)
-    # (ann_ivf_delta_append rotated out — r7-proven; ann-persist family
-    # stays repped by ann_ivf_persisted, which shares its oracle)
     "ann_ivf_delta_append",
-    # (attribution_touch, stream_left_outer_join, distribution_drift,
-    # ks_drift, grouped_auc rotated out — r7-proven; attribution is
-    # repped by attribution_position, drift by chisq_drift, model-eval
-    # by grouped_gain_curve, streaming by stream_scd2_upsert)
     "attribution_touch",
     "stream_left_outer_join",
     "distribution_drift",
@@ -271,6 +223,18 @@ def _optional_catalogs() -> list[dict]:
         from pdcm_etl_spark.plans.extensions_d import EXTENSION_D_CATALOG
 
         cats.append(EXTENSION_D_CATALOG)
+    except ImportError:
+        pass
+    try:
+        from pdcm_etl_spark.plans.extensions_e import EXTENSION_E_CATALOG
+
+        cats.append(EXTENSION_E_CATALOG)
+    except ImportError:
+        pass
+    try:
+        from pdcm_etl_spark.plans.extensions_f import EXTENSION_F_CATALOG
+
+        cats.append(EXTENSION_F_CATALOG)
     except ImportError:
         pass
     return cats

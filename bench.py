@@ -158,6 +158,30 @@ HEADLINE = [
     "funnel_time_to_convert",
     "ks_drift",
     "grouped_auc",
+    # round-8 additions: incremental flagship, multi-touch attribution,
+    # gains/lift, chi-square drift decomposition, n-gram novelty,
+    # rank fusion
+    "etl_search_index_incremental",
+    "attribution_position",
+    "grouped_gain_curve",
+    "chisq_drift",
+    "ngram_novelty",
+    "rrf_fusion",
+    # round-8 session-2: weighted/seasonal rank kit, growth accounting,
+    # collocation mining, split-leakage audit
+    "weighted_median_group",
+    "concentration_topn",
+    "seasonal_anomaly",
+    "user_accumulation",
+    "bigram_pmi_topk",
+    "split_leakage_audit",
+    # round-8 session-3: deterministic mode, FK integrity audit,
+    # source vocabulary overlap, Heaps growth curve, churn accounting
+    "mode_group",
+    "fk_orphan_audit",
+    "source_token_overlap",
+    "vocab_accumulation",
+    "churn_summary",
 ]
 
 

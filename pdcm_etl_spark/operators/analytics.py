@@ -875,3 +875,160 @@ def chisq_drift(
             " END AS BIGINT)"
         ).alias("contrib_milli"),
     )
+
+
+def concentration_topn(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_micro,
+    top_n: int = 10,
+) -> DataFrame:
+    """Per-group top-N concentration: what ppm of the group's total
+    measure is held by its N largest members (the CRx ratio from
+    market-concentration analysis — the curve point gini_concentration
+    collapses into a single coefficient). Corpus use: how much of a
+    source's token mass sits in its 10 biggest documents.
+
+    Scale shape — the rank-kit single-Exchange idiom: rank (value desc,
+    id) and the keyed aggregation share ONE partitioning; the top-N sum
+    is a conditional aggregate on the rank, never a join back. Sums
+    ride DECIMAL(38,0); the share is one cross-multiplied floor
+    division at the end (ppm exact, no float).
+
+    Returns (key, n, topn_value, total_value, topn_share_ppm).
+    """
+    base = df.select(
+        F.col(key_col),
+        F.col(id_col).alias("__id"),
+        value_micro.cast("decimal(38,0)").alias("__x"),
+    ).filter(F.col("__x").isNotNull())
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("__x").desc(), F.col("__id").asc()
+    )
+    ranked = base.select(
+        F.col(key_col),
+        "__x",
+        F.row_number().over(w).cast("bigint").alias("__rn"),
+    )
+    return (
+        ranked.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("__rn") <= top_n, F.col("__x"))).alias("__top"),
+            F.sum("__x").alias("__tot"),
+        )
+        .select(
+            F.col(key_col).alias("key"),
+            "n",
+            F.col("__top").cast("bigint").alias("topn_value"),
+            F.col("__tot").cast("bigint").alias("total_value"),
+            F.expr(
+                "CAST(CASE WHEN __tot <= 0 THEN NULL ELSE"
+                " (__top * 1000000) div __tot END AS BIGINT)"
+            ).alias("topn_share_ppm"),
+        )
+    )
+
+
+def mode_group(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group mode with a DETERMINISTIC tie-break (highest count,
+    then smallest value) — ANSI SQL has no mode(); engines that ship
+    one (DuckDB's mode()) leave ties implementation-defined, which is
+    exactly the nondeterminism class the determinism screen hunts. So
+    the tie policy is explicit and the oracle mirrors it with a window,
+    not a native mode().
+
+    Scale shape: one (key, value) hash agg with map-side partials, then
+    a rank window over the AGGREGATED rows (bounded by distinct pairs,
+    not data) on the same key. NULL values are excluded (a mode of
+    'missing' is a data-quality signal, not a mode — dq_check covers
+    null rates).
+
+    Returns (key, mode_value, mode_n, n_distinct_values).
+    """
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col, value_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("__n").desc(), F.col(value_col).asc()
+    )
+    wp = Window.partitionBy(key_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_distinct_values", F.count(F.lit(1)).over(wp).cast("bigint")
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(value_col).alias("mode_value"),
+            F.col("__n").alias("mode_n"),
+            "n_distinct_values",
+        )
+    )
+
+
+def fk_orphan_audit(
+    fact: DataFrame,
+    dims: list[tuple[str, DataFrame, str]],
+    fact_name: str,
+) -> DataFrame:
+    """Referential-integrity audit over a star schema: for each declared
+    FK edge (fact.fk_col → dim.pk_col), count fact rows whose key is
+    NULL and rows whose non-null key has no dim match (orphans) — the
+    pre-flight a pipeline runs before trusting its joins (a silent
+    orphan becomes silent row loss in every downstream inner join).
+
+    ``dims`` is [(fk_col, dim_df, dim_pk_col), ...].
+
+    Scale shape: each edge is ONE left anti join of the fact against
+    the dim's distinct keys — dims are broadcast-sized by star-schema
+    assumption (the repo-wide regime), so every edge is a broadcast
+    anti join + a count; null accounting is a conditional aggregate on
+    the fact scan. Output is one row per edge — bounded by the schema,
+    never by data.
+
+    Returns (fact, fk_col, n_rows, n_null_fk, n_orphan).
+    """
+    spark = fact.sparkSession
+    out = None
+    for fk_col, dim, pk_col in dims:
+        base = fact.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col(fk_col).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_fk"),
+        )
+        orphans = (
+            fact.filter(F.col(fk_col).isNotNull())
+            .join(
+                F.broadcast(dim.select(F.col(pk_col).alias("__pk")).distinct()),
+                F.col(fk_col) == F.col("__pk"),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphan"))
+        )
+        row = base.crossJoin(orphans).select(
+            F.lit(fact_name).alias("fact"),
+            F.lit(fk_col).alias("fk_col"),
+            "n_rows",
+            "n_null_fk",
+            "n_orphan",
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        return spark.createDataFrame(
+            [],
+            "fact string, fk_col string, n_rows bigint,"
+            " n_null_fk bigint, n_orphan bigint",
+        )
+    return out

@@ -1038,3 +1038,65 @@ def rrf_fusion(
         .filter(F.col("__fr") <= top_n)
         .select("key", "id", "rank_a", "rank_b", "rrf_micro")
     )
+
+
+def weighted_median_group(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_micro,
+    weight,
+) -> DataFrame:
+    """Per-group EXACT lower weighted median: the smallest value v such
+    that the cumulative weight of rows with value ≤ v reaches half the
+    group's total weight. The frequency-weighted completion of the rank
+    kit (grouped_quantiles / trimmed_mean_group are unweighted): when a
+    row represents ``weight`` identical observations (line items ×
+    quantity, token counts, sampled multiplicities), the unweighted
+    median answers the wrong question.
+
+    Scale shape — the rank-kit single-Exchange idiom: ONE partitioning
+    by key carries (a) the running-weight window ordered (value, id)
+    and (b) the final keyed aggregation; no join, no second pass. The
+    crossing test rides DECIMAL(38,0) (2·Σw overflows int64 once group
+    weight passes ~4.6e18 — reachable for token-count weights at corpus
+    scale); the selected value itself is untouched bigint.
+
+    The selected VALUE is intra-tie-order independent: among tied
+    values the largest running weight is the tie-group total, so
+    whether ANY row of value v crosses half-weight does not depend on
+    the (deterministic anyway) id tie-break.
+
+    Returns (key, n, total_weight, wmedian_micro).
+    """
+    id_expr = F.col(id_col) if isinstance(id_col, str) else id_col
+    base = df.select(
+        F.col(key_col),
+        id_expr.alias("__id"),
+        value_micro.cast("bigint").alias("__m"),
+        weight.cast("bigint").alias("__w"),
+    ).filter(F.col("__m").isNotNull() & (F.col("__w") > 0))
+    w = Window.partitionBy(key_col).orderBy("__m", "__id")
+    wp = Window.partitionBy(key_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = base.select(
+        F.col(key_col),
+        "__m",
+        "__w",
+        F.sum(F.col("__w").cast("decimal(38,0)")).over(w).alias("__cw"),
+        F.sum(F.col("__w").cast("decimal(38,0)")).over(wp).alias("__tw"),
+    )
+    return (
+        ranked.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("__tw").cast("bigint").alias("total_weight"),
+            F.min(
+                F.when(F.col("__cw") * 2 >= F.col("__tw"), F.col("__m"))
+            ).alias("wmedian_micro"),
+        )
+        .select(
+            F.col(key_col).alias("key"), "n", "total_weight", "wmedian_micro"
+        )
+    )

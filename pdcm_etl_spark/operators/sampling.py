@@ -411,3 +411,54 @@ def weighted_sample_grouped(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_folds: int = 4,
+) -> DataFrame:
+    """Train/eval split leakage audit: after a deterministic hash split,
+    find CONTENT that straddles folds — documents whose canonical
+    fingerprint (md5 of the sorted distinct token set, the dedup
+    family's clustering key) appears in more than one fold. An
+    id-hash split is clean by construction at the ID level; the leak a
+    benchmark cares about is the same TEXT landing in both train and
+    eval under different ids. This is the audit a pipeline runs before
+    publishing a split.
+
+    Scale shape: fold assignment and fingerprinting are both map-side
+    (portable hash / md5 — no shuffle); ONE fingerprint-keyed hash agg
+    collects distinct folds + exemplar ids per content cluster
+    (collect_set over ≤ n_folds ints and two min/max exemplars — state
+    is O(n_folds), never row-sized); leaked clusters are the rows with
+    ≥ 2 distinct folds. No self-join on text, no pair explosion.
+
+    Returns (fingerprint, n_docs, n_folds_hit, folds, min_id, max_id)
+    for leaked fingerprints only, with folds sorted for determinism.
+    """
+    from pdcm_etl_spark.operators.text import add_fingerprint
+
+    tagged = add_fingerprint(df, text_col=text_col).select(
+        F.col(id_col).alias("__id"),
+        "fingerprint",
+        (portable_hash60(F.col(id_col).cast("string")) % n_folds)
+        .cast("int")
+        .alias("__fold"),
+    )
+    return (
+        tagged.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.size(F.collect_set("__fold")).cast("int").alias("n_folds_hit"),
+            # comma-joined (not an array column: the driver gate hashes
+            # pandas values and object-dtype lists are unhashable)
+            F.array_join(F.array_sort(F.collect_set("__fold")), ",").alias(
+                "folds"
+            ),
+            F.min("__id").alias("min_id"),
+            F.max("__id").alias("max_id"),
+        )
+        .filter(F.col("n_folds_hit") >= 2)
+    )

@@ -992,3 +992,198 @@ def funnel_time_to_convert(
             F.when(F.col("rn") == F.expr("(90 * n + 99) div 100"), F.col("convert_s"))
         ).alias("p90_convert_s"),
     )
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_micro,
+    threshold_ppm: int = 500_000,
+) -> DataFrame:
+    """Day-of-week seasonal baseline + anomaly flags for a daily metric:
+    each (key, day) total is compared against the EXACT lower median of
+    all same-weekday totals for that key — the seasonality-aware twin of
+    anomaly_iqr/mad (a Sunday is judged against Sundays, so a weekly
+    traffic cycle stops reading as fourteen anomalies a week).
+
+    Scale shape: ONE data-sized shuffle (groupBy key×day with map-side
+    partial sums) reduces the input to at most keys×days rows;
+    everything after — the per-(key, dow) median rank window and the
+    unbounded count — runs over that bounded aggregate. Weekday is the
+    engine-portable ``epoch_days % 7`` (0 = Thursday), not the
+    locale/engine-dependent dayofweek(). Deviation is a signed
+    cross-multiplied ppm floor division; |dev| > threshold flags.
+
+    Returns (key, day_idx, dow, day_total_micro, baseline_micro,
+    dev_ppm, is_anomaly) — day_idx is epoch days (DATE columns hash
+    differently across engines in the driver gate; epoch-day bigints
+    are the repo's portable date idiom). Baseline rows with a zero
+    median yield NULL dev and FALSE flag (a flat-zero weekday has no
+    scale to deviate from).
+    """
+    daily = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.unix_date(F.col(ts_col).cast("date"))
+            .cast("bigint")
+            .alias("day_idx"),
+            value_micro.cast("decimal(38,0)").alias("__v"),
+        )
+        .filter(F.col("day_idx").isNotNull())
+        .groupBy("key", "day_idx")
+        .agg(F.sum("__v").cast("bigint").alias("day_total_micro"))
+        .withColumn("dow", (F.col("day_idx") % 7).cast("int"))
+    )
+    w = Window.partitionBy("key", "dow").orderBy("day_total_micro", "day_idx")
+    wp = Window.partitionBy("key", "dow").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = daily.select(
+        "key",
+        "day_idx",
+        "dow",
+        "day_total_micro",
+        F.row_number().over(w).cast("bigint").alias("__rn"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("__n"),
+    )
+    # lower median = the ((n+1) div 2)-th smallest; broadcast back the
+    # one-row-per-(key,dow) baseline (bounded: keys × 7)
+    baseline = ranked.filter(
+        F.expr("__rn = (__n + 1) div 2")
+    ).select(
+        F.col("key").alias("__bk"),
+        F.col("dow").alias("__bd"),
+        F.col("day_total_micro").alias("baseline_micro"),
+    )
+    joined = ranked.join(
+        F.broadcast(baseline),
+        (F.col("key") == F.col("__bk")) & (F.col("dow") == F.col("__bd")),
+        "left",
+    )
+    # signed ratio via sign-split: Spark `div` truncates toward zero
+    # while DuckDB `//` floors, so they disagree on negative numerators;
+    # divide magnitudes (where both floor) and re-apply the sign
+    dev = F.expr(
+        "CAST(CASE WHEN baseline_micro IS NULL OR baseline_micro = 0"
+        " THEN NULL ELSE"
+        " (CASE WHEN day_total_micro < baseline_micro THEN -1 ELSE 1 END)"
+        " * ((abs(CAST(day_total_micro AS DECIMAL(38,0)) - baseline_micro)"
+        "     * 1000000) div abs(CAST(baseline_micro AS DECIMAL(38,0))))"
+        " END AS BIGINT)"
+    )
+    return joined.select(
+        "key",
+        "day_idx",
+        "dow",
+        "day_total_micro",
+        "baseline_micro",
+        dev.alias("dev_ppm"),
+        F.coalesce(
+            F.abs(dev) > F.lit(threshold_ppm), F.lit(False)
+        ).alias("is_anomaly"),
+    )
+
+
+def user_accumulation(
+    df: DataFrame,
+    key_col: str,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Cumulative-distinct-users-over-time without a growing-window
+    COUNT(DISTINCT): the first-seen decomposition. Each user contributes
+    exactly once — at their first active day per key — so the running
+    distinct count is a plain cumulative SUM over per-day new-user
+    counts. The naive form (count distinct over an expanding window)
+    re-scans every prior row per day and holds per-window dedup state;
+    this form is two bounded aggregations.
+
+    Scale shape: shuffle #1 groups by (key, user) with a map-side MIN
+    partial (data-sized but fully combinable); shuffle #2 counts by
+    (key, first_day) — output is at most keys×days rows, and the
+    cumulative window runs over THAT bounded aggregate, not over data.
+
+    Returns (key, day_idx, new_users, cum_users) — one row per
+    (key, epoch-day) where at least one user first appeared.
+    """
+    first_seen = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(user_col).alias("__u"),
+            F.unix_date(F.col(ts_col).cast("date"))
+            .cast("bigint")
+            .alias("__d"),
+        )
+        .filter(F.col("__d").isNotNull() & F.col("__u").isNotNull())
+        .groupBy("key", "__u")
+        .agg(F.min("__d").alias("day_idx"))
+    )
+    daily_new = first_seen.groupBy("key", "day_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily_new.select(
+        "key",
+        "day_idx",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+def churn_summary(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    inactive_days: int = 7,
+) -> DataFrame:
+    """Churn accounting at the corpus horizon: a user is CHURNED if
+    their last activity is more than ``inactive_days`` before the
+    latest timestamp in the data — the denominator-side companion of
+    user_accumulation (that one counts arrivals; this one counts who
+    is still here). Bucketed by the user's most-frequent... no — by
+    the user's FIRST-SEEN week, so the output reads as a cohort-level
+    churn table (which vintages are decaying).
+
+    Scale shape: ONE user-keyed hash agg (min/max epoch-day, both
+    map-side combinable); the corpus horizon is a two-scalar aggregate
+    (the only collect); the final rollup groups the user-level frame by
+    (cohort_week, churned) — bounded by weeks × 2. No windows over raw
+    data, no joins.
+
+    Returns (cohort_week, churned, n_users) — cohort_week is epoch-day
+    div 7.
+    """
+    per_user = (
+        df.select(
+            F.col(user_col).alias("__u"),
+            F.unix_date(F.col(ts_col).cast("date"))
+            .cast("bigint")
+            .alias("__d"),
+        )
+        .filter(F.col("__u").isNotNull() & F.col("__d").isNotNull())
+        .groupBy("__u")
+        .agg(
+            F.min("__d").alias("first_day"),
+            F.max("__d").alias("last_day"),
+        )
+    )
+    horizon = per_user.agg(F.max("last_day")).first()[0]
+    if horizon is None:
+        return df.sparkSession.createDataFrame(
+            [], "cohort_week bigint, churned boolean, n_users bigint"
+        )
+    return (
+        per_user.select(
+            F.expr("first_day div 7").cast("bigint").alias("cohort_week"),
+            (
+                F.col("last_day") < F.lit(int(horizon) - inactive_days)
+            ).alias("churned"),
+        )
+        .groupBy("cohort_week", "churned")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )

@@ -11,7 +11,7 @@ plan is a single mapPartitions-free Project over the scan — no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
@@ -898,4 +898,217 @@ def ngram_novelty(
                 " div n_shingles END AS BIGINT)"
             ).alias("novelty_ppm"),
         )
+    )
+
+
+def bigram_pmi_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k collocations: word bigrams ranked by pointwise mutual
+    information — the association pass that finds multi-word units
+    ("new york") before tokenizer training or phrase mining. PMI =
+    log(p(xy) / (p(x)·p(y))); over a FIXED corpus the ranking is
+    exactly the ranking of the rational c_xy / (c_x · c_y), so the
+    score column is the EXACT integer (c_xy · 1e12) div (c_x · c_y)
+    (DECIMAL(38,0): c_xy·1e12 ≤ 1e30 and c_x·c_y ≤ 1e24 at trillion-
+    token scale — both inside 38 digits; no log, no float, no
+    cross-engine noise). min_count prunes hapax pairs whose PMI is
+    degenerately high.
+
+    Scale shape: map-side bigram generation (split + slice — the
+    ngram_counts shape), one hash agg for bigram counts, one for
+    unigram counts; the two count joins hit the VOCABULARY-sized
+    unigram table (bounded by distinct words, not corpus size) and the
+    result is cut by TakeOrderedAndProject (top_k never sorts the full
+    pair table). Ties break on the bigram string.
+
+    Returns (w1, w2, pair_n, w1_n, w2_n, pmi_score_e12).
+    """
+    ws = F.filter(words(F.col(text_col)), lambda w: w != F.lit(""))
+    pre = df.select(ws.alias("ws"))
+    grams = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - F.lit(1)),
+            lambda i: F.slice("ws", i, 2),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    pairs = (
+        pre.select(F.explode(grams).alias("g"))
+        .select(F.col("g")[0].alias("w1"), F.col("g")[1].alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_n"))
+        .filter(F.col("pair_n") >= min_count)
+    )
+    unigrams = (
+        pre.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w_n"))
+    )
+    scored = (
+        pairs.join(unigrams.withColumnRenamed("w", "w1"), "w1")
+        .withColumnRenamed("w_n", "w1_n")
+        .join(unigrams.withColumnRenamed("w", "w2"), "w2")
+        .withColumnRenamed("w_n", "w2_n")
+        .select(
+            "w1",
+            "w2",
+            "pair_n",
+            "w1_n",
+            "w2_n",
+            F.expr(
+                "CAST((CAST(pair_n AS DECIMAL(38,0)) * 1000000000000)"
+                " div (CAST(w1_n AS DECIMAL(38,0)) * w2_n) AS BIGINT)"
+            ).alias("pmi_score_e12"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_score_e12").desc(), "w1", "w2"
+    ).limit(top_k)
+
+
+def source_token_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT vocabulary Jaccard between every pair of corpus sources —
+    the corpus-mixing diagnostic (two crawls with 90% shared vocabulary
+    are near-duplicates at the source level; a pair sharing almost
+    nothing needs its own quality rules). MinHash estimates this
+    per-document; across a handful of SOURCES the exact answer is
+    cheap because the unit is the distinct (token, source) pair.
+
+    Scale shape — ONE corpus scan: distinct (token, source) (one hash
+    agg, vocabulary × sources sized), per-token source SETS via
+    collect_set (bounded by the source count), then a single map-side
+    explode emits BOTH the i<j pair contributions and the per-source
+    singleton contributions, so pair counts |A∩B| and vocabulary sizes
+    |A| fall out of ONE bounded aggregation; the vocab lookups are
+    WINDOWS over that ≤ sources²-row frame (partition by sa / by
+    coalesce(sb, sa)) — no joins, no lineage branch, so the corpus is
+    scanned exactly once. |A∪B| = |A| + |B| − |A∩B|.
+
+    Returns (source_a, source_b, vocab_a, vocab_b, n_shared,
+    jaccard_ppm) for every unordered source pair with source_a <
+    source_b and at least one shared token.
+    """
+    tok_src = (
+        df.select(
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        words(F.col(text_col)), lambda w: w != F.lit("")
+                    )
+                )
+            ).alias("tok"),
+            F.col(source_col).alias("src"),
+        )
+        .filter(F.col("src").isNotNull())
+        .distinct()
+    )
+    per_tok = tok_src.groupBy("tok").agg(
+        F.array_sort(F.collect_set("src")).alias("srcs")
+    )
+    # one explode emits pairs (sa, sb) for i<j AND singletons (s, NULL):
+    # the downstream count agg then carries BOTH |A∩B| and |A| rows
+    contrib = per_tok.select(
+        F.explode(
+            F.expr(
+                "concat("
+                " flatten(transform(srcs, (a, i) ->"
+                "  transform(slice(srcs, i + 2, size(srcs)),"
+                "  b -> struct(a as sa, b as sb)))),"
+                " transform(srcs, s ->"
+                "  struct(s as sa, cast(null as string) as sb)))"
+            )
+        ).alias("p")
+    )
+    counts = contrib.groupBy(
+        F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # attach vocab sizes by WINDOWS over the bounded counts frame, not
+    # joins: a branch-per-lookup would re-execute the whole corpus
+    # lineage per branch (filter pushdown below the agg defeats
+    # ReusedExchange). Partitioning by sa groups each pair row (a, b)
+    # with a's singleton; partitioning by coalesce(sb, sa) groups it
+    # with b's singleton — so both lookups are O(sources²) window work
+    # on ONE corpus scan.
+    w_a = Window.partitionBy("sa")
+    w_b = Window.partitionBy(F.coalesce(F.col("sb"), F.col("sa")))
+    single_n = F.max(F.when(F.col("sb").isNull(), F.col("n")))
+    enriched = counts.withColumn("vocab_a", single_n.over(w_a)).withColumn(
+        "vocab_b", single_n.over(w_b)
+    )
+    return enriched.filter(F.col("sb").isNotNull()).select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        F.col("vocab_a"),
+        F.col("vocab_b"),
+        F.col("n").alias("n_shared"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * 1000000)"
+            " div (vocab_a + vocab_b - n) AS BIGINT)"
+        ).alias("jaccard_ppm"),
+    )
+
+
+def vocab_accumulation(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Vocabulary growth curve (the empirical Heaps'-law sweep): split
+    the corpus into ``n_buckets`` doc-id ranges and report, per bucket,
+    how many DISTINCT tokens appear there for the first time and the
+    cumulative vocabulary — the curve that says whether more data still
+    buys new vocabulary or the corpus has saturated.
+
+    Scale shape: the user_accumulation first-seen decomposition applied
+    to tokens — per-token MIN(bucket) (one token-keyed hash agg with
+    map-side MIN partials), a bounded per-bucket count, and the
+    cumulative window over ≤ n_buckets rows. Never an expanding-window
+    COUNT(DISTINCT), never a token self-join. Bucket ids are integer
+    rank-free ntiles over the id domain ((id − min) · n div (span + 1),
+    bounds from one two-scalar agg — the only collect).
+
+    Returns (bucket, n_new_tokens, cum_vocab) for non-empty buckets.
+    """
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("__id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(words(F.col(text_col)), lambda w: w != F.lit(""))
+            )
+        ).alias("tok"),
+    )
+    lo, hi = toks.agg(F.min("__id"), F.max("__id")).first()
+    if lo is None:
+        return df.sparkSession.createDataFrame(
+            [], "bucket int, n_new_tokens bigint, cum_vocab bigint"
+        )
+    span = int(hi) - int(lo) + 1
+    bucket = F.expr(
+        f"CAST(((__id - {int(lo)}) * {n_buckets}) div {span} AS INT)"
+    )
+    first_seen = (
+        toks.withColumn("__b", bucket)
+        .groupBy("tok")
+        .agg(F.min("__b").alias("bucket"))
+    )
+    per_bucket = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_tokens")
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_bucket.select(
+        "bucket",
+        "n_new_tokens",
+        F.sum("n_new_tokens").over(w).cast("bigint").alias("cum_vocab"),
     )

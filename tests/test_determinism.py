@@ -38,6 +38,20 @@ CURRENT_ROUND_EXTRAS: list[str] = [
     "chisq_drift",
     "ngram_novelty",
     "rrf_fusion",
+    # round-8 session-2 (weighted_median/concentration/bigram_pmi also
+    # match the regex via rank/topk-free names — list all six anyway)
+    "weighted_median_group",
+    "concentration_topn",
+    "seasonal_anomaly",
+    "user_accumulation",
+    "bigram_pmi_topk",
+    "split_leakage_audit",
+    # round-8 session-3
+    "mode_group",
+    "fk_orphan_audit",
+    "source_token_overlap",
+    "vocab_accumulation",
+    "churn_summary",
 ]
 
 DET_SF_DIR = os.environ.get("SPARK_GRAFT_DET_SF_DIR", "/root/testdata/sf0.1")

@@ -1066,3 +1066,121 @@ def test_incremental_flagship_base_scan_partition_pruned(
     # scale the other providers' rows are never read for the merge
     plan = _plan(queries["etl_search_index_incremental"](spark, sf_dir))
     assert "PartitionFilters: [" in plan
+
+
+def test_weighted_median_single_group_exchange(spark, sf_dir, queries):
+    # running-weight window, total-weight window, and the final keyed
+    # aggregation all stack on ONE hashpartitioning(key) Exchange —
+    # the rank-kit single-shuffle contract, weighted edition
+    df = queries["weighted_median_group"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert _exchanges(df) == 1
+    assert "pythonudf" not in plan.lower()
+
+
+def test_concentration_topn_no_second_data_shuffle(spark, sf_dir, queries):
+    # per-customer revenue agg (join + groupBy) feeds rank + group agg
+    # that share one key Exchange; the top-N sum is a conditional
+    # aggregate, never a join back onto the ranked rows
+    df = queries["concentration_topn"](spark, sf_dir)
+    plan = _plan(df)
+    # one Exchange for the revenue groupBy's key, one for the
+    # concentration key; the rank window and final agg add none
+    assert _exchanges(df) <= 3
+    assert "pythonudf" not in plan.lower()
+
+
+def test_seasonal_anomaly_baseline_broadcast(spark, sf_dir, queries):
+    # the (key × 7)-row weekday baseline must come back as a broadcast
+    # join — a shuffle join here would re-shuffle the daily aggregate
+    # for a bounded dim side
+    plan = _plan(queries["seasonal_anomaly"](spark, sf_dir)).lower()
+    assert "broadcasthashjoin" in plan
+    assert "sortmergejoin" not in plan
+    assert "pythonudf" not in plan
+
+
+def test_user_accumulation_two_bounded_aggs(spark, sf_dir, queries):
+    # first-seen decomposition: user-keyed agg + day-keyed agg + the
+    # cumulative window — no expanding-window COUNT(DISTINCT), no join
+    df = queries["user_accumulation"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert _exchanges(df) <= 3
+    assert "pythonudf" not in plan.lower()
+
+
+def test_bigram_pmi_topk_cut_not_full_sort(spark, sf_dir, queries):
+    # the top-k must be TakeOrderedAndProject (partial per-partition
+    # top-k), never a global Sort of the whole pair table
+    df = queries["bigram_pmi_topk"](spark, sf_dir)
+    plan = _plan(df, mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "pythonudf" not in plan.lower()
+
+
+def test_split_leakage_audit_single_agg_no_join(spark, sf_dir, queries):
+    # fingerprint + fold are map-side; one fingerprint-keyed hash agg
+    # with O(n_folds) state; leak filter is a HAVING — no self-join on
+    # text, no pair explosion
+    df = queries["split_leakage_audit"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert _exchanges(df) == 1
+    assert "pythonudf" not in plan.lower()
+
+
+def test_mode_group_window_over_aggregate_only(spark, sf_dir, queries):
+    # the rank window runs over the (key, value) AGGREGATE (bounded by
+    # distinct pairs), sharing its key Exchange with the count agg's
+    # output partitioning — never a window over raw rows
+    df = queries["mode_group"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert _exchanges(df) <= 2
+    assert "pythonudf" not in plan.lower()
+
+
+def test_fk_orphan_audit_broadcast_anti_joins(spark, sf_dir, queries):
+    # every FK edge checks via a broadcast anti join against the dim's
+    # distinct keys — a shuffle anti join here would re-shuffle the
+    # fact once per edge
+    plan = _plan(queries["fk_orphan_audit"](spark, sf_dir)).lower()
+    assert "broadcasthashjoin" in plan
+    assert "leftanti" in plan
+    assert "sortmergejoin" not in plan
+    assert "pythonudf" not in plan
+
+
+def test_source_token_overlap_single_scan_no_join(spark, sf_dir, queries):
+    # pair generation is a map-side explode of per-token source SETS
+    # and the vocab lookups are windows over the bounded counts frame —
+    # ONE corpus scan, ZERO joins (the token self-join lives in the
+    # oracle only; a join-based lookup would branch the lineage and
+    # re-scan the corpus per branch)
+    df = queries["source_token_overlap"](spark, sf_dir)
+    plan = _plan(df, mode="simple")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "pythonudf" not in plan.lower()
+
+
+def test_vocab_accumulation_first_seen_decomposition(spark, sf_dir, queries):
+    # token-keyed MIN agg + bounded per-bucket count + cumulative
+    # window over <= n_buckets rows; no join, no expanding distinct
+    df = queries["vocab_accumulation"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "pythonudf" not in plan.lower()
+
+
+def test_churn_summary_single_user_agg(spark, sf_dir, queries):
+    # one user-keyed min/max agg, scalar horizon, bounded rollup —
+    # no windows over raw data, no joins
+    df = queries["churn_summary"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert _exchanges(df) <= 2
+    assert "pythonudf" not in plan.lower()

@@ -2088,3 +2088,273 @@ def test_ngram_novelty_short_and_duplicate_docs(spark):
     assert out[2] == (2, 1, 500_000)
     assert out[3] == (2, 0, 0)
     assert out[4] == (0, 0, None)
+
+
+def test_weighted_median_known_exact_values(spark):
+    from pdcm_etl_spark.operators.ml import weighted_median_group
+
+    # values 1..4 with weights 1,1,1,7 -> total 10, half 5: cumulative
+    # hits 5 only at value 4 -> weighted median 4 (unweighted median 2)
+    df = spark.createDataFrame(
+        [("g", 1, 1, 1), ("g", 2, 2, 1), ("g", 3, 3, 1), ("g", 4, 4, 7)],
+        "k string, id int, v int, w int",
+    )
+    r = weighted_median_group(
+        df, "k", "id", F.col("v").cast("bigint"), F.col("w")
+    ).collect()[0]
+    assert (r["n"], r["total_weight"], r["wmedian_micro"]) == (4, 10, 4)
+    # equal weights reduce to the plain lower median
+    eq = spark.createDataFrame(
+        [("g", i, v, 1) for i, v in enumerate([5, 1, 9, 3])],
+        "k string, id int, v int, w int",
+    )
+    assert (
+        weighted_median_group(
+            eq, "k", "id", F.col("v").cast("bigint"), F.col("w")
+        ).collect()[0]["wmedian_micro"]
+        == 3
+    )
+    # exact half-crossing at a boundary: w=(1,1) values (1,2): cum(1)*2
+    # == total -> lower median 1
+    half = spark.createDataFrame(
+        [("g", 1, 1, 1), ("g", 2, 2, 1)], "k string, id int, v int, w int"
+    )
+    assert (
+        weighted_median_group(
+            half, "k", "id", F.col("v").cast("bigint"), F.col("w")
+        ).collect()[0]["wmedian_micro"]
+        == 1
+    )
+    # zero/negative weights are dropped, not poison
+    wz = spark.createDataFrame(
+        [("g", 1, 7, 0), ("g", 2, 3, 5)], "k string, id int, v int, w int"
+    )
+    r = weighted_median_group(
+        wz, "k", "id", F.col("v").cast("bigint"), F.col("w")
+    ).collect()[0]
+    assert (r["n"], r["wmedian_micro"]) == (1, 3)
+
+
+def test_concentration_topn_known_exact_values(spark):
+    from pdcm_etl_spark.operators.analytics import concentration_topn
+
+    # 12 members: top-10 hold 100+90+...+10 = 550 of 553 total
+    rows = [("g", i, (11 - i) * 10) for i in range(1, 12)] + [("g", 12, 3)]
+    df = spark.createDataFrame(rows, "k string, id int, v int")
+    r = concentration_topn(
+        df, "k", "id", F.col("v").cast("bigint"), top_n=10
+    ).collect()[0]
+    assert (r["n"], r["topn_value"], r["total_value"]) == (12, 550, 553)
+    assert r["topn_share_ppm"] == (550 * 1_000_000) // 553
+    # group smaller than N -> share exactly 1e6
+    small = spark.createDataFrame(
+        [("g", 1, 5), ("g", 2, 7)], "k string, id int, v int"
+    )
+    assert (
+        concentration_topn(
+            small, "k", "id", F.col("v").cast("bigint"), top_n=10
+        ).collect()[0]["topn_share_ppm"]
+        == 1_000_000
+    )
+    # all-zero total -> NULL share, not division blowup
+    zero = spark.createDataFrame(
+        [("g", 1, 0), ("g", 2, 0)], "k string, id int, v int"
+    )
+    assert (
+        concentration_topn(
+            zero, "k", "id", F.col("v").cast("bigint"), top_n=10
+        ).collect()[0]["topn_share_ppm"]
+        is None
+    )
+
+
+def test_seasonal_anomaly_known_exact_values(spark):
+    from pdcm_etl_spark.operators.temporal import seasonal_anomaly
+
+    # three Mondays at 100, one Monday at 260: baseline (lower median of
+    # 100,100,100,260) = 100; the spike deviates +160% -> anomaly at the
+    # 50% default threshold, the others deviate 0
+    rows = [
+        ("a", "2024-01-01 10:00:00", 100),  # Mondays: 2024-01-01 + 7k
+        ("a", "2024-01-08 10:00:00", 100),
+        ("a", "2024-01-15 10:00:00", 100),
+        ("a", "2024-01-22 10:00:00", 260),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v int").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = {
+        r["day_idx"]: r
+        for r in seasonal_anomaly(
+            df, "k", "ts", F.col("v").cast("bigint")
+        ).collect()
+    }
+    assert len(out) == 4
+    spike = out[max(out)]
+    assert spike["baseline_micro"] == 100
+    assert spike["dev_ppm"] == 1_600_000
+    assert spike["is_anomaly"] is True
+    flat = out[min(out)]
+    assert flat["dev_ppm"] == 0 and flat["is_anomaly"] is False
+    # negative deviation: sign-split truncation (-50% of 100 -> -500000)
+    rows2 = [
+        ("a", "2024-01-01 10:00:00", 100),
+        ("a", "2024-01-08 10:00:00", 100),
+        ("a", "2024-01-15 10:00:00", 50),
+    ]
+    df2 = spark.createDataFrame(rows2, "k string, ts string, v int").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out2 = {
+        r["day_idx"]: r
+        for r in seasonal_anomaly(
+            df2, "k", "ts", F.col("v").cast("bigint")
+        ).collect()
+    }
+    assert out2[max(out2)]["dev_ppm"] == -500_000
+
+
+def test_user_accumulation_known_exact_values(spark):
+    from pdcm_etl_spark.operators.temporal import user_accumulation
+
+    rows = [
+        ("a", 1, "2024-01-01 09:00:00"),
+        ("a", 1, "2024-01-02 09:00:00"),  # repeat visit, not a new user
+        ("a", 2, "2024-01-02 09:00:00"),
+        ("a", 3, "2024-01-02 10:00:00"),
+        ("a", 4, "2024-01-05 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "k string, u int, ts string").select(
+        "k", "u", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = sorted(
+        user_accumulation(df, "k", "u", "ts").collect(),
+        key=lambda r: r["day_idx"],
+    )
+    assert [(r["new_users"], r["cum_users"]) for r in out] == [
+        (1, 1),
+        (2, 3),
+        (1, 4),
+    ]
+
+
+def test_split_leakage_audit_known_exact_values(spark):
+    from pdcm_etl_spark.operators.sampling import split_leakage_audit
+
+    # ids 0..7 with two content clusters: same token SET (order and
+    # repetition must not matter) for ids 0-3, distinct text elsewhere
+    rows = [(i, "alpha beta gamma" if i < 4 else f"unique text {i}")
+            for i in range(8)]
+    # permute / duplicate tokens in two of the cluster docs
+    rows[1] = (1, "gamma beta alpha")
+    rows[2] = (2, "beta beta alpha gamma")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = split_leakage_audit(df, id_col="doc_id", n_folds=4).collect()
+    # the cluster spans ids 0-3 -> with 4 folds over small ids it is
+    # overwhelmingly split; verify exact cluster accounting
+    assert len(out) <= 1 + 0  # unique docs can never leak
+    if out:
+        r = out[0]
+        assert r["n_docs"] == 4
+        assert r["min_id"] == 0 and r["max_id"] == 3
+        assert r["n_folds_hit"] >= 2
+        assert r["folds"] == ",".join(
+            str(x) for x in sorted(set(int(f) for f in r["folds"].split(",")))
+        )
+    # single-fold split can never report leaks
+    assert not split_leakage_audit(df, id_col="doc_id", n_folds=1).collect()
+
+
+def test_mode_group_known_exact_values(spark):
+    from pdcm_etl_spark.operators.analytics import mode_group
+
+    df = spark.createDataFrame(
+        [("g", "b"), ("g", "b"), ("g", "a"), ("g", "c"), ("h", None),
+         ("h", "z")],
+        "k string, v string",
+    )
+    out = {r["key"]: r for r in mode_group(df, "k", "v").collect()}
+    assert (out["g"]["mode_value"], out["g"]["mode_n"],
+            out["g"]["n_distinct_values"]) == ("b", 2, 3)
+    # NULLs excluded; a group of only one non-null value still modes
+    assert (out["h"]["mode_value"], out["h"]["mode_n"]) == ("z", 1)
+    # deterministic tie-break: equal counts -> smallest value
+    tie = spark.createDataFrame(
+        [("g", "y"), ("g", "x")], "k string, v string"
+    )
+    assert mode_group(tie, "k", "v").collect()[0]["mode_value"] == "x"
+
+
+def test_fk_orphan_audit_known_exact_values(spark):
+    from pdcm_etl_spark.operators.analytics import fk_orphan_audit
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id int, fk int"
+    )
+    dim = spark.createDataFrame([(10,), (20,), (30,)], "pk int")
+    r = fk_orphan_audit(fact, [("fk", dim, "pk")], "fact").collect()[0]
+    assert (r["n_rows"], r["n_null_fk"], r["n_orphan"]) == (4, 1, 1)
+    # clean edge reports zero orphans
+    clean = spark.createDataFrame([(1, 10), (2, 20)], "id int, fk int")
+    r2 = fk_orphan_audit(clean, [("fk", dim, "pk")], "fact").collect()[0]
+    assert (r2["n_null_fk"], r2["n_orphan"]) == (0, 0)
+
+
+def test_source_token_overlap_known_exact_values(spark):
+    from pdcm_etl_spark.operators.text import source_token_overlap
+
+    # A vocab {a,b,c}, B vocab {b,c,d}, C vocab {x}
+    df = spark.createDataFrame(
+        [("A", "a b c"), ("A", "b"), ("B", "b c d"), ("C", "x")],
+        "source string, text string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_token_overlap(df).collect()
+    }
+    # only the overlapping pair is reported
+    assert set(out) == {("A", "B")}
+    r = out[("A", "B")]
+    assert (r["vocab_a"], r["vocab_b"], r["n_shared"]) == (3, 3, 2)
+    assert r["jaccard_ppm"] == (2 * 1_000_000) // 4
+
+
+def test_vocab_accumulation_known_exact_values(spark):
+    from pdcm_etl_spark.operators.text import vocab_accumulation
+
+    # ids 0..9 with 10 buckets -> bucket == id; tokens: doc0 {a,b},
+    # doc1 {b,c}, doc5 {a,d}, others empty-ish unique
+    rows = [(0, "a b"), (1, "b c"), (5, "a d"), (9, "e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bucket"]: r for r in vocab_accumulation(df).collect()}
+    assert (out[0]["n_new_tokens"], out[0]["cum_vocab"]) == (2, 2)  # a,b
+    assert (out[1]["n_new_tokens"], out[1]["cum_vocab"]) == (1, 3)  # c
+    assert (out[5]["n_new_tokens"], out[5]["cum_vocab"]) == (1, 4)  # d
+    assert (out[9]["n_new_tokens"], out[9]["cum_vocab"]) == (1, 5)  # e
+    assert 2 not in out  # no first-seen tokens there
+
+
+def test_churn_summary_known_exact_values(spark):
+    from pdcm_etl_spark.operators.temporal import churn_summary
+
+    # horizon = max last_day; user u1 active at horizon, u2 last seen
+    # 10 days before (churned at the 7-day policy), u3 8 days cohort
+    # later but quiet 8 days (churned)
+    rows = [
+        (1, "2024-02-01 10:00:00"),
+        (1, "2024-02-20 10:00:00"),
+        (2, "2024-02-10 10:00:00"),
+        (3, "2024-02-09 10:00:00"),
+        (3, "2024-02-12 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "u int, ts string").select(
+        "u", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = churn_summary(df, "u", "ts").collect()
+    total = {(r["churned"]): 0 for r in out}
+    for r in out:
+        total[r["churned"]] += r["n_users"]
+    assert total == {False: 1, True: 2}
+    # per-cohort split: u1 and u3's weeks differ from u2's only if the
+    # epoch-week boundary separates them — verify count conservation
+    assert sum(r["n_users"] for r in out) == 3
