@@ -35,13 +35,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # remains pinned inside the window by tests/test_registry_window.py.
 _PRIORITY: list[str] = [
     # ---- window slots 1-50: the driver's correctness gate hashes these.
-    # Round-8 rotation: the 17 round-8 additions are windowed immediately;
-    # the other 32 slots are a set-cover over the operator-family map
+    # Round-8 rotation: the 22 round-8 additions are windowed immediately;
+    # the other 27 slots are a set-cover over the operator-family map
     # (tests/test_registry_window.py) so every family keeps an in-window
-    # representative — except five families benched THIS round (layout,
-    # packing, pipeline, quality-filter, tree-train), every rep of which
-    # is driver-hash-green in CORRECTNESS_r07.json and oracle-checked
-    # every pytest run; the window test pins that exemption mechanically.
+    # representative — except eight families benched THIS round, every
+    # one with a driver-hash-green rep in CORRECTNESS_r07.json (the
+    # window test pins that exemption mechanically) and oracle-checked
+    # every pytest run.
     # flagship + the delta-incremental twin (oracle = full-rebuild SQL)
     "etl_search_index",
     "etl_search_index_incremental",
@@ -51,21 +51,28 @@ _PRIORITY: list[str] = [
     "chisq_drift",
     "ngram_novelty",
     "rrf_fusion",
-    # round-8 session-2 additions: weighted / seasonal rank-kit
-    # completions, growth accounting, collocation mining, split-leakage
+    # round-8 session-2: weighted/seasonal rank kit, growth accounting,
+    # collocation mining, split-leakage audit
     "weighted_median_group",
     "concentration_topn",
     "seasonal_anomaly",
     "user_accumulation",
     "bigram_pmi_topk",
     "split_leakage_audit",
-    # round-8 session-3 additions: deterministic mode, referential-
-    # integrity audit, source vocabulary overlap, Heaps growth, churn
+    # round-8 session-3: mode, FK integrity, vocabulary overlap/growth,
+    # churn accounting
     "mode_group",
     "fk_orphan_audit",
     "source_token_overlap",
     "vocab_accumulation",
     "churn_summary",
+    # round-8 session-4: language confusion, duplicate-cluster histogram,
+    # class balancing, survivorship merge, decile migration
+    "lang_confusion",
+    "dup_cluster_histogram",
+    "balanced_downsample",
+    "golden_record_merge",
+    "decile_migration",
     # family set-cover representatives (all driver-proven r1-r7)
     "quantile_bin",
     "harmonisation_cascade",
@@ -91,16 +98,16 @@ _PRIORITY: list[str] = [
     "string_agg_ordered",
     "bigram_lm_score",
     "quantile_normalize",
-    "er_score_pairs",
     "kmeans_assign_bcast",
     "assoc_rules",
-    "dedup_prefix_filter",
     "link_predict_cn",
+    # ---- below the 50-row window: all driver-proven in r1-r7, still
+    # oracle-checked every pytest run (tests/test_oracle_parity.py)
+    "er_score_pairs",
+    "dedup_prefix_filter",
     "trimmed_mean_group",
     "multimodal_decode",
     "bpe_train",
-    # ---- below the 50-row window: all driver-proven in r1-r7, still
-    # oracle-checked every pytest run (tests/test_oracle_parity.py)
     "corpus_language_mix",
     "anomaly_mad",
     "gini_concentration",
@@ -235,6 +242,12 @@ def _optional_catalogs() -> list[dict]:
         from pdcm_etl_spark.plans.extensions_f import EXTENSION_F_CATALOG
 
         cats.append(EXTENSION_F_CATALOG)
+    except ImportError:
+        pass
+    try:
+        from pdcm_etl_spark.plans.extensions_g import EXTENSION_G_CATALOG
+
+        cats.append(EXTENSION_G_CATALOG)
     except ImportError:
         pass
     return cats

@@ -182,6 +182,13 @@ HEADLINE = [
     "source_token_overlap",
     "vocab_accumulation",
     "churn_summary",
+    # round-8 session-4: language confusion, dup-cluster histogram,
+    # class balancing, survivorship merge, decile migration
+    "lang_confusion",
+    "dup_cluster_histogram",
+    "balanced_downsample",
+    "golden_record_merge",
+    "decile_migration",
 ]
 
 

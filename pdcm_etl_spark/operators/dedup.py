@@ -1073,3 +1073,67 @@ def banding_recall(
             ).alias("recall_ppm"),
         )
     )
+
+
+def golden_record_merge(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    attr_col: str = "lang",
+) -> DataFrame:
+    """Survivorship merge: collapse each exact-content cluster (canonical
+    token-set fingerprint) into ONE golden record with explicit,
+    deterministic per-field rules — the master-data step after matching
+    (er_score_pairs finds the pairs; dedup_keeper_quality picks a
+    whole-row winner; this one merges FIELD-WISE, which is what an MDM
+    pipeline actually publishes):
+
+      golden_id   = MIN(id)                      (stable anchor)
+      text length = longest text, ties → MIN id  (most complete value)
+      attr mode   = most frequent, ties → smallest value
+      total_chars = SUM over members             (merge provenance)
+
+    Scale shape — NO windows, NO joins: one (cluster, attr) pre-agg
+    computes member counts and partial scalars; one cluster agg
+    finishes, with the mode as MIN(struct(-count, attr)) over the
+    pre-agg (struct ordering gives highest-count-then-smallest-value
+    exactly) — the whole operator is two stacked hash aggregations on
+    one key prefix.
+
+    Returns (fingerprint, n_docs, golden_id, best_text_id,
+    best_text_len, attr_mode, total_chars).
+    """
+    from pdcm_etl_spark.operators.text import add_fingerprint
+
+    tagged = add_fingerprint(df, text_col=text_col).select(
+        "fingerprint",
+        F.col(id_col).alias("__id"),
+        F.col(attr_col).alias("__attr"),
+        F.length(F.col(text_col)).cast("bigint").alias("__len"),
+    )
+    pre = tagged.groupBy("fingerprint", "__attr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt"),
+        F.min("__id").alias("__min_id"),
+        F.min(
+            F.struct(
+                (-F.col("__len")).alias("nl"), F.col("__id").alias("i")
+            )
+        ).alias("__best"),
+        F.sum("__len").cast("decimal(38,0)").alias("__chars"),
+    )
+    return pre.groupBy("fingerprint").agg(
+        F.sum("__cnt").cast("bigint").alias("n_docs"),
+        F.min("__min_id").alias("golden_id"),
+        F.min("__best").getField("i").alias("best_text_id"),
+        (-F.min("__best").getField("nl")).cast("bigint").alias(
+            "best_text_len"
+        ),
+        F.min(
+            F.struct(
+                (-F.col("__cnt")).alias("nc"), F.col("__attr").alias("v")
+            )
+        )
+        .getField("v")
+        .alias("attr_mode"),
+        F.sum("__chars").cast("bigint").alias("total_chars"),
+    )

@@ -1100,3 +1100,70 @@ def weighted_median_group(
             F.col(key_col).alias("key"), "n", "total_weight", "wmedian_micro"
         )
     )
+
+
+def decile_migration(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_micro,
+    period_b_pred,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Decile migration matrix: per group, rank every entity's metric in
+    period A and period B into exact integer deciles and count the
+    (decile_a → decile_b) transitions — the cohort-quality drift view
+    behind "are last quarter's top users still top users" (grouped_gain
+    ranks against labels; this ranks a population against ITSELF across
+    time). Only entities active in BOTH periods migrate; the matrix is
+    bounded by n_bins² per group.
+
+    Scale shape: one (key, id) conditional aggregation splits the two
+    period sums in a single pass (no self-join of the two periods);
+    both rank windows and the final count SHARE one key Exchange
+    (different sort orders reuse the partitioning — two Sorts, one
+    shuffle). Deciles are the exact integer formula
+    ((rank − 1) · n_bins) div n + 1 on bigint ranks.
+
+    Returns (key, decile_a, decile_b, n_entities).
+    """
+    base = (
+        df.select(
+            F.col(key_col),
+            F.col(id_col).alias("__id"),
+            value_micro.cast("decimal(38,0)").alias("__v"),
+            F.when(period_b_pred, 1).otherwise(0).alias("__b"),
+        )
+        .filter(F.col("__v").isNotNull())
+        .groupBy(key_col, "__id")
+        .agg(
+            F.sum(F.when(F.col("__b") == 0, F.col("__v"))).alias("__va"),
+            F.sum(F.when(F.col("__b") == 1, F.col("__v"))).alias("__vb"),
+        )
+        .filter(F.col("__va").isNotNull() & F.col("__vb").isNotNull())
+    )
+    wa = Window.partitionBy(key_col).orderBy("__va", "__id")
+    wb = Window.partitionBy(key_col).orderBy("__vb", "__id")
+    wn = Window.partitionBy(key_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = base.select(
+        F.col(key_col),
+        F.row_number().over(wa).cast("bigint").alias("__ra"),
+        F.row_number().over(wb).cast("bigint").alias("__rb"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("__n"),
+    )
+    dec = lambda r: F.expr(f"CAST((({r} - 1) * {n_bins}) div __n AS INT) + 1"
+                           )
+    return (
+        ranked.select(
+            F.col(key_col),
+            dec("__ra").alias("decile_a"),
+            dec("__rb").alias("decile_b"),
+        )
+        .groupBy(key_col, "decile_a", "decile_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_entities"))
+        .select(
+            F.col(key_col).alias("key"), "decile_a", "decile_b", "n_entities"
+        )
+    )

@@ -11,7 +11,7 @@ trivially auditable ("why is this row in the sample?").
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pdcm_etl_spark.operators.dedup import portable_hash60
@@ -461,4 +461,40 @@ def split_leakage_audit(
             F.max("__id").alias("max_id"),
         )
         .filter(F.col("n_folds_hit") >= 2)
+    )
+
+
+def balanced_downsample(
+    df: DataFrame,
+    class_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Deterministic class balancing: downsample every class to the
+    size of the SMALLEST class, keeping each class's first-k rows by
+    portable content hash — the class-balancing step before training a
+    classifier on skewed labels, with the repo's reproducibility
+    contract (membership is a pure function of the key: stable across
+    runs, partitionings, and engines — df.sample() is none of these).
+
+    Scale shape: one bounded class-count aggregate (the scalar min is
+    the only collect — classes-sized, the same k-bounded class the
+    centroid collects fall into); then ONE class-partitioned rank
+    window ordered (hash, key) with the rank filter. No join.
+
+    Returns (class, key) for the kept rows.
+    """
+    base = df.select(
+        F.col(class_col).alias("class"), F.col(key_col).alias("key")
+    ).filter(F.col("class").isNotNull())
+    counts = base.groupBy("class").agg(F.count(F.lit(1)).alias("n"))
+    k = counts.agg(F.min("n")).first()[0]
+    if k is None:
+        return base.limit(0)
+    w = Window.partitionBy("class").orderBy(
+        portable_hash60(F.col("key").cast("string")).asc(), F.col("key").asc()
+    )
+    return (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .select("class", "key")
     )

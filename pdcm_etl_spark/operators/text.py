@@ -1112,3 +1112,79 @@ def vocab_accumulation(
         "n_new_tokens",
         F.sum("n_new_tokens").over(w).cast("bigint").alias("cum_vocab"),
     )
+
+
+def lang_confusion(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Confusion matrix between the DECLARED language label and the
+    stopword-voting detector (add_lang_id) — the label-quality audit a
+    curation pipeline runs before trusting either side: a (declared=en,
+    detected=de) cell of any size is mislabeled data or a detector gap,
+    and both poison language-filtered training mixes.
+
+    Scale shape: detection is map-side (higher-order filters, no UDF);
+    ONE (declared, detected) hash agg — output bounded by langs²; the
+    per-declared share is a window over that bounded aggregate.
+
+    Returns (declared_lang, detected_lang, n_docs, share_ppm) where
+    share_ppm is the cell's share of its DECLARED row (each declared
+    row sums to ~1e6).
+    """
+    pred = add_lang_id(df.select(F.col(lang_col), F.col(text_col)), text_col)
+    cells = pred.groupBy(
+        F.col(lang_col).alias("declared_lang"),
+        F.col("pred_lang").alias("detected_lang"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    w = Window.partitionBy("declared_lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return cells.withColumn(
+        "__total", F.sum("n_docs").over(w)
+    ).select(
+        "declared_lang",
+        "detected_lang",
+        "n_docs",
+        F.expr(
+            "CAST((CAST(n_docs AS DECIMAL(38,0)) * 1000000)"
+            " div __total AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+def dup_cluster_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate-cluster size histogram over canonical token-set
+    fingerprints — the one-page corpus-health number behind the dedup
+    family: how many content clusters have exactly k members, and how
+    many documents that traps (n_docs at size ≥ 2 is what exact dedup
+    would remove, minus one keeper per cluster).
+
+    Scale shape: fingerprint is map-side md5; cluster sizes are ONE
+    fingerprint-keyed count; the histogram is a second count over the
+    cluster-sized frame keyed by size — output bounded by the largest
+    cluster, never by rows.
+
+    Returns (cluster_size, n_clusters, n_docs) sorted by size via the
+    gate's canonical ordering (no ORDER BY needed — bounded output).
+    """
+    sizes = (
+        add_fingerprint(df, text_col=text_col)
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+    )

