@@ -1046,6 +1046,7 @@ def weighted_median_group(
     id_col: str,
     value_micro,
     weight,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Per-group EXACT lower weighted median: the smallest value v such
     that the cumulative weight of rows with value ≤ v reaches half the
@@ -1055,12 +1056,21 @@ def weighted_median_group(
     quantity, token counts, sampled multiplicities), the unweighted
     median answers the wrong question.
 
-    Scale shape — the rank-kit single-Exchange idiom: ONE partitioning
-    by key carries (a) the running-weight window ordered (value, id)
-    and (b) the final keyed aggregation; no join, no second pass. The
-    crossing test rides DECIMAL(38,0) (2·Σw overflows int64 once group
-    weight passes ~4.6e18 — reachable for token-count weights at corpus
-    scale); the selected value itself is untouched bigint.
+    Scale shape — the TWO-LEVEL window decomposition (shuffle_shards'
+    pos idiom + ks_drift's range buckets): a single-level
+    partitionBy(key) window caps parallelism at the KEY COUNT, which
+    for a 3-value key means two-million-row sorts per task at sf1 (14 s
+    measured). Instead the running weight partitions by (key,
+    range-bucket(value)) — parallelism keys × n_buckets — and
+    cross-bucket offsets come from a window over the ≤ keys×n_buckets
+    per-bucket totals (bounded — never over data), broadcast-joined
+    back. Bucket ids are integer ``(m − lo) div width`` (monotone in
+    the value, so bucket order IS value order and offset + in-bucket
+    running sum ≡ the single-window cumulative weight, bit-exactly).
+    Weight accumulators are plain BIGINT (a DECIMAL(38,0) belt here is
+    the expensive path; raw-column bigint sums are the overflow-audit-
+    safe class, same as row counts) and the crossing test is the
+    multiplication-free ``cw >= tw − cw`` (≡ 2·cw ≥ tw).
 
     The selected VALUE is intra-tie-order independent: among tied
     values the largest running weight is the tie-group total, so
@@ -1076,24 +1086,70 @@ def weighted_median_group(
         value_micro.cast("bigint").alias("__m"),
         weight.cast("bigint").alias("__w"),
     ).filter(F.col("__m").isNotNull() & (F.col("__w") > 0))
-    w = Window.partitionBy(key_col).orderBy("__m", "__id")
-    wp = Window.partitionBy(key_col).rowsBetween(
+    lo, hi = base.agg(F.min("__m"), F.max("__m")).first()
+    if lo is None:
+        return (
+            base.groupBy(key_col)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.lit(None).cast("bigint").alias("total_weight"),
+                F.lit(None).cast("bigint").alias("wmedian_micro"),
+            )
+            .select(
+                F.col(key_col).alias("key"),
+                "n",
+                "total_weight",
+                "wmedian_micro",
+            )
+        )
+    width = max((int(hi) - int(lo)) // n_buckets, 1)
+    bucketed = base.withColumn(
+        "__bk",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.expr(f"(__m - {int(lo)}) div {width}").cast("int"),
+        ),
+    )
+    w_in = Window.partitionBy(key_col, "__bk").orderBy("__m", "__id")
+    ranked = bucketed.select(
+        F.col(key_col), "__m", "__w", "__bk",
+        F.sum("__w").over(w_in).alias("__cw_in"),
+    )
+    # per-(key, bucket) totals: bounded by keys × n_buckets; the offset
+    # (weight strictly before this bucket) and the group total are
+    # windows over THAT bounded frame, broadcast back
+    totals = bucketed.groupBy(key_col, "__bk").agg(
+        F.sum("__w").alias("__bw")
+    )
+    w_off = (
+        Window.partitionBy(key_col)
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(key_col).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    ranked = base.select(
-        F.col(key_col),
-        "__m",
-        "__w",
-        F.sum(F.col("__w").cast("decimal(38,0)")).over(w).alias("__cw"),
-        F.sum(F.col("__w").cast("decimal(38,0)")).over(wp).alias("__tw"),
+    offsets = totals.select(
+        F.col(key_col).alias("__k2"),
+        F.col("__bk").alias("__bk2"),
+        F.coalesce(F.sum("__bw").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__bw").over(w_tot).alias("__tw"),
+    )
+    joined = ranked.join(
+        F.broadcast(offsets),
+        (F.col(key_col) == F.col("__k2")) & (F.col("__bk") == F.col("__bk2")),
     )
     return (
-        ranked.groupBy(key_col)
+        joined.groupBy(key_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.max("__tw").cast("bigint").alias("total_weight"),
             F.min(
-                F.when(F.col("__cw") * 2 >= F.col("__tw"), F.col("__m"))
+                F.when(
+                    F.col("__off") + F.col("__cw_in")
+                    >= F.col("__tw") - (F.col("__off") + F.col("__cw_in")),
+                    F.col("__m"),
+                )
             ).alias("wmedian_micro"),
         )
         .select(

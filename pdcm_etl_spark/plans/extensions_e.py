@@ -57,7 +57,7 @@ WITH base AS (
 )
 SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(MAX(tw) AS BIGINT) AS total_weight,
-       MIN(CASE WHEN cw * 2 >= tw THEN m END) AS wmedian_micro
+       MIN(CASE WHEN cw >= tw - cw THEN m END) AS wmedian_micro
 FROM cum GROUP BY 1
 """
 

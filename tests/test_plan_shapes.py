@@ -1068,15 +1068,23 @@ def test_incremental_flagship_base_scan_partition_pruned(
     assert "PartitionFilters: [" in plan
 
 
-def test_weighted_median_single_group_exchange(spark, sf_dir, queries):
-    # running-weight window, total-weight window, and the final keyed
-    # aggregation all stack on ONE hashpartitioning(key) Exchange —
-    # the rank-kit single-shuffle contract, weighted edition
+def test_weighted_median_two_level_bucketed_window(spark, sf_dir, queries):
+    # the heavy running-weight window partitions by (key, value-bucket)
+    # — parallelism keys × n_buckets, never capped by key count (a
+    # 3-value key would otherwise sort 1/3 of the data per task); the
+    # cross-bucket offsets come back as a BROADCAST join of the bounded
+    # per-bucket totals, never a shuffle join
     df = queries["weighted_median_group"](spark, sf_dir)
     plan = _plan(df)
-    assert "Join" not in plan
-    assert _exchanges(df) == 1
-    assert "pythonudf" not in plan.lower()
+    low = plan.lower()
+    assert "broadcasthashjoin" in low
+    assert "sortmergejoin" not in low and "shuffledhashjoin" not in low
+    assert "pythonudf" not in low
+    # the data-sized window must include the bucket in its partition
+    # spec (windowspecdefinition(key, __bk, ...) in formatted explain)
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("__bk" in sp and "__m" in sp for sp in specs), specs
 
 
 def test_concentration_topn_no_second_data_shuffle(spark, sf_dir, queries):
