@@ -33,7 +33,9 @@ def build_fingerprints(spark, sf_dir: str) -> dict:
 def main() -> None:
     from pdcm_etl_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    check = "--check" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
     spark = get_spark("pdcm-etl-spark-tests", master="local[8]")
     fps = build_fingerprints(spark, sf_dir)
     path = os.path.join(
@@ -41,6 +43,27 @@ def main() -> None:
         "tests",
         "plan_fingerprints.json",
     )
+    if check:
+        # compare against the committed snapshot instead of rewriting it
+        # (the pytest wrapper runs this in a FRESH subprocess session —
+        # the snapshot is defined as fresh-session plans, and an in-suite
+        # session carries memoized build state that legitimately changes
+        # a build-once query's serve plan)
+        with open(path) as fh:
+            snapshot = json.load(fh)
+        drifted = {
+            n: {"want": snapshot.get(n), "got": f}
+            for n, f in fps.items()
+            if snapshot.get(n) != f
+        }
+        stale = sorted(set(snapshot) - set(fps))
+        if drifted or stale:
+            print(json.dumps(
+                {"drifted": drifted, "stale": stale},
+                indent=1, sort_keys=True))
+            sys.exit(1)
+        print(f"OK: {len(fps)} fingerprints match the snapshot")
+        return
     with open(path, "w") as fh:
         json.dump(dict(sorted(fps.items())), fh, indent=1, sort_keys=True)
         fh.write("\n")
