@@ -1004,7 +1004,10 @@ def fk_orphan_audit(
     for fk_col, dim, pk_col in dims:
         base = fact.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum(F.when(F.col(fk_col).isNull(), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col(fk_col).isNull(), 1).otherwise(0)),
+                F.lit(0),
+            )
             .cast("bigint")
             .alias("n_null_fk"),
         )
@@ -1032,3 +1035,47 @@ def fk_orphan_audit(
             " n_null_fk bigint, n_orphan bigint",
         )
     return out
+
+
+def rare_category_collapse(
+    df: DataFrame,
+    cat_col: str,
+    min_n: int = 100,
+    other_label: str = "__other__",
+) -> DataFrame:
+    """Long-tail category collapse: categories below ``min_n`` rows are
+    folded into one ``__other__`` bucket and the resulting (bounded)
+    category table is returned with before/after accounting — the
+    feature-engineering step before one-hot/target encoding (a
+    10M-value id-like column becomes head categories + one tail
+    bucket) and the cheapest high-cardinality-column guard a pipeline
+    has.
+
+    Scale shape: ONE category-keyed count (the only data-sized
+    shuffle), then a constant-keyed rollup OVER THE COUNTS frame
+    (vocabulary-sized, not data-sized) for the tail bucket. No join
+    back to the fact — the output IS the encoder's lookup table
+    (broadcastable by construction: ≤ head size + 1 rows).
+
+    Returns (category, n_rows, n_source_categories) where collapsed
+    tail rows carry ``other_label`` and n_source_categories counts how
+    many raw categories folded in (1 for head rows).
+    """
+    counts = (
+        df.select(F.coalesce(F.col(cat_col), F.lit("")).alias("category"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    return (
+        counts.select(
+            F.when(F.col("n_rows") >= min_n, F.col("category"))
+            .otherwise(F.lit(other_label))
+            .alias("category"),
+            "n_rows",
+        )
+        .groupBy("category")
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_source_categories"),
+        )
+    )

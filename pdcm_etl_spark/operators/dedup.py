@@ -724,7 +724,10 @@ def edit_distance_pairs(
 
 
 def prefix_filter_pairs(
-    sh: DataFrame, min_ppm: int = 300_000
+    sh: DataFrame,
+    min_ppm: int = 300_000,
+    candidate_observation=None,
+    raw_observation=None,
 ) -> DataFrame:
     """EXACT Jaccard-threshold self-join via prefix filtering
     (Chaudhuri/Ganti/Kaushik ICDE'06; Xiao et al. WWW'08 "PPJoin") —
@@ -753,8 +756,31 @@ def prefix_filter_pairs(
     corpus, dominate that cost. A mega-duplicate-ball still yields
     quadratic candidates, but those pairs ARE the output (true dups) —
     candidate count tracks output size, the optimum for an exact join.
-    (PPJoin's positional + suffix filters trim constants further; not
-    needed until profiles say so.)
+
+    POSITIONAL filter (PPJoin proper, added after the sf1 profile —
+    390 s, the r8 suite's slowest row — triggered the deferral clause
+    that used to live here): each candidate must satisfy, for EVERY
+    rank r among its shared prefix tokens (rarity order),
+    ``r + min(|A| − i_r, |B| − j_r) ≥ ⌈t·(|A|+|B|)/(1+t)⌉`` (positions
+    1-based). Exactness argument: tokens are globally ordered, so any
+    common token smaller than a shared prefix token is itself a shared
+    prefix token — hence at the pair's r-th shared prefix token the
+    overlap is at most those r tokens plus what sits after positions
+    (i_r, j_r) on both sides. The right-hand side is the overlap
+    Jaccard ≥ t forces (inter ≥ t·(|A|+|B|)/(1+t)); both sides ride
+    BIGINT with the ceil folded into a cross-multiplication. The
+    min-over-r evaluation is a sorted collect_list (≤ prefix-length
+    elements) + higher-order transform inside the same pair
+    aggregation that used to be the bare ``distinct()`` — same single
+    Exchange on (id_a, id_b), strictly fewer rows into the doc-sized
+    verify joins.
+
+    Candidate accounting: pass ``pyspark.sql.Observation`` instances
+    as ``raw_observation`` (pairs out of the prefix buckets, before
+    the positional filter) / ``candidate_observation`` (pairs entering
+    verification) and the counts ride the job as observed metrics —
+    the candidate:output ratio becomes a committed artifact
+    (scripts_dev/ppjoin_profile.py) instead of a docstring claim.
 
     Scale shape: one shuffle each for the frequency agg, the
     freq-keyed join, the per-doc sort-agg, the prefix-bucket agg, the
@@ -801,16 +827,17 @@ def prefix_filter_pairs(
     postings = docs.select(
         F.col("id"),
         F.col("n"),
-        F.explode(F.slice("toks", 1, F.col("p"))).alias("k"),
+        F.posexplode(F.slice("toks", 1, F.col("p"))).alias("pos", "k"),
     )
     buckets = postings.groupBy("k").agg(
-        F.collect_list(F.struct("id", "n")).alias("ms")
+        F.collect_list(F.struct("id", "n", "pos")).alias("ms")
     )
     pair_src = buckets.filter(F.size("ms") >= 2).select(
-        F.posexplode("ms").alias("i", "x"), "ms"
+        "k", F.posexplode("ms").alias("i", "x"), "ms"
     )
-    cands = (
+    raw_pairs = (
         pair_src.select(
+            "k",
             "x",
             F.explode(
                 F.slice(F.col("ms"), F.col("i") + 2, F.size("ms"))
@@ -827,9 +854,59 @@ def prefix_filter_pairs(
         .select(
             F.least(F.col("x.id"), F.col("y.id")).alias("id_a"),
             F.greatest(F.col("x.id"), F.col("y.id")).alias("id_b"),
+            "k",
+            # tokens that can still match AFTER this shared one on
+            # each side (pos is 0-based, so remaining = n − (pos+1));
+            # min is symmetric in the id orientation
+            F.least(
+                F.col("x.n") - F.col("x.pos") - 1,
+                F.col("y.n") - F.col("y.pos") - 1,
+            ).cast("bigint").alias("rem"),
+            (F.col("x.n") + F.col("y.n")).cast("bigint").alias("ssum"),
         )
-        .distinct()
     )
+    if raw_observation is not None:
+        raw_pairs = raw_pairs.observe(
+            raw_observation,
+            F.count(F.lit(1)).alias("n_raw_pairs"),
+        )
+    # per pair, the r-th shared prefix token (rarity order) bounds the
+    # overlap by r + rem_r: the first r shared tokens plus whatever can
+    # still match after position r on both sides (any common token
+    # below k_r in the global order is itself one of those r — see the
+    # docstring's ordering argument — and any common token above k_r
+    # sits after (i_r, j_r) in both sorted arrays). The pair's bound is
+    # the MIN over r; the collected array is ≤ prefix-length sized.
+    cands = (
+        raw_pairs.groupBy("id_a", "id_b")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("k", "rem"))).alias(
+                "__sh"
+            ),
+            F.max("ssum").alias("ssum"),  # constant within the pair
+        )
+        .withColumn(
+            "ub",
+            F.array_min(
+                F.transform(
+                    "__sh",
+                    lambda s, i: i.cast("bigint") + 1 + s["rem"],
+                )
+            ),
+        )
+        # positional filter: ub ≥ ⌈ssum·t/(1+t)⌉, cross-multiplied
+        # (integer ub ≥ ceil(x/y) ⟺ ub·y ≥ x)
+        .filter(
+            F.col("ub") * F.lit(1_000_000 + min_ppm)
+            >= F.col("ssum") * F.lit(min_ppm)
+        )
+        .select("id_a", "id_b")
+    )
+    if candidate_observation is not None:
+        cands = cands.observe(
+            candidate_observation,
+            F.count(F.lit(1)).alias("n_candidates"),
+        )
     ta = docs.select(
         F.col("id").alias("id_a"),
         F.col("toks").alias("toks_a"),

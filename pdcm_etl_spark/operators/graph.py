@@ -624,3 +624,48 @@ def link_predict_cn(
             "common_neighbors",
         )
     )
+
+
+def degree_histogram(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+) -> DataFrame:
+    """Degree-distribution histogram: per ⌊log2(out-degree)⌋ bucket,
+    how many source nodes and how many edges they carry — the
+    one-glance skew diagnostic for any graph/bipartite workload
+    (pagerank, triangle counting, the dedup cluster graphs): a heavy
+    tail in the top buckets is exactly the hot-key population that
+    needs salting or the dedup family's max_bucket guards.
+
+    Degree is DISTINCT neighbors (parallel edges collapse), so the
+    histogram describes the adjacency structure, not event volume.
+
+    Scale shape: one (src, dst) distinct → src-keyed count (the
+    data-sized shuffles), then a log2-bucket aggregation bounded by
+    ~64 rows. Exact integers end to end (log2 of a bigint count is
+    FP-stable below 2^53).
+
+    Returns (degree_bucket, n_nodes, n_edges) where bucket b covers
+    degrees [2^b, 2^{b+1}).
+    """
+    deg = (
+        edges.select(
+            F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+        )
+        .filter(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+        .distinct()
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__deg"))
+    )
+    return (
+        deg.select(
+            F.floor(F.log2("__deg")).cast("int").alias("degree_bucket"),
+            "__deg",
+        )
+        .groupBy("degree_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("__deg").cast("bigint").alias("n_edges"),
+        )
+    )

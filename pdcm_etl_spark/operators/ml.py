@@ -1172,7 +1172,11 @@ def decile_migration(
     behind "are last quarter's top users still top users" (grouped_gain
     ranks against labels; this ranks a population against ITSELF across
     time). Only entities active in BOTH periods migrate; the matrix is
-    bounded by n_bins² per group.
+    bounded by n_bins² per group. NULL entity ids are dropped up front:
+    the rank windows order by (__v, __id) to break value ties, and a
+    NULL id tied on value would rank NULLS FIRST in Spark but NULLS
+    LAST under ANSI/DuckDB defaults — an engine-visible divergence, and
+    a NULL id is not a trackable entity anyway.
 
     Scale shape: one (key, id) conditional aggregation splits the two
     period sums in a single pass (no self-join of the two periods);
@@ -1190,7 +1194,7 @@ def decile_migration(
             value_micro.cast("decimal(38,0)").alias("__v"),
             F.when(period_b_pred, 1).otherwise(0).alias("__b"),
         )
-        .filter(F.col("__v").isNotNull())
+        .filter(F.col("__v").isNotNull() & F.col("__id").isNotNull())
         .groupBy(key_col, "__id")
         .agg(
             F.sum(F.when(F.col("__b") == 0, F.col("__v"))).alias("__va"),
@@ -1222,4 +1226,54 @@ def decile_migration(
         .select(
             F.col(key_col).alias("key"), "decile_a", "decile_b", "n_entities"
         )
+    )
+
+
+def embedding_norm_profile(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-health profile per label/cell: vector counts, zero
+    vectors, dimensionality, and exact-integer L2-norm statistics —
+    the pre-flight before any cosine ANN build (a zero vector NaNs
+    cosine; a norm distribution split across labels means the encoder
+    changed mid-corpus; a dim mismatch is a hard pipeline bug).
+
+    Float discipline (the repo's ANN rule): the norm is computed
+    per-vector in double via a sequential higher-order fold (both
+    engines fold left-to-right over the same array → bit-identical),
+    floored to integer ppm ONCE, and every cross-row statistic
+    (min/max/avg) then rides exact BIGINT arithmetic — no float ever
+    crosses an aggregation boundary, so summation order can't change
+    the answer.
+
+    Scale shape: all per-vector math is map-side; ONE label-keyed
+    aggregation, output bounded by the label vocabulary.
+
+    Returns (label, n_vecs, n_zero, n_dims, min_norm_ppm, max_norm_ppm,
+    avg_norm_ppm).
+    """
+    from pdcm_etl_spark.operators.similarity import dot
+
+    v = F.col(vec_col).cast("array<double>")
+    ss = dot(v, v)  # the ANN family's proven sequential-order fold
+    per = df.select(
+        F.col(label_col).alias("label"),
+        F.size(vec_col).alias("__dim"),
+        F.floor(F.sqrt(ss) * F.lit(1_000_000.0))
+        .cast("bigint")
+        .alias("__norm_ppm"),
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.when(F.col("__norm_ppm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+        F.max("__dim").cast("int").alias("n_dims"),
+        F.min("__norm_ppm").alias("min_norm_ppm"),
+        F.max("__norm_ppm").alias("max_norm_ppm"),
+        F.expr(
+            "CAST(sum(__norm_ppm) DIV count(1) AS BIGINT)"
+        ).alias("avg_norm_ppm"),
     )

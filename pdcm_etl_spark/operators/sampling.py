@@ -498,3 +498,40 @@ def balanced_downsample(
         .filter(F.col("__rn") <= int(k))
         .select("class", "key")
     )
+
+
+def stratified_kfold_assign(
+    df: DataFrame,
+    id_col: str,
+    class_col: str,
+    n_folds: int = 5,
+) -> DataFrame:
+    """Deterministic STRATIFIED k-fold assignment audit: folds are
+    assigned round-robin WITHIN each class by portable-hash rank, so
+    every fold carries each class in near-equal measure (|counts
+    differ| ≤ 1 per class) — the split a per-class-balanced eval needs
+    where the plain id-hash split (split_leakage_audit's subject) only
+    balances in expectation and starves rare classes in small folds.
+    Output is the (class, fold) contingency table — the artifact a
+    pipeline commits to prove the split it trained on was balanced.
+
+    Scale shape: fold assignment is one rank window PARTITIONED BY
+    CLASS (hash rank ``% n_folds`` — one class-keyed shuffle, the same
+    shape as balanced_downsample), and the audit table is a (class,
+    fold) count over it — output bounded by classes × folds, state
+    O(1) per window row. Determinism: rank over (portable_hash60(id),
+    id) — total order, no RNG.
+
+    Returns (class, fold, n_rows).
+    """
+    w = Window.partitionBy(class_col).orderBy(
+        portable_hash60(F.col(id_col).cast("string")).asc(),
+        F.col(id_col).asc(),
+    )
+    assigned = df.select(
+        F.col(class_col).alias("class"),
+        ((F.row_number().over(w) - 1) % n_folds).cast("int").alias("fold"),
+    )
+    return assigned.groupBy("class", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )

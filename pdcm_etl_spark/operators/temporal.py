@@ -1187,3 +1187,74 @@ def churn_summary(
         .groupBy("cohort_week", "churned")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+def interarrival_profile(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Inter-arrival-time profile per stream: exact order statistics
+    (lower median, type-1 p90) plus min/max/count of the gaps between
+    consecutive events of each key — the cadence fingerprint that
+    sizes streaming watermarks (p90 gap bounds expected lateness),
+    detects feed stalls (max gap ≫ median), and separates heartbeat
+    streams from bursty ones. The quantiles are EXACT discrete order
+    statistics in integer seconds, same discipline as
+    grouped_quantiles / seasonal_anomaly — never approximate at the
+    profile that tunes correctness-bearing watermarks.
+
+    Scale shape: gaps come from one lag window on the key Exchange;
+    the rank + count windows REUSE that same partitioning (no second
+    shuffle), and the final one-row-per-key rollup is a conditional
+    aggregate on the ranks — parallelism is key cardinality, state per
+    key is O(1). Seconds ride the portable integer floor
+    ``unix_micros(ts) div 1e6`` (unix_timestamp rounds sub-second
+    values engine-dependently).
+
+    Returns (key, n_gaps, min_gap_sec, median_gap_sec, p90_gap_sec,
+    max_gap_sec).
+    """
+    es = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div 1000000")
+    w_seq = Window.partitionBy(key_col).orderBy(
+        F.asc(ts_col), F.asc(id_col)
+    )
+    gaps = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("__ts"),
+            F.col(id_col).alias("__id"),
+            (es - F.lag(es).over(w_seq)).cast("bigint").alias("gap_sec"),
+        )
+        .filter(F.col("gap_sec").isNotNull())
+    )
+    w_rank = Window.partitionBy("key").orderBy(
+        F.col("gap_sec").asc(), F.col("__ts").asc(), F.col("__id").asc()
+    )
+    w_all = Window.partitionBy("key").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = gaps.select(
+        "key",
+        "gap_sec",
+        F.row_number().over(w_rank).cast("bigint").alias("__r"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("__n"),
+    )
+    return (
+        ranked.groupBy("key")
+        .agg(
+            F.max("__n").alias("n_gaps"),
+            F.min("gap_sec").alias("min_gap_sec"),
+            # lower median = ((n+1) div 2)-th smallest; type-1 p90 =
+            # ⌈0.9·n⌉-th = ((9n+9) div 10)-th — exact integer ranks
+            F.max(
+                F.when(F.expr("__r = (__n + 1) div 2"), F.col("gap_sec"))
+            ).alias("median_gap_sec"),
+            F.max(
+                F.when(F.expr("__r = (9 * __n + 9) div 10"),
+                       F.col("gap_sec"))
+            ).alias("p90_gap_sec"),
+            F.max("gap_sec").alias("max_gap_sec"),
+        )
+    )

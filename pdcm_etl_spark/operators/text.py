@@ -1188,3 +1188,245 @@ def dup_cluster_histogram(
             .alias("n_docs"),
         )
     )
+
+
+def label_noise_audit(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conflicting-label audit: content clusters (canonical token-set
+    fingerprints, the dedup family's key) that carry MORE THAN ONE
+    distinct label — the labeled-data twin of split_leakage_audit
+    (there: one content in two folds; here: one content with two
+    truths). Identical text labeled both 'en' and 'de' poisons a
+    classifier and silently double-counts in per-label corpus stats;
+    this is the audit a pipeline runs before trusting its labels.
+
+    Scale shape: fingerprint + label are map-side; ONE (fingerprint,
+    label) count then ONE fingerprint-keyed aggregation whose state is
+    O(labels) per cluster (distinct-label count, majority via
+    MIN(struct(-n, label)) — the exact tie-stable argmax idiom, modal
+    label = most docs, ties to the smallest label). No windows, no
+    joins, no self-pairing.
+
+    Returns (fingerprint, n_docs, n_labels, labels, majority_label,
+    majority_n) for conflicted fingerprints only; ``labels`` is the
+    sorted comma-joined distinct label set (bounded by the label
+    vocabulary).
+    """
+    per_label = (
+        add_fingerprint(df, text_col=text_col)
+        .select(
+            "fingerprint",
+            F.coalesce(F.col(label_col), F.lit("")).alias("__lbl"),
+        )
+        .groupBy("fingerprint", "__lbl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    return (
+        per_label.groupBy("fingerprint")
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("int").alias("n_labels"),
+            F.array_join(F.array_sort(F.collect_set("__lbl")), ",").alias(
+                "labels"
+            ),
+            F.min(F.struct((-F.col("__n")).alias("nn"), F.col("__lbl")))
+            .alias("__best"),
+        )
+        .filter(F.col("n_labels") >= 2)
+        .select(
+            "fingerprint",
+            "n_docs",
+            "n_labels",
+            "labels",
+            F.col("__best.__lbl").alias("majority_label"),
+            (-F.col("__best.nn")).cast("bigint").alias("majority_n"),
+        )
+    )
+
+
+def dup_rate_by_source(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source duplication scorecard: how much of each source's
+    volume is exact-content duplicate (canonical fingerprint), both
+    within the source and against the global corpus — the number that
+    decides which feed gets deduped first and which is near-clean.
+    ``cross_source_ppm`` isolates BOILERPLATE shared across feeds
+    (a cluster spanning sources) from within-feed re-crawls.
+
+    Scale shape: ONE (fingerprint) aggregation for global cluster
+    stats (distinct-source count via a bounded collect_set), ONE
+    (source, fingerprint) count joined back by fingerprint — the join
+    is fingerprint-keyed (same partitioning as the aggs, data-sized,
+    AQE-managed), then a final source-keyed rollup whose output is
+    bounded by the source vocabulary.
+
+    Returns (source, n_docs, n_distinct, dup_rate_ppm,
+    cross_source_ppm): dup_rate_ppm = share of docs beyond one keeper
+    per within-source cluster; cross_source_ppm = share of docs whose
+    cluster spans ≥ 2 sources.
+    """
+    fp = add_fingerprint(df, text_col=text_col).select(
+        F.coalesce(F.col(group_col), F.lit("")).alias("__src"),
+        "fingerprint",
+    )
+    per_sf = fp.groupBy("__src", "fingerprint").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    global_fp = (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.size(F.collect_set("__src")).cast("int").alias("__nsrc")
+        )
+    )
+    joined = per_sf.join(global_fp, "fingerprint")
+    return (
+        joined.groupBy("__src")
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum(F.when(F.col("__nsrc") >= 2, F.col("__n")).otherwise(0))
+            .cast("bigint")
+            .alias("__cross"),
+        )
+        .select(
+            F.col("__src").alias("source"),
+            "n_docs",
+            "n_distinct",
+            F.expr(
+                "CAST((n_docs - n_distinct) * 1000000 DIV n_docs AS BIGINT)"
+            ).alias("dup_rate_ppm"),
+            F.expr(
+                "CAST(__cross * 1000000 DIV n_docs AS BIGINT)"
+            ).alias("cross_source_ppm"),
+        )
+    )
+
+
+def token_frequency_spectrum(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token frequency spectrum (the Zipf diagnostic): bucket the
+    vocabulary by ⌊log2(corpus frequency)⌋ and report, per bucket, the
+    vocabulary size, total occurrences, and the cumulative occurrence
+    share from the COMMON end — the curve that says "the top two
+    buckets are stopwords carrying 60% of tokens, everything below
+    freq 4 is hapax noise". Drives stopword cutoffs and min-count
+    vocabulary thresholds the same way vocab_accumulation drives
+    Heaps'-law capacity planning.
+
+    Scale shape: ONE token-keyed count (the only data-sized shuffle),
+    then a bucket aggregation bounded by ~64 rows, then a running sum
+    over that BOUNDED frame (the window's input is the bucket
+    aggregate — the audited bounded-frame idiom). log2 on a BIGINT
+    count is exact: floor(log2) buckets are integer-stable (no FP
+    boundary ambiguity for counts < 2^53).
+
+    Returns (freq_bucket, n_tokens, n_occurrences, cum_share_ppm)
+    where bucket b covers frequencies [2^b, 2^{b+1}).
+    """
+    tok = df.select(F.explode(words(F.col(text_col))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    freqs = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    buckets = (
+        freqs.select(
+            F.floor(F.log2("f")).cast("int").alias("freq_bucket"),
+            F.col("f"),
+        )
+        .groupBy("freq_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("f").cast("bigint").alias("n_occurrences"),
+        )
+    )
+    w_cum = Window.orderBy(F.col("freq_bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        buckets.select(
+            "freq_bucket",
+            "n_tokens",
+            "n_occurrences",
+            F.sum("n_occurrences").over(w_cum).alias("__cum"),
+            F.sum("n_occurrences").over(w_tot).alias("__tot"),
+        )
+        # exact integer ppm: bigint DIV, no float on the compare path
+        .select(
+            "freq_bucket",
+            "n_tokens",
+            "n_occurrences",
+            F.expr(
+                "CAST(__cum * 1000000 DIV __tot AS BIGINT)"
+            ).alias("cum_share_ppm"),
+        )
+    )
+
+
+def char_class_profile(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-class composition per source: the share of alphabetic
+    / digit / whitespace / other characters in each feed's text — the
+    cheapest data-quality screen there is (a feed whose digit share
+    doubles overnight switched formats; one whose 'other' share spikes
+    is shipping markup or mojibake). Complements the word-level
+    quality scores with a tokenizer-independent signal.
+
+    Scale shape: all class counts are map-side length arithmetic
+    (length minus length-after-removal — no explode, no per-char
+    rows); ONE source-keyed aggregation, output bounded by the source
+    vocabulary. Shares are exact integer ppm on BIGINT sums.
+
+    Returns (source, n_chars, alpha_ppm, digit_ppm, space_ppm,
+    other_ppm).
+    """
+    t = F.col(text_col)
+    n_all = F.length(t).cast("bigint")
+    n_alpha = (
+        F.length(t) - F.length(F.regexp_replace(t, "[A-Za-z]", ""))
+    ).cast("bigint")
+    n_digit = (
+        F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))
+    ).cast("bigint")
+    n_space = (
+        F.length(t) - F.length(F.regexp_replace(t, " ", ""))
+    ).cast("bigint")
+    per = df.select(
+        F.coalesce(F.col(group_col), F.lit("")).alias("source"),
+        n_all.alias("__n"),
+        n_alpha.alias("__a"),
+        n_digit.alias("__d"),
+        n_space.alias("__s"),
+    )
+    agg = per.groupBy("source").agg(
+        F.sum("__n").cast("bigint").alias("n_chars"),
+        F.sum("__a").cast("bigint").alias("__ta"),
+        F.sum("__d").cast("bigint").alias("__td"),
+        F.sum("__s").cast("bigint").alias("__ts"),
+    )
+    ppm = lambda c: F.expr(
+        f"CAST({c} * 1000000 DIV n_chars AS BIGINT)"
+    )
+    return agg.filter(F.col("n_chars") > 0).select(
+        "source",
+        "n_chars",
+        ppm("__ta").alias("alpha_ppm"),
+        ppm("__td").alias("digit_ppm"),
+        ppm("__ts").alias("space_ppm"),
+        (
+            F.lit(1_000_000)
+            - ppm("__ta") - ppm("__td") - ppm("__ts")
+        ).cast("bigint").alias("other_ppm"),
+    )

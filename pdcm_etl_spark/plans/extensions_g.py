@@ -188,7 +188,7 @@ WITH rows_ AS (
   SELECT event_type AS key, user_id AS id,
          CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
          CASE WHEN ts >= '2024-01-16' THEN 1 ELSE 0 END AS b
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
 ), per AS (
   SELECT key, id,
          SUM(CASE WHEN b = 0 THEN CAST(v AS HUGEINT) END) AS va,

@@ -67,6 +67,27 @@ def _filter_modules(
     }
 
 
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    ids: set[int] = set()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def _release_new_persistent_rdds(
+    spark: SparkSession, before: set[int]
+) -> None:
+    """Unpersist every RDD persisted since the ``before`` snapshot —
+    scoped release: blocks belonging to other live queries' memoized
+    frames (taken BEFORE the window) are untouched."""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        e = it.next()
+        if e._1() not in before:
+            e._2().unpersist(False)
+
+
 def _base_six_dir(
     spark: SparkSession,
     sf_dir: str,
@@ -77,7 +98,16 @@ def _base_six_dir(
     """Materialize (once per session) the BASE run: the full metadata
     DAG over every provider EXCEPT the delta one, written as parquet
     partitioned by data_source so the later merge prunes instead of
-    filtering."""
+    filtering.
+
+    Spill-friendliness (the 4g one-session proof, mem_pressure_r9): the
+    base DAG's shared-node checkpoint blocks are explicitly released as
+    soon as the base is committed to parquet — from that point the base
+    is served from disk, so one JVM never holds the base AND delta
+    DAGs' live block-store state at once. Without this the one-session
+    wrapper carries ~2× the flagship footprint by construction and
+    OOMs at the reference's 4g executor profile while the two-job
+    shape passes (mem_pressure_r8)."""
     from pdcm_etl_spark.plans.dag import build_metadata_dag
     from pdcm_etl_spark.plans.synth import _project_columns
 
@@ -86,6 +116,7 @@ def _base_six_dir(
     key = (app, digest, delta_provider)
     if key in _BASE_SIX:
         return _BASE_SIX[key]
+    rdds_before = _persistent_rdd_ids(spark)
     base_raw = _filter_modules(
         raw, F.col(PROVIDER_COL) != delta_provider
     )
@@ -98,6 +129,9 @@ def _base_six_dir(
     )
     atexit.register(shutil.rmtree, out, ignore_errors=True)
     six.write.mode("overwrite").partitionBy("data_source").parquet(out)
+    # base is durable on disk now; its checkpoint blocks are dead weight
+    # the delta DAG's own blocks would otherwise stack on top of
+    _release_new_persistent_rdds(spark, rdds_before)
     _BASE_SIX[key] = out
     return out
 

@@ -117,6 +117,14 @@ def main() -> None:
             "err": (proc.stderr or proc.stdout or "")[-400:],
         }
         rec.setdefault("status", "OK")
+        # a JSON line on stdout does not prove success: the subprocess
+        # can still die after the print (e.g. OOM during JVM shutdown)
+        if proc.returncode != 0:
+            rec["status"] = "ERROR"
+            rec["returncode"] = proc.returncode
+            rec.setdefault(
+                "err", (proc.stderr or proc.stdout or "")[-400:]
+            )
         rec["heap"] = "4g"
         rec["cores"] = os.environ.get("SPARK_GRAFT_CPUS", "32")
         results.append(rec)

@@ -17,6 +17,8 @@ def test_bench_line_fits_driver_tail_budget():
             "flagship_cold_sec": 63.123,
             "flagship_warm_build_sec": 8.712,
             "flagship_warm_exec_sec": 14.321,
+            "flagship_budget_sec": 25.0,
+            "flagship_budget_breach": False,
         },
     )
     assert len(line) < 1900
@@ -26,6 +28,10 @@ def test_bench_line_fits_driver_tail_budget():
     # slowest-first truncation keeps SOME per-query detail
     assert parsed["queries"]
     assert parsed["flagship_cold_sec"] == 63.123
+    # r8 lesson: the budget verdict must survive inside the payload the
+    # driver parses — stderr warnings are lost to the stdout tail
+    assert parsed["flagship_budget_breach"] is False
+    assert parsed["flagship_budget_sec"] == 25.0
 
 
 def test_bench_line_small_registry_keeps_everything():

@@ -2241,26 +2241,26 @@ def test_user_accumulation_known_exact_values(spark):
 def test_split_leakage_audit_known_exact_values(spark):
     from pdcm_etl_spark.operators.sampling import split_leakage_audit
 
-    # ids 0..7 with two content clusters: same token SET (order and
-    # repetition must not matter) for ids 0-3, distinct text elsewhere
-    rows = [(i, "alpha beta gamma" if i < 4 else f"unique text {i}")
-            for i in range(8)]
-    # permute / duplicate tokens in two of the cluster docs
-    rows[1] = (1, "gamma beta alpha")
-    rows[2] = (2, "beta beta alpha gamma")
+    # cluster ids chosen so their portable_hash60 folds (md5-hex
+    # first-15 % 4 over the id string) are all four DISTINCT folds:
+    # 0→2, 1→0, 3→3, 4→1 — the leak must be detected, so every
+    # assertion below runs unconditionally (no 'if out:' guard).
+    # Token order and repetition must not matter: the fingerprint is
+    # md5 of the sorted distinct token SET.
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "gamma beta alpha"),
+        (3, "beta beta alpha gamma"),
+        (4, "alpha beta gamma"),
+    ] + [(i, f"unique text {i}") for i in (5, 6, 7, 8)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = split_leakage_audit(df, id_col="doc_id", n_folds=4).collect()
-    # the cluster spans ids 0-3 -> with 4 folds over small ids it is
-    # overwhelmingly split; verify exact cluster accounting
-    assert len(out) <= 1 + 0  # unique docs can never leak
-    if out:
-        r = out[0]
-        assert r["n_docs"] == 4
-        assert r["min_id"] == 0 and r["max_id"] == 3
-        assert r["n_folds_hit"] >= 2
-        assert r["folds"] == ",".join(
-            str(x) for x in sorted(set(int(f) for f in r["folds"].split(",")))
-        )
+    assert len(out) == 1  # unique docs can never leak; the cluster must
+    r = out[0]
+    assert r["n_docs"] == 4
+    assert r["min_id"] == 0 and r["max_id"] == 4
+    assert r["n_folds_hit"] == 4
+    assert r["folds"] == "0,1,2,3"
     # single-fold split can never report leaks
     assert not split_leakage_audit(df, id_col="doc_id", n_folds=1).collect()
 
