@@ -35,90 +35,92 @@ def entry(spark: SparkSession) -> DataFrame:
 # remains pinned inside the window by tests/test_registry_window.py.
 _PRIORITY: list[str] = [
     # ---- window slots 1-50: the driver's correctness gate hashes these.
-    # Round-8 rotation: the 22 round-8 additions are windowed immediately;
-    # the other 27 slots are a set-cover over the operator-family map
-    # (tests/test_registry_window.py) so every family keeps an in-window
-    # representative — except eight families benched THIS round, every
-    # one with a driver-hash-green rep in CORRECTNESS_r07.json (the
-    # window test pins that exemption mechanically) and oracle-checked
-    # every pytest run.
-    # flagship + the delta-incremental twin (oracle = full-rebuild SQL)
+    # Round-9 rotation: the 9 round-9 additions are windowed immediately;
+    # the 8 STALEST families (last driver-green in r07, exempt during r8)
+    # rotate back in; the rest is a set-cover over the operator-family
+    # map (tests/test_registry_window.py). Families benched this round
+    # all have a driver-hash-green rep in CORRECTNESS_r08.json — the
+    # window test pins the ≤2-round freshness mechanically.
     "etl_search_index",
+    # round-9 additions (never driver-checked before this round)
+    "label_noise_audit",
+    "dup_rate_by_source",
+    "token_frequency_spectrum",
+    "char_class_profile",
+    "rare_category_collapse",
+    "interarrival_profile",
+    "stratified_kfold_assign",
+    "degree_histogram",
+    "embedding_norm_profile",
+    # stale-family reps: last green r07, two rounds un-windowed
+    "partition_prune",
+    "pack_sequences",
+    "corpus_curation",
+    "quality_percentile",
+    "stump_train",
+    "multimodal_decode",
+    "trimmed_mean_group",
+    "bpe_train",
+    # family set-cover representatives (all driver-proven r1-r8)
+    "global_agg",
+    "harmonisation_cascade",
+    "correlated_count",
+    "array_equality_group",
+    "rolling_window",
+    "except_keys",
+    "stream_scd2_upsert",
+    "json_agg_struct",
+    "quantile_bin",
+    "pivot_status",
+    "funnel_time_to_convert",
+    "bfs_distance",
+    "assoc_rules",
+    "dup_cluster_histogram",
+    "pareto_frontier",
+    "ann_ivf_persisted",
+    "dedup_recall",
+    "bigram_lm_score",
+    "key_skew_profile",
+    "entropy_profile",
+    "benford_profile",
+    "event_transitions",
+    "chi_square_assoc",
+    "bigram_pmi_topk",
+    "kmeans_assign_bcast",
+    "linreg_group",
+    "fk_orphan_audit",
+    "string_agg_ordered",
+    "quantile_normalize",
+    "golden_record_merge",
     "etl_search_index_incremental",
-    # round-8 session-1 additions (never driver-checked before this round)
+    "decile_migration",
+    # ---- below the 50-row window: all driver-proven in r1-r8, still
+    # oracle-checked every pytest run (tests/test_oracle_parity.py)
     "attribution_position",
     "grouped_gain_curve",
     "chisq_drift",
     "ngram_novelty",
     "rrf_fusion",
-    # round-8 session-2: weighted/seasonal rank kit, growth accounting,
-    # collocation mining, split-leakage audit
     "weighted_median_group",
     "concentration_topn",
     "seasonal_anomaly",
     "user_accumulation",
-    "bigram_pmi_topk",
     "split_leakage_audit",
-    # round-8 session-3: mode, FK integrity, vocabulary overlap/growth,
-    # churn accounting
     "mode_group",
-    "fk_orphan_audit",
     "source_token_overlap",
     "vocab_accumulation",
     "churn_summary",
-    # round-8 session-4: language confusion, duplicate-cluster histogram,
-    # class balancing, survivorship merge, decile migration
     "lang_confusion",
-    "dup_cluster_histogram",
     "balanced_downsample",
-    "golden_record_merge",
-    "decile_migration",
-    # family set-cover representatives (all driver-proven r1-r7)
-    "quantile_bin",
-    "harmonisation_cascade",
-    "stream_scd2_upsert",
-    "global_agg",
-    "linreg_group",
-    "benford_profile",
-    "bfs_distance",
-    "dedup_recall",
-    "ann_ivf_persisted",
-    "funnel_time_to_convert",
-    "rolling_window",
-    "key_skew_profile",
-    "correlated_count",
-    "array_equality_group",
-    "pareto_frontier",
-    "except_keys",
-    "event_transitions",
-    "json_agg_struct",
-    "pivot_status",
-    "chi_square_assoc",
-    "entropy_profile",
-    "string_agg_ordered",
-    "bigram_lm_score",
-    "quantile_normalize",
-    "kmeans_assign_bcast",
-    "assoc_rules",
     "link_predict_cn",
-    # ---- below the 50-row window: all driver-proven in r1-r7, still
-    # oracle-checked every pytest run (tests/test_oracle_parity.py)
     "er_score_pairs",
     "dedup_prefix_filter",
-    "trimmed_mean_group",
-    "multimodal_decode",
-    "bpe_train",
     "corpus_language_mix",
     "anomaly_mad",
     "gini_concentration",
     "dq_check",
     "sample_weighted_grouped",
     "winsorize_group",
-    "corpus_curation",
-    "stump_train",
-    "partition_prune",
-    "pack_sequences",
-    "quality_percentile",
     "ann_ivf_delta_append",
     "attribution_touch",
     "stream_left_outer_join",
@@ -248,6 +250,12 @@ def _optional_catalogs() -> list[dict]:
         from pdcm_etl_spark.plans.extensions_g import EXTENSION_G_CATALOG
 
         cats.append(EXTENSION_G_CATALOG)
+    except ImportError:
+        pass
+    try:
+        from pdcm_etl_spark.plans.extensions_h import EXTENSION_H_CATALOG
+
+        cats.append(EXTENSION_H_CATALOG)
     except ImportError:
         pass
     return cats

@@ -189,6 +189,17 @@ HEADLINE = [
     "balanced_downsample",
     "golden_record_merge",
     "decile_migration",
+    # round-9 additions: curation audits, spectra, cadence/kfold/embedding
+    # profiles
+    "label_noise_audit",
+    "dup_rate_by_source",
+    "token_frequency_spectrum",
+    "char_class_profile",
+    "rare_category_collapse",
+    "interarrival_profile",
+    "stratified_kfold_assign",
+    "degree_histogram",
+    "embedding_norm_profile",
     # round-9 (verdict ask 7): the remaining registry queries — mostly
     # sub-second micro-ops, folded in so every one of the 200 rows has
     # a round-over-round sf0.1 anchor in BENCH_FULL.json (the printed

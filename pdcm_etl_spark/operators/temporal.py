@@ -1220,29 +1220,33 @@ def interarrival_profile(
     w_seq = Window.partitionBy(key_col).orderBy(
         F.asc(ts_col), F.asc(id_col)
     )
+    # the partition column keeps its ORIGINAL name through every window
+    # (an early alias mints a new attribute and the second window
+    # re-shuffles on it — measured: 2 Exchanges instead of 1); the
+    # output rename happens once, in the final aggregate
     gaps = (
         df.select(
-            F.col(key_col).alias("key"),
+            F.col(key_col),
             F.col(ts_col).alias("__ts"),
             F.col(id_col).alias("__id"),
             (es - F.lag(es).over(w_seq)).cast("bigint").alias("gap_sec"),
         )
         .filter(F.col("gap_sec").isNotNull())
     )
-    w_rank = Window.partitionBy("key").orderBy(
+    w_rank = Window.partitionBy(key_col).orderBy(
         F.col("gap_sec").asc(), F.col("__ts").asc(), F.col("__id").asc()
     )
-    w_all = Window.partitionBy("key").rowsBetween(
+    w_all = Window.partitionBy(key_col).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     ranked = gaps.select(
-        "key",
+        F.col(key_col),
         "gap_sec",
         F.row_number().over(w_rank).cast("bigint").alias("__r"),
         F.count(F.lit(1)).over(w_all).cast("bigint").alias("__n"),
     )
     return (
-        ranked.groupBy("key")
+        ranked.groupBy(F.col(key_col).alias("key"))
         .agg(
             F.max("__n").alias("n_gaps"),
             F.min("gap_sec").alias("min_gap_sec"),

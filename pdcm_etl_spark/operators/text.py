@@ -1262,9 +1262,13 @@ def dup_rate_by_source(
     Scale shape: ONE (fingerprint) aggregation for global cluster
     stats (distinct-source count via a bounded collect_set), ONE
     (source, fingerprint) count joined back by fingerprint — the join
-    is fingerprint-keyed (same partitioning as the aggs, data-sized,
-    AQE-managed), then a final source-keyed rollup whose output is
-    bounded by the source vocabulary.
+    is fingerprint-keyed and PINNED shuffle-hash: both sides are
+    data-sized (one row per distinct fingerprint), and Catalyst's
+    post-aggregation estimate would broadcast the global side at test
+    scale — the same estimate that becomes an abortive data-sized
+    broadcast at 100 TB (the jaccard ``_size_sides`` hazard). The
+    final source-keyed rollup's output is bounded by the source
+    vocabulary.
 
     Returns (source, n_docs, n_distinct, dup_rate_ppm,
     cross_source_ppm): dup_rate_ppm = share of docs beyond one keeper
@@ -1284,7 +1288,7 @@ def dup_rate_by_source(
             F.size(F.collect_set("__src")).cast("int").alias("__nsrc")
         )
     )
-    joined = per_sf.join(global_fp, "fingerprint")
+    joined = per_sf.join(global_fp.hint("shuffle_hash"), "fingerprint")
     return (
         joined.groupBy("__src")
         .agg(

@@ -32,32 +32,19 @@ TIE_SENSITIVE = re.compile(
 # Operators added in the current round — screened by name even when the
 # tie-sensitive regex does not match. Rotate each round.
 CURRENT_ROUND_EXTRAS: list[str] = [
-    "etl_search_index_incremental",
-    "attribution_position",
-    "grouped_gain_curve",
-    "chisq_drift",
-    "ngram_novelty",
-    "rrf_fusion",
-    # round-8 session-2 (weighted_median/concentration/bigram_pmi also
-    # match the regex via rank/topk-free names — list all six anyway)
-    "weighted_median_group",
-    "concentration_topn",
-    "seasonal_anomaly",
-    "user_accumulation",
-    "bigram_pmi_topk",
-    "split_leakage_audit",
-    # round-8 session-3
-    "mode_group",
-    "fk_orphan_audit",
-    "source_token_overlap",
-    "vocab_accumulation",
-    "churn_summary",
-    # round-8 session-4
-    "lang_confusion",
-    "dup_cluster_histogram",
-    "balanced_downsample",
-    "golden_record_merge",
-    "decile_migration",
+    # round-9 additions — each double-run hash-screened at sf0.1 the
+    # round it ships (prior rounds' extras rotate out once their round's
+    # full-registry screen is committed; they stay covered by the
+    # regex-selected families below)
+    "label_noise_audit",
+    "dup_rate_by_source",
+    "token_frequency_spectrum",
+    "char_class_profile",
+    "rare_category_collapse",
+    "interarrival_profile",
+    "stratified_kfold_assign",
+    "degree_histogram",
+    "embedding_norm_profile",
 ]
 
 DET_SF_DIR = os.environ.get("SPARK_GRAFT_DET_SF_DIR", "/root/testdata/sf0.1")

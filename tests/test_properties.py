@@ -2441,3 +2441,200 @@ def test_decile_migration_known_exact_values(spark):
         one, "k", "u", F.col("v").cast("bigint"), F.col("b") == 1
     ).collect()
     assert sum(r["n_entities"] for r in out1) == 1
+
+
+# ---------------------------------------------------------------------------
+# round-9 operators: exact-value tests
+
+
+def test_label_noise_audit_known_exact_values(spark):
+    from pdcm_etl_spark.operators.text import label_noise_audit
+
+    rows = [
+        # one content cluster (same token SET, order/dup-insensitive)
+        # labeled en twice, de once
+        (0, "alpha beta gamma", "en"),
+        (1, "gamma beta alpha", "en"),
+        (2, "beta beta alpha gamma", "de"),
+        # clean cluster: same content, same label twice -> no conflict
+        (3, "delta epsilon", "fr"),
+        (4, "epsilon delta", "fr"),
+        # unique doc
+        (5, "zeta eta theta", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = label_noise_audit(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 3
+    assert r["n_labels"] == 2
+    assert r["labels"] == "de,en"
+    assert r["majority_label"] == "en" and r["majority_n"] == 2
+    # majority tie breaks to the smallest label
+    tie = spark.createDataFrame(
+        [(0, "x y", "b"), (1, "y x", "a")],
+        "doc_id long, text string, lang string",
+    )
+    t = label_noise_audit(tie).collect()[0]
+    assert t["majority_label"] == "a" and t["majority_n"] == 1
+
+
+def test_dup_rate_by_source_known_exact_values(spark):
+    from pdcm_etl_spark.operators.text import dup_rate_by_source
+
+    rows = [
+        # srcA: 4 docs, 2 distinct contents -> dup_rate 50%; one of the
+        # clusters also appears in srcB -> cross-source counts 2 docs
+        (0, "aa bb", "srcA"),
+        (1, "bb aa", "srcA"),
+        (2, "cc dd", "srcA"),
+        (3, "dd cc", "srcA"),
+        (4, "aa bb", "srcB"),
+        (5, "unique here", "srcB"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in dup_rate_by_source(df).collect()}
+    a = out["srcA"]
+    assert (a["n_docs"], a["n_distinct"]) == (4, 2)
+    assert a["dup_rate_ppm"] == 500_000
+    assert a["cross_source_ppm"] == 500_000  # the 'aa bb' cluster's 2 docs
+    b = out["srcB"]
+    assert (b["n_docs"], b["n_distinct"]) == (2, 2)
+    assert b["dup_rate_ppm"] == 0
+    assert b["cross_source_ppm"] == 500_000
+
+
+def test_token_frequency_spectrum_known_exact_values(spark):
+    from pdcm_etl_spark.operators.text import token_frequency_spectrum
+
+    # token freqs: 'a' x4 (bucket 2), 'b' x2, 'c' x2 (bucket 1), 'd' x1
+    # (bucket 0); total occurrences 9
+    rows = [(0, "a a b"), (1, "a b c"), (2, "a c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["freq_bucket"]: r for r in token_frequency_spectrum(df).collect()}
+    assert (out[2]["n_tokens"], out[2]["n_occurrences"]) == (1, 4)
+    assert (out[1]["n_tokens"], out[1]["n_occurrences"]) == (2, 4)
+    assert (out[0]["n_tokens"], out[0]["n_occurrences"]) == (1, 1)
+    # cumulative share from the COMMON end: bucket2=4/9, +bucket1=8/9, all=9/9
+    assert out[2]["cum_share_ppm"] == 4 * 1_000_000 // 9
+    assert out[1]["cum_share_ppm"] == 8 * 1_000_000 // 9
+    assert out[0]["cum_share_ppm"] == 1_000_000
+
+
+def test_char_class_profile_known_exact_values(spark):
+    from pdcm_etl_spark.operators.text import char_class_profile
+
+    # 'ab 12!' = 6 chars: 2 alpha, 2 digit, 1 space, 1 other
+    df = spark.createDataFrame(
+        [(0, "ab 12!", "s1")], "doc_id long, text string, source string"
+    )
+    r = char_class_profile(df).collect()[0]
+    assert r["n_chars"] == 6
+    assert r["alpha_ppm"] == 2 * 1_000_000 // 6
+    assert r["digit_ppm"] == 2 * 1_000_000 // 6
+    assert r["space_ppm"] == 1 * 1_000_000 // 6
+    # other is the exact residual of the three floors — shares always
+    # total exactly 1e6
+    assert r["other_ppm"] == (
+        1_000_000 - r["alpha_ppm"] - r["digit_ppm"] - r["space_ppm"]
+    )
+
+
+def test_rare_category_collapse_known_exact_values(spark):
+    from pdcm_etl_spark.operators.analytics import rare_category_collapse
+
+    rows = [("big",)] * 5 + [("mid",)] * 3 + [("tiny1",)] * 2 + [("tiny2",)]
+    df = spark.createDataFrame(rows, "cat string")
+    out = {r["category"]: r for r in
+           rare_category_collapse(df, "cat", min_n=3).collect()}
+    assert (out["big"]["n_rows"], out["big"]["n_source_categories"]) == (5, 1)
+    assert (out["mid"]["n_rows"], out["mid"]["n_source_categories"]) == (3, 1)
+    assert (out["__other__"]["n_rows"],
+            out["__other__"]["n_source_categories"]) == (3, 2)
+    # totals conserved
+    assert sum(r["n_rows"] for r in out.values()) == 11
+
+
+def test_interarrival_profile_known_exact_values(spark):
+    from pdcm_etl_spark.operators.temporal import interarrival_profile
+
+    # gaps for key 'k': 10, 20, 100, 30 -> sorted 10,20,30,100
+    # n=4: lower median idx (4+1)//2=2 -> 20; p90 idx (36+9)//10=4 -> 100
+    rows = [
+        ("k", 1, "2024-01-01 00:00:00"),
+        ("k", 2, "2024-01-01 00:00:10"),
+        ("k", 3, "2024-01-01 00:00:30"),
+        ("k", 4, "2024-01-01 00:02:10"),
+        ("k", 5, "2024-01-01 00:02:40"),
+        ("solo", 6, "2024-01-01 00:00:00"),  # no gap -> no output row
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts string"
+    ).select("event_type", "event_id", F.col("ts").cast("timestamp").alias("ts"))
+    out = {r["key"]: r for r in interarrival_profile(
+        df, "event_type", "ts", "event_id").collect()}
+    assert set(out) == {"k"}
+    r = out["k"]
+    assert r["n_gaps"] == 4
+    assert (r["min_gap_sec"], r["max_gap_sec"]) == (10, 100)
+    assert r["median_gap_sec"] == 20
+    assert r["p90_gap_sec"] == 100
+
+
+def test_stratified_kfold_assign_balance_property(spark):
+    from pdcm_etl_spark.operators.sampling import stratified_kfold_assign
+
+    rows = [(i, "a" if i < 10 else "b") for i in range(17)]
+    df = spark.createDataFrame(rows, "id long, cls string")
+    out = stratified_kfold_assign(df, "id", "cls", n_folds=4).collect()
+    by_class: dict = {}
+    for r in out:
+        by_class.setdefault(r["class"], {})[r["fold"]] = r["n_rows"]
+    # round-robin by rank: per class, fold sizes differ by at most 1 and
+    # every fold is hit (classes bigger than n_folds)
+    for cls, folds in by_class.items():
+        sizes = [folds.get(f, 0) for f in range(4)]
+        assert max(sizes) - min(sizes) <= 1, (cls, sizes)
+    assert sum(r["n_rows"] for r in out) == 17
+    # determinism: same input -> identical assignment
+    again = stratified_kfold_assign(df, "id", "cls", n_folds=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_degree_histogram_known_exact_values(spark):
+    from pdcm_etl_spark.operators.graph import degree_histogram
+
+    # node degrees (distinct neighbors): n1 -> 1 (bucket 0, parallel edge
+    # collapses), n2 -> 2 (bucket 1), n3 -> 4 (bucket 2), n4 null-skipped
+    rows = (
+        [("n1", "x"), ("n1", "x")]
+        + [("n2", "x"), ("n2", "y")]
+        + [("n3", a) for a in "wxyz"]
+        + [(None, "x"), ("n4", None)]
+    )
+    df = spark.createDataFrame(rows, "s string, d string")
+    out = {r["degree_bucket"]: r for r in
+           degree_histogram(df, "s", "d").collect()}
+    assert (out[0]["n_nodes"], out[0]["n_edges"]) == (1, 1)
+    assert (out[1]["n_nodes"], out[1]["n_edges"]) == (1, 2)
+    assert (out[2]["n_nodes"], out[2]["n_edges"]) == (1, 4)
+
+
+def test_embedding_norm_profile_known_exact_values(spark):
+    from pdcm_etl_spark.operators.ml import embedding_norm_profile
+
+    rows = [
+        (0, [3.0, 4.0], 1),      # norm 5.0 -> 5_000_000 ppm
+        (1, [0.0, 0.0], 1),      # zero vector
+        (2, [1.0, 0.0, 0.0], 2),  # norm 1.0, dim 3
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in
+           embedding_norm_profile(df, "label").collect()}
+    a = out[1]
+    assert (a["n_vecs"], a["n_zero"], a["n_dims"]) == (2, 1, 2)
+    assert (a["min_norm_ppm"], a["max_norm_ppm"]) == (0, 5_000_000)
+    assert a["avg_norm_ppm"] == 2_500_000
+    b = out[2]
+    assert (b["n_vecs"], b["n_zero"], b["n_dims"]) == (1, 0, 3)
+    assert b["min_norm_ppm"] == 1_000_000

@@ -4,58 +4,64 @@ inside that window (round-1 verdict requirement), and that the round-3
 rotation actually landed every previously-unchecked query inside it
 (round-2 verdict item 2)."""
 
-# queries that need a driver row THIS round — round-5 additions plus
-# rows whose behavior or oracle changed since their last green hash —
-# all must sit inside the 50-row window; everything rotated out is
-# cumulatively driver-proven in r1-r4 and stays oracle-checked every
+# queries that need a driver row THIS round — round-9 additions — all
+# must sit inside the 50-row window; everything rotated out is
+# cumulatively driver-proven in r1-r8 and stays oracle-checked every
 # pytest run (tests/test_oracle_parity.py)
 ROTATED_IN = [
-    # round-8 additions (never driver-checked)
-    "etl_search_index_incremental",
-    "attribution_position",
-    "grouped_gain_curve",
-    "chisq_drift",
-    "ngram_novelty",
-    "rrf_fusion",
-    # round-8 session-2 additions (never driver-checked)
-    "weighted_median_group",
-    "concentration_topn",
-    "seasonal_anomaly",
-    "user_accumulation",
-    "bigram_pmi_topk",
-    "split_leakage_audit",
-    # round-8 session-3 additions (never driver-checked)
-    "mode_group",
-    "fk_orphan_audit",
-    "source_token_overlap",
-    "vocab_accumulation",
-    "churn_summary",
-    # round-8 session-4 additions (never driver-checked)
-    "lang_confusion",
-    "dup_cluster_histogram",
-    "balanced_downsample",
-    "golden_record_merge",
-    "decile_migration",
+    "label_noise_audit",
+    "dup_rate_by_source",
+    "token_frequency_spectrum",
+    "char_class_profile",
+    "rare_category_collapse",
+    "interarrival_profile",
+    "stratified_kfold_assign",
+    "degree_histogram",
+    "embedding_norm_profile",
+]
+
+# The window must also re-check the families that have been OUT of it
+# longest: these 8 were exempt in round 8 (last green r07), so round 9
+# rotates a rep of each back in — the mechanic that keeps every
+# family's driver check at most ~2 rounds stale.
+STALE_ROTATED_IN = [
+    "partition_prune",
+    "pack_sequences",
+    "corpus_curation",
+    "quality_percentile",
+    "stump_train",
+    "multimodal_decode",
+    "trimmed_mean_group",
+    "bpe_train",
 ]
 
 
-# Families benched from the window THIS round: with 12 never-driver-
-# checked round-8 rows pinned into the 50 slots, the family set-cover
-# no longer fits. A family may be benched ONLY if every one of its
-# representatives is driver-hash-green in the immediately previous
-# round's CORRECTNESS file (checked mechanically below) and stays
-# oracle-checked every pytest run (tests/test_oracle_parity.py).
+# Families benched from the window THIS round. The family count grows
+# every round (each new operator family needs a slot) while the window
+# stays 50, so the exemption policy is a FRESHNESS budget rather than a
+# one-round pass: a family may be benched ONLY if a representative is
+# driver-hash-green within the last TWO committed rounds (checked
+# mechanically below against the named file), the exempt set stays
+# ≤ 16, and a family benched for two consecutive rounds must rotate
+# back in (STALE_ROTATED_IN above is round 9's instance of that rule —
+# the 8 families exempt-under-r07 in round 8). Every benched family
+# stays oracle-checked every pytest run (tests/test_oracle_parity.py).
 WINDOW_EXEMPT_FAMILIES = {
-    "layout",           # partition_prune green in r07
-    "packing",          # pack_sequences green in r07
-    "pipeline",         # corpus_curation green in r07
-    "quality-filter",   # quality_percentile green in r07
-    "tree-train",       # stump_train green in r07
-    "multimodal",       # multimodal_decode green in r07
-    "robust-location",  # trimmed_mean_group green in r07
-    "tokenizer",        # bpe_train green in r07
+    "rank-fusion": "CORRECTNESS_r08.json",        # rrf_fusion
+    "novelty": "CORRECTNESS_r08.json",            # ngram_novelty
+    "weighted-order-stats": "CORRECTNESS_r08.json",  # weighted_median_group
+    "growth-accounting": "CORRECTNESS_r08.json",  # churn_summary
+    "leakage-audit": "CORRECTNESS_r08.json",      # split_leakage_audit
+    "mode": "CORRECTNESS_r08.json",               # mode_group
+    "vocab-overlap": "CORRECTNESS_r08.json",      # vocab_accumulation
+    "lang-confusion": "CORRECTNESS_r08.json",     # lang_confusion
+    "class-balance": "CORRECTNESS_r08.json",      # balanced_downsample
+    "inequality": "CORRECTNESS_r08.json",         # concentration_topn
+    "anomaly": "CORRECTNESS_r08.json",            # seasonal_anomaly
+    "attribution": "CORRECTNESS_r08.json",        # attribution_position
+    "drift": "CORRECTNESS_r08.json",              # chisq_drift
+    "link-prediction": "CORRECTNESS_r08.json",    # link_predict_cn
 }
-_PREV_CORRECTNESS = "CORRECTNESS_r07.json"
 
 
 def test_first_50_covers_every_family():
@@ -92,7 +98,7 @@ def test_first_50_covers_every_family():
         "anomaly": ["anomaly_iqr", "anomaly_mad", "seasonal_anomaly"],
         "recursion": ["recursive_closure", "pagerank", "bfs_distance"],
         "graph-analytics": ["triangle_count", "pagerank", "kcore",
-                            "bfs_distance"],
+                            "bfs_distance", "degree_histogram"],
         "assoc": ["itemset_pairs", "assoc_rules"],
         "dedup": ["dedup_edit_distance", "dedup_minhash_lsh",
                   "dedup_minhash_incremental", "dedup_keeper_quality",
@@ -124,7 +130,7 @@ def test_first_50_covers_every_family():
         "sampling": ["sample_stratified", "shuffle_shards",
                      "sample_weighted", "sample_weighted_grouped",
                      "sample_domain_mix", "split_leakage_audit",
-                     "balanced_downsample"],
+                     "balanced_downsample", "stratified_kfold_assign"],
         "corpus-stats": ["ngram_topk", "inverted_index",
                          "corpus_language_mix", "bigram_pmi_topk",
                          "source_token_overlap", "vocab_accumulation"],
@@ -185,6 +191,16 @@ def test_first_50_covers_every_family():
         "class-balance": ["balanced_downsample"],
         "decile-migration": ["decile_migration"],
         "cluster-histogram": ["dup_cluster_histogram"],
+        # round-9 families
+        "label-noise": ["label_noise_audit"],
+        "dup-scorecard": ["dup_rate_by_source"],
+        "zipf-spectrum": ["token_frequency_spectrum"],
+        "char-profile": ["char_class_profile"],
+        "category-collapse": ["rare_category_collapse"],
+        "cadence-profile": ["interarrival_profile"],
+        "kfold": ["stratified_kfold_assign"],
+        "degree-profile": ["degree_histogram"],
+        "embedding-health": ["embedding_norm_profile"],
     }
     missing = {
         fam: reps
@@ -194,24 +210,28 @@ def test_first_50_covers_every_family():
     }
     assert not missing, f"families without a first-50 representative: {missing}"
 
-    # exemptions are few and mechanically justified: at least one rep of
-    # every benched family must be hash-green in the PREVIOUS round's
-    # committed correctness file
-    assert len(WINDOW_EXEMPT_FAMILIES) <= 8
-    prev_path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        _PREV_CORRECTNESS,
-    )
-    prev = json.load(open(prev_path))
-    for fam in WINDOW_EXEMPT_FAMILIES:
+    # exemptions are bounded and mechanically justified: at least one
+    # rep of every benched family must be hash-green in the named
+    # committed correctness file, and that file must be one of the last
+    # TWO rounds (the freshness budget — see the comment on
+    # WINDOW_EXEMPT_FAMILIES)
+    assert len(WINDOW_EXEMPT_FAMILIES) <= 16
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    allowed_files = {"CORRECTNESS_r07.json", "CORRECTNESS_r08.json"}
+    for fam, fname in WINDOW_EXEMPT_FAMILIES.items():
+        assert fname in allowed_files, (
+            f"benched family {fam} cites {fname}, outside the 2-round "
+            "freshness budget"
+        )
+        prev = json.load(open(os.path.join(repo, fname)))
         green = [
             r
             for r in families[fam]
             if prev.get(r, {}).get("hash_match") is True
         ]
         assert green, (
-            f"benched family {fam} has no rep hash-green in "
-            f"{_PREV_CORRECTNESS}; it may not be exempted"
+            f"benched family {fam} has no rep hash-green in {fname}; "
+            "it may not be exempted"
         )
 
 
@@ -221,6 +241,10 @@ def test_rotated_in_queries_are_inside_the_window():
     window = set(list(e.queries())[:50])
     out = [q for q in ROTATED_IN if q not in window]
     assert not out, f"never-driver-checked queries still outside window: {out}"
+    stale_out = [q for q in STALE_ROTATED_IN if q not in window]
+    assert not stale_out, (
+        f"two-rounds-stale family reps still outside window: {stale_out}"
+    )
 
 
 def test_registry_is_large_and_oracled():
