@@ -52,6 +52,9 @@ _PRIORITY: list[str] = [
     "stratified_kfold_assign",
     "degree_histogram",
     "embedding_norm_profile",
+    "pit_tier_enrich",
+    "rfm_segments",
+    "label_distinctive_terms",
     # stale-family reps: last green r07, two rounds un-windowed
     "partition_prune",
     "pack_sequences",
@@ -71,7 +74,6 @@ _PRIORITY: list[str] = [
     "stream_scd2_upsert",
     "json_agg_struct",
     "quantile_bin",
-    "pivot_status",
     "funnel_time_to_convert",
     "bfs_distance",
     "assoc_rules",
@@ -82,20 +84,21 @@ _PRIORITY: list[str] = [
     "bigram_lm_score",
     "key_skew_profile",
     "entropy_profile",
-    "benford_profile",
     "event_transitions",
     "chi_square_assoc",
     "bigram_pmi_topk",
     "kmeans_assign_bcast",
     "linreg_group",
     "fk_orphan_audit",
-    "string_agg_ordered",
     "quantile_normalize",
     "golden_record_merge",
     "etl_search_index_incremental",
     "decile_migration",
     # ---- below the 50-row window: all driver-proven in r1-r8, still
     # oracle-checked every pytest run (tests/test_oracle_parity.py)
+    "benford_profile",
+    "string_agg_ordered",
+    "pivot_status",
     "attribution_position",
     "grouped_gain_curve",
     "chisq_drift",

@@ -200,6 +200,9 @@ HEADLINE = [
     "stratified_kfold_assign",
     "degree_histogram",
     "embedding_norm_profile",
+    "pit_tier_enrich",
+    "rfm_segments",
+    "label_distinctive_terms",
     # round-9 (verdict ask 7): the remaining registry queries — mostly
     # sub-second micro-ops, folded in so every one of the 200 rows has
     # a round-over-round sf0.1 anchor in BENCH_FULL.json (the printed

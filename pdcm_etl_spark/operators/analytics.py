@@ -1079,3 +1079,76 @@ def rare_category_collapse(
             F.count(F.lit(1)).cast("bigint").alias("n_source_categories"),
         )
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    group_col: str,
+    customer_col: str,
+    ts_col: str,
+    amount_micro,
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary), grouped: per
+    group, every customer is quintiled on each of the three classic
+    dimensions and the output is the segment contingency table — the
+    marketing-analytics workhorse ("my 5-5-5s" vs "my 1-1-1s") and a
+    three-rank-windows-on-one-Exchange exercise of the repo's exact
+    integer quantile discipline (same formula as decile_migration:
+    ((rank − 1)·bins) div n + 1 on bigint ranks, ties broken by
+    customer id — no ntile(), whose remainder placement is
+    implementation-defined).
+
+    Scale shape: one (group, customer) aggregation collapses the facts;
+    all THREE rank windows and the final segment count share that one
+    group-keyed Exchange (different sort orders = extra Sorts, zero
+    extra shuffles). Output is bounded by groups × bins³. Recency ranks
+    ascending on epoch-day (oldest = bin 1), so bin n_bins is always
+    "most recent / most frequent / highest value".
+
+    Returns (group, r_bin, f_bin, m_bin, n_customers).
+    """
+    per_cust = (
+        orders.select(
+            F.col(group_col).alias("__g"),
+            F.col(customer_col).alias("__c"),
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP))"
+                " div 86400000000"
+            ).alias("__day"),
+            amount_micro.cast("decimal(38,0)").alias("__amt"),
+        )
+        .filter(F.col("__c").isNotNull())
+        .groupBy("__g", "__c")
+        .agg(
+            F.max("__day").cast("bigint").alias("__rec"),
+            F.count(F.lit(1)).cast("bigint").alias("__frq"),
+            F.sum("__amt").cast("decimal(38,0)").alias("__mon"),
+        )
+    )
+    wn = Window.partitionBy("__g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wr = Window.partitionBy("__g").orderBy("__rec", "__c")
+    wf = Window.partitionBy("__g").orderBy("__frq", "__c")
+    wm = Window.partitionBy("__g").orderBy("__mon", "__c")
+    ranked = per_cust.select(
+        "__g",
+        F.row_number().over(wr).cast("bigint").alias("__rr"),
+        F.row_number().over(wf).cast("bigint").alias("__rf"),
+        F.row_number().over(wm).cast("bigint").alias("__rm"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("__n"),
+    )
+    seg = lambda r: F.expr(
+        f"CAST((({r} - 1) * {n_bins}) div __n AS INT) + 1"
+    )
+    return (
+        ranked.select(
+            F.col("__g").alias("group"),
+            seg("__rr").alias("r_bin"),
+            seg("__rf").alias("f_bin"),
+            seg("__rm").alias("m_bin"),
+        )
+        .groupBy("group", "r_bin", "f_bin", "m_bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )

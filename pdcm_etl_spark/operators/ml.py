@@ -1273,7 +1273,11 @@ def embedding_norm_profile(
         F.max("__dim").cast("int").alias("n_dims"),
         F.min("__norm_ppm").alias("min_norm_ppm"),
         F.max("__norm_ppm").alias("max_norm_ppm"),
+        # DECIMAL(38,0) accumulator: norm_ppm is product-derived
+        # (norm × 1e6) and a 64-bit sum of ~1e8-scale ppm dies around
+        # 1e11 vectors per label — the overflow-audit class
         F.expr(
-            "CAST(sum(__norm_ppm) DIV count(1) AS BIGINT)"
+            "CAST(sum(CAST(__norm_ppm AS DECIMAL(38,0)))"
+            " DIV count(1) AS BIGINT)"
         ).alias("avg_norm_ppm"),
     )

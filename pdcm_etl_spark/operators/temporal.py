@@ -1262,3 +1262,72 @@ def interarrival_profile(
             F.max("gap_sec").alias("max_gap_sec"),
         )
     )
+
+
+def pit_enrich(
+    facts: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    change_id_col: str,
+) -> DataFrame:
+    """Point-in-time enrichment WITHOUT a join: every fact row gets the
+    attribute value of the latest change row (same key) at-or-before
+    its timestamp — the "what tier was this user on when they clicked"
+    lookup that a type-2 dimension join answers in a warehouse. The
+    asof/range joins in this repo answer it too; this is the shape that
+    beats them at 100 TB when facts and changes share a key: UNION the
+    change rows into the fact stream and forward-fill with ONE
+    last(ignorenulls) window — zero joins, one key-Exchange, no
+    interval table, no per-row probe. Ties at the same timestamp apply
+    the change first (a same-instant change is visible to the fact);
+    multiple same-instant changes resolve to the highest change id —
+    both via the window's total order, not engine luck.
+
+    Scale shape: one union (map-side), ONE window partitioned by key
+    ordered (ts, is_change desc, change_id) — the same single-shuffle
+    profile as sessionize; at 1000 executors the fill parallelism is
+    key cardinality. Facts with no prior change keep a NULL attribute
+    (they existed before the dimension did — dropping them silently is
+    the classic PIT bug).
+
+    Returns the fact rows + ``attr_at_ts``.
+    """
+    fcols = [c for c in facts.columns]
+    tagged_f = facts.select(
+        *fcols,
+        F.lit(None).cast(
+            changes.schema[attr_col].dataType.simpleString()
+        ).alias("__attr"),
+        F.lit(0).alias("__is_chg"),
+        F.lit(None).cast("bigint").alias("__cid"),
+    )
+    tagged_c = changes.select(
+        *[
+            F.col(key_col) if c == key_col
+            else F.col(ts_col) if c == ts_col
+            else F.lit(None).cast(
+                facts.schema[c].dataType.simpleString()
+            ).alias(c)
+            for c in fcols
+        ],
+        F.col(attr_col).alias("__attr"),
+        F.lit(1).alias("__is_chg"),
+        F.col(change_id_col).cast("bigint").alias("__cid"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col("__is_chg").desc(),
+            F.col("__cid").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged_f.unionByName(tagged_c)
+        .withColumn("attr_at_ts", F.last("__attr", ignorenulls=True).over(w))
+        .filter(F.col("__is_chg") == 0)
+        .select(*fcols, "attr_at_ts")
+    )

@@ -345,3 +345,175 @@ FROM per GROUP BY 1
 
 EXTENSION_H_CATALOG["embedding_norm_profile"] = (
     x_embedding_norm_profile, SQL_EMBEDDING_NORM_PROFILE)
+
+
+def x_pit_tier_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-join point-in-time enrichment: every click gets the user's
+    purchase tier (value-micro div 25e6) as of the click instant
+    (operators/temporal.py::pit_enrich — union + forward-fill window,
+    one key Exchange, no interval table). NULL user ids are dropped on
+    both sides (not trackable; NULLS FIRST/LAST rank divergence)."""
+    from pdcm_etl_spark.operators.temporal import pit_enrich
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    facts = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    changes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("chg_id"),
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+            " div 25000000"
+        ).alias("tier"),
+    )
+    out = pit_enrich(
+        facts,
+        changes,
+        key_col="user_id",
+        ts_col="ts",
+        attr_col="tier",
+        change_id_col="chg_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").alias(
+            "click_sec"
+        ),
+        F.col("attr_at_ts").alias("tier_at_click"),
+    )
+
+
+SQL_PIT_TIER_ENRICH = """
+WITH u AS (
+  SELECT event_id, user_id, ts, NULL::BIGINT AS tier, 0 AS is_chg,
+         NULL::BIGINT AS cid
+  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+  UNION ALL
+  SELECT NULL::BIGINT, user_id, ts,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+           // 25000000,
+         1, event_id
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+), filled AS (
+  SELECT event_id, user_id, ts, is_chg,
+         LAST_VALUE(tier IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts ASC, is_chg DESC, cid ASC NULLS FIRST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS tier_at_click
+  FROM u
+)
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) // 1000000 AS BIGINT) AS click_sec,
+       tier_at_click
+FROM filled WHERE is_chg = 0
+"""
+
+EXTENSION_H_CATALOG["pit_tier_enrich"] = (
+    x_pit_tier_enrich, SQL_PIT_TIER_ENRICH)
+
+
+def x_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation of customers per nation
+    (operators/analytics.py::rfm_segments) — recency on the order-date
+    epoch-day, frequency on order count, monetary on micro-exact
+    total price; segment table bounded by nations × 5³."""
+    from pdcm_etl_spark.operators.analytics import rfm_segments
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey")
+    )
+    joined = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    )
+    return rfm_segments(
+        joined,
+        group_col="c_nationkey",
+        customer_col="o_custkey",
+        ts_col="o_orderdate",
+        amount_micro=F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS"
+            " DECIMAL(38,0))"
+        ),
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH per_cust AS (
+  SELECT c_nationkey AS g, o_custkey AS c,
+         CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+           AS rec,
+         CAST(COUNT(*) AS BIGINT) AS frq,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000
+                  AS HUGEINT)) AS mon
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT g,
+         CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY rec, c)
+              AS BIGINT) AS rr,
+         CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY frq, c)
+              AS BIGINT) AS rf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY mon, c)
+              AS BIGINT) AS rm,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM per_cust
+)
+SELECT g AS "group",
+       CAST(((rr - 1) * 5) // n AS INTEGER) + 1 AS r_bin,
+       CAST(((rf - 1) * 5) // n AS INTEGER) + 1 AS f_bin,
+       CAST(((rm - 1) * 5) // n AS INTEGER) + 1 AS m_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM ranked GROUP BY 1, 2, 3, 4
+"""
+
+EXTENSION_H_CATALOG["rfm_segments"] = (x_rfm_segments, SQL_RFM_SEGMENTS)
+
+
+def x_label_distinctive_terms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-5 most distinctive terms per language by exact integer lift
+    (operators/text.py::label_distinctive_terms)."""
+    from pdcm_etl_spark.operators.text import label_distinctive_terms
+
+    return label_distinctive_terms(
+        _t(spark, sf_dir, "documents"), label_col="lang", k=5, min_count=5
+    )
+
+
+SQL_LABEL_DISTINCTIVE_TERMS = """
+WITH tok AS (
+  SELECT COALESCE(lang, '') AS label, w AS term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS u(w)
+  WHERE w <> ''
+), lt AS (
+  SELECT label, term, CAST(COUNT(*) AS BIGINT) AS n_lt
+  FROM tok GROUP BY 1, 2
+), t AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n_t FROM tok GROUP BY 1
+), lab AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label FROM tok GROUP BY 1
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tok),
+scored AS (
+  SELECT label, term, n_lt AS n_in_label,
+         CAST((CAST(n_lt AS HUGEINT) * n_total * 1000000)
+              // (CAST(n_t AS HUGEINT) * n_label) AS BIGINT) AS lift_ppm
+  FROM lt JOIN t USING (term) JOIN lab USING (label), tot
+  WHERE n_lt >= 5
+)
+SELECT label, term, n_in_label, lift_ppm, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+            ORDER BY lift_ppm DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+EXTENSION_H_CATALOG["label_distinctive_terms"] = (
+    x_label_distinctive_terms, SQL_LABEL_DISTINCTIVE_TERMS)

@@ -45,6 +45,9 @@ CURRENT_ROUND_EXTRAS: list[str] = [
     "stratified_kfold_assign",
     "degree_histogram",
     "embedding_norm_profile",
+    "pit_tier_enrich",
+    "rfm_segments",
+    "label_distinctive_terms",
 ]
 
 DET_SF_DIR = os.environ.get("SPARK_GRAFT_DET_SF_DIR", "/root/testdata/sf0.1")

@@ -2638,3 +2638,85 @@ def test_embedding_norm_profile_known_exact_values(spark):
     b = out[2]
     assert (b["n_vecs"], b["n_zero"], b["n_dims"]) == (1, 0, 3)
     assert b["min_norm_ppm"] == 1_000_000
+
+
+def test_pit_enrich_known_exact_values(spark):
+    from pdcm_etl_spark.operators.temporal import pit_enrich
+
+    facts = spark.createDataFrame(
+        [
+            (100, "u1", "2024-01-01 10:00:00"),  # before any change -> NULL
+            (101, "u1", "2024-01-02 10:00:00"),  # after change 1 -> 7
+            (102, "u1", "2024-01-03 10:00:00"),  # after change 2 -> 9
+            (103, "u1", "2024-01-02 09:00:00"),  # same instant as change 1
+            (104, "u2", "2024-01-05 00:00:00"),  # other key, no changes
+        ],
+        "fid long, k string, ts string",
+    ).select("fid", "k", F.col("ts").cast("timestamp").alias("ts"))
+    changes = spark.createDataFrame(
+        [
+            ("u1", "2024-01-02 09:00:00", 1, 7),
+            ("u1", "2024-01-03 09:00:00", 2, 9),
+            # two changes at the SAME instant: highest change id wins
+            ("u1", "2024-01-03 09:00:00", 3, 11),
+        ],
+        "k string, ts string, cid long, tier long",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "cid", "tier")
+    out = {r["fid"]: r["attr_at_ts"] for r in pit_enrich(
+        facts, changes, key_col="k", ts_col="ts",
+        attr_col="tier", change_id_col="cid").collect()}
+    assert out[100] is None          # fact before the dimension existed
+    assert out[101] == 7
+    assert out[102] == 11            # same-instant changes: max cid wins
+    assert out[103] == 7             # same-instant change IS visible
+    assert out[104] is None
+    # row preservation: every fact comes back exactly once
+    assert len(out) == 5
+
+
+def test_rfm_segments_known_exact_values(spark):
+    from pdcm_etl_spark.operators.analytics import rfm_segments
+
+    # one group, 5 customers with strictly increasing recency/frequency/
+    # monetary in the SAME customer order -> customer i lands in bin i+1
+    # on all three dimensions
+    rows = []
+    for i in range(5):
+        for j in range(i + 1):  # frequency = i+1 orders
+            rows.append(
+                ("g", i, f"2024-01-{i + 1:02d} 00:00:00", 100.0 * (i + 1))
+            )
+    df = spark.createDataFrame(
+        rows, "grp string, cust long, ts string, amt double"
+    ).select("grp", "cust", F.col("ts").cast("timestamp").alias("ts"), "amt")
+    out = rfm_segments(
+        df, group_col="grp", customer_col="cust", ts_col="ts",
+        amount_micro=F.expr("CAST(amt * 1000000 AS DECIMAL(38,0))"),
+    ).collect()
+    segs = {(r["r_bin"], r["f_bin"], r["m_bin"]): r["n_customers"]
+            for r in out}
+    assert segs == {(i, i, i): 1 for i in range(1, 6)}
+
+
+def test_label_distinctive_terms_known_exact_values(spark):
+    from pdcm_etl_spark.operators.text import label_distinctive_terms
+
+    # 'zz' appears only under label a (6 of a's 12 tokens); 'cc' is the
+    # common filler everywhere
+    rows = [
+        (0, "zz zz zz cc cc cc", "a"),
+        (1, "zz zz zz cc cc cc", "a"),
+        (2, "cc cc cc cc cc cc", "b"),
+        (3, "cc cc cc cc cc cc", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = label_distinctive_terms(df, k=2, min_count=5).collect()
+    by = {(r["label"], r["term"]): r for r in out}
+    # zz: share in a = 6/12, global = 6/24 -> lift 2.0
+    assert by[("a", "zz")]["lift_ppm"] == 2_000_000
+    assert by[("a", "zz")]["n_in_label"] == 6
+    assert by[("a", "zz")]["rank"] == 1
+    # cc under b: share 12/12 vs global 18/24 -> lift 4/3
+    assert by[("b", "cc")]["lift_ppm"] == 1_333_333
+    # min_count prunes: no (b, zz) row at all
+    assert ("b", "zz") not in by
