@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # remains pinned inside the window by tests/test_registry_window.py.
 _PRIORITY: list[str] = [
     # ---- window slots 1-50: the driver's correctness gate hashes these.
-    # Round-9 rotation: the 9 round-9 additions are windowed immediately;
+    # Round-9 rotation: the 18 round-9 additions are windowed immediately;
     # the 8 STALEST families (last driver-green in r07, exempt during r8)
     # rotate back in; the rest is a set-cover over the operator-family
     # map (tests/test_registry_window.py). Families benched this round
@@ -55,6 +55,12 @@ _PRIORITY: list[str] = [
     "pit_tier_enrich",
     "rfm_segments",
     "label_distinctive_terms",
+    "freshness_audit",
+    "audience_overlap",
+    "revenue_retention",
+    "activity_streaks",
+    "json_key_profile",
+    "nzv_audit",
     # stale-family reps: last green r07, two rounds un-windowed
     "partition_prune",
     "pack_sequences",
@@ -69,23 +75,17 @@ _PRIORITY: list[str] = [
     "harmonisation_cascade",
     "correlated_count",
     "array_equality_group",
-    "rolling_window",
     "except_keys",
     "stream_scd2_upsert",
-    "json_agg_struct",
     "quantile_bin",
-    "funnel_time_to_convert",
     "bfs_distance",
-    "assoc_rules",
     "dup_cluster_histogram",
     "pareto_frontier",
     "ann_ivf_persisted",
     "dedup_recall",
     "bigram_lm_score",
     "key_skew_profile",
-    "entropy_profile",
     "event_transitions",
-    "chi_square_assoc",
     "bigram_pmi_topk",
     "kmeans_assign_bcast",
     "linreg_group",
@@ -96,9 +96,15 @@ _PRIORITY: list[str] = [
     "decile_migration",
     # ---- below the 50-row window: all driver-proven in r1-r8, still
     # oracle-checked every pytest run (tests/test_oracle_parity.py)
+    "json_agg_struct",
+    "entropy_profile",
     "benford_profile",
     "string_agg_ordered",
     "pivot_status",
+    "chi_square_assoc",
+    "assoc_rules",
+    "funnel_time_to_convert",
+    "rolling_window",
     "attribution_position",
     "grouped_gain_curve",
     "chisq_drift",

@@ -203,6 +203,12 @@ HEADLINE = [
     "pit_tier_enrich",
     "rfm_segments",
     "label_distinctive_terms",
+    "freshness_audit",
+    "audience_overlap",
+    "revenue_retention",
+    "activity_streaks",
+    "json_key_profile",
+    "nzv_audit",
     # round-9 (verdict ask 7): the remaining registry queries — mostly
     # sub-second micro-ops, folded in so every one of the 200 rows has
     # a round-over-round sf0.1 anchor in BENCH_FULL.json (the printed

@@ -1152,3 +1152,138 @@ def rfm_segments(
         .groupBy("group", "r_bin", "f_bin", "m_bin")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
     )
+
+
+def audience_overlap(
+    df: DataFrame,
+    entity_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Audience-overlap matrix: for every PAIR of groups (event types,
+    segments, channels), how many entities are active in BOTH — the
+    exact co-membership matrix behind "do purchasers also view" /
+    channel-cannibalization questions. Diagonal cells carry each
+    group's audience size, so Jaccard or lift is one arithmetic step
+    downstream.
+
+    Scale shape: ONE entity-keyed aggregation collapses the data to
+    one row per entity carrying its distinct-group SET (bounded by the
+    group vocabulary — the same bounded-collect_set contract as
+    split_leakage_audit); pair generation explodes combinations WITHIN
+    that bounded array (map-side, ≤ groups² per entity); the final
+    count is bounded by groups². No entity-level self-join — the naive
+    formulation shuffles the fact table against itself; this shuffles
+    it once.
+
+    Returns (group_a, group_b, n_entities) for a <= b, sorted groups.
+    """
+    sets = (
+        df.select(
+            F.col(entity_col).alias("__e"),
+            F.col(group_col).alias("__g"),
+        )
+        .filter(F.col("__e").isNotNull() & F.col("__g").isNotNull())
+        .groupBy("__e")
+        .agg(F.array_sort(F.collect_set("__g")).alias("__gs"))
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                # all (i <= j) combinations of the bounded sorted set
+                "flatten(transform(__gs, (a, i) ->"
+                " transform(slice(__gs, i + 1, size(__gs) - i),"
+                " b -> struct(a AS ga, b AS gb))))"
+            )
+        ).alias("__p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("__p.ga").alias("group_a"),
+            F.col("__p.gb").alias("group_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_entities"))
+    )
+
+
+def json_key_profile(
+    df: DataFrame,
+    json_col: str,
+) -> DataFrame:
+    """Schema profile of a semi-structured JSON column: which keys
+    occur, how often, and the spread of their (stringified) values —
+    the first thing a pipeline does with an uncontracted ``props``
+    blob before promoting fields to real columns (a key present in
+    0.1% of rows is a client bug, not a schema field; a key with one
+    distinct value is a constant to fold).
+
+    Scale shape: the JSON parses ONCE per row into a string map
+    (map-side, JVM from_json — no Python); keys explode bounded by the
+    per-row key count; ONE key-keyed aggregation — output is
+    key-vocabulary-sized. min/max are lexicographic on the string
+    rendering (portable; numeric profiling of a promoted key belongs
+    to the typed profilers).
+
+    Returns (key, n_rows, n_distinct_values, min_value, max_value).
+    """
+    kv = df.select(
+        F.explode(
+            F.from_json(F.col(json_col), "map<string,string>")
+        ).alias("key", "value")
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct("value").cast("bigint").alias(
+            "n_distinct_values"
+        ),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def nzv_audit(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Near-zero-variance feature audit: per column, the distinct-value
+    count and the modal value's share — the screening that drops
+    constant and quasi-constant features before encoding (a column
+    that is one value in 99.9% of rows carries no signal but costs a
+    one-hot dimension; the caret-style nearZeroVar check). Columns
+    must render portably as strings (integrals/strings — float
+    rendering is engine-specific, bucketize those first).
+
+    Scale shape: one stack() long-form projection (map-side), ONE
+    (col, value) count, then a column-keyed argmax over the
+    vocabulary-sized frame via the exact MIN(struct(−n, value)) idiom
+    — two stacked aggregations, output bounded by len(cols).
+
+    Returns (col_name, n_rows, n_distinct, mode_value, mode_share_ppm).
+    """
+    stack_args = ", ".join(
+        f"'{c}', CAST(`{c}` AS STRING)" for c in cols
+    )
+    long = df.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) as (col_name, val)")
+    )
+    counts = long.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    return (
+        counts.groupBy("col_name")
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.min(
+                F.struct((-F.col("__n")).alias("nn"), F.col("val"))
+            ).alias("__best"),
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            "n_distinct",
+            F.col("__best.val").alias("mode_value"),
+            F.expr(
+                "CAST((-__best.nn) * 1000000 DIV n_rows AS BIGINT)"
+            ).alias("mode_share_ppm"),
+        )
+    )

@@ -1331,3 +1331,183 @@ def pit_enrich(
         .filter(F.col("__is_chg") == 0)
         .select(*fcols, "attr_at_ts")
     )
+
+
+def freshness_audit(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    recent_secs: int = 86_400,
+    window_secs: int = 7 * 86_400,
+) -> DataFrame:
+    """Data-freshness audit per stream: when did each key last produce a
+    row, how far does it lag the corpus frontier, and how much of its
+    volume is recent — the first page of any ingestion dashboard and
+    the check that catches a silently-dead feed before a consumer
+    does (a stale feed still passes row-count DQ; it fails THIS).
+
+    Scale shape: ONE key-keyed aggregation with conditional sums (the
+    only data-sized shuffle); the corpus frontier is a one-row
+    aggregate broadcast back (never a global window over the data).
+    Recency classes are computed against the frontier, not
+    wall-clock — the audit is deterministic and replayable (same
+    input, same answer; a NOW()-based audit can't be oracle-checked
+    or backfilled).
+
+    Returns (key, n_rows, last_sec, lag_sec, n_recent, n_window) with
+    seconds on the portable ``unix_micros div 1e6`` floor; n_recent /
+    n_window count rows within recent_secs / window_secs of the
+    frontier.
+    """
+    es = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div 1000000")
+    per = df.select(F.col(key_col).alias("key"), es.alias("__sec"))
+    frontier = per.agg(F.max("__sec").cast("bigint").alias("__max_sec"))
+    return (
+        per.crossJoin(F.broadcast(frontier))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.max("__sec").cast("bigint").alias("last_sec"),
+            F.max("__max_sec").alias("__frontier"),
+            F.sum(
+                F.when(
+                    F.col("__sec") >= F.col("__max_sec") - recent_secs, 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_recent"),
+            F.sum(
+                F.when(
+                    F.col("__sec") >= F.col("__max_sec") - window_secs, 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_window"),
+        )
+        .select(
+            "key",
+            "n_rows",
+            "last_sec",
+            (F.col("__frontier") - F.col("last_sec"))
+            .cast("bigint")
+            .alias("lag_sec"),
+            "n_recent",
+            "n_window",
+        )
+    )
+
+
+def revenue_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_micro,
+) -> DataFrame:
+    """Cohort REVENUE retention (net revenue retention triangle): users
+    cohort by first-activity week; each (cohort, week-offset) cell
+    carries that cohort's revenue in that week and its ppm ratio vs
+    the cohort's week-0 revenue — the value-weighted twin of
+    cohort_retention (a cohort can retain 40% of users but 110% of
+    revenue; growth teams bet on exactly that difference).
+
+    Scale shape: one per-user MIN aggregation for the cohort (map-side
+    combined), a user-keyed join back, one (cohort, offset) sum —
+    identical shuffle profile to cohort_retention; the week-0 base
+    re-enters via a (cohorts)-bounded broadcast join. Weeks are
+    epoch-day div 7 (engine-neutral); revenue rides DECIMAL(38,0).
+
+    Returns (cohort_week, week_offset, revenue_micro, retention_ppm);
+    retention_ppm is NULL for a zero week-0 base (no scale to retain
+    against).
+    """
+    week = F.expr(
+        f"CAST(unix_micros(CAST({ts_col} AS TIMESTAMP))"
+        " div 604800000000 AS BIGINT)"
+    )
+    base = df.select(
+        F.col(user_col).alias("__u"),
+        week.alias("__w"),
+        value_micro.cast("decimal(38,0)").alias("__v"),
+    ).filter(F.col("__u").isNotNull())
+    first = base.groupBy("__u").agg(F.min("__w").alias("cohort_week"))
+    # the cohort table is ONE ROW PER USER — data-sized; Catalyst's
+    # post-agg estimate broadcasts it at test scale, which at 100 TB is
+    # an abortive build side (the _size_sides hazard) — pin shuffle-hash
+    cells = (
+        base.join(first.hint("shuffle_hash"), "__u")
+        .groupBy(
+            "cohort_week",
+            (F.col("__w") - F.col("cohort_week"))
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.sum("__v").cast("decimal(38,0)").alias("__rev"))
+    )
+    base0 = cells.filter(F.col("week_offset") == 0).select(
+        F.col("cohort_week").alias("__cw0"),
+        F.col("__rev").alias("__rev0"),
+    )
+    return (
+        cells.join(
+            F.broadcast(base0),
+            F.col("cohort_week") == F.col("__cw0"),
+            "left",
+        )
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.col("__rev").cast("bigint").alias("revenue_micro"),
+            F.expr(
+                "CAST(CASE WHEN __rev0 IS NULL OR __rev0 = 0 THEN NULL"
+                " ELSE (__rev * 1000000) DIV __rev0 END AS BIGINT)"
+            ).alias("retention_ppm"),
+        )
+    )
+
+
+def activity_streaks(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the canonical
+    gaps-and-islands pattern (engagement scoring, anomaly screening:
+    a 90-day "streak" from a batch backfill stands out instantly).
+    Islands via the classic day_idx − dense-sequence trick: distinct
+    active days ranked within user; day_idx − rank is constant within
+    a consecutive run, so runs group exactly with zero self-joins.
+
+    Scale shape: one (user, day) distinct (data-sized, map-side
+    partial), ONE user-keyed rank window, then two stacked bounded
+    aggregations ((user, island) → user) — everything after the
+    distinct shares the user partitioning. Days are epoch-day ints.
+
+    Returns (user, n_active_days, n_streaks, longest_streak,
+    current_streak) — current = the streak touching the user's last
+    active day.
+    """
+    day = F.expr(
+        f"CAST(unix_micros(CAST({ts_col} AS TIMESTAMP))"
+        " div 86400000000 AS BIGINT)"
+    )
+    days = (
+        df.select(F.col(user_col).alias("user"), day.alias("__d"))
+        .filter(F.col("user").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("user").orderBy("__d")
+    islands = days.select(
+        "user",
+        "__d",
+        (F.col("__d") - F.row_number().over(w)).alias("__island"),
+    )
+    per_island = islands.groupBy("user", "__island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__len"),
+        F.max("__d").alias("__end"),
+    )
+    return per_island.groupBy("user").agg(
+        F.sum("__len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("__len").alias("longest_streak"),
+        # the streak containing the user's LAST active day: argmax by
+        # island end via the exact MIN(struct(-end, len)) idiom
+        (-F.min(
+            F.struct((-F.col("__end")).alias("ne"), (-F.col("__len")).alias("nl"))
+        )["nl"]).cast("bigint").alias("current_streak"),
+    )

@@ -517,3 +517,209 @@ FROM (
 
 EXTENSION_H_CATALOG["label_distinctive_terms"] = (
     x_label_distinctive_terms, SQL_LABEL_DISTINCTIVE_TERMS)
+
+
+def x_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ingestion freshness vs the corpus frontier
+    (operators/temporal.py::freshness_audit)."""
+    from pdcm_etl_spark.operators.temporal import freshness_audit
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    return freshness_audit(ev, key_col="event_type", ts_col="ts")
+
+
+SQL_FRESHNESS_AUDIT = """
+WITH per AS (
+  SELECT event_type AS key,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec
+  FROM events
+), fr AS (SELECT MAX(sec) AS max_sec FROM per)
+SELECT key,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(sec) AS BIGINT) AS last_sec,
+       CAST(MAX(max_sec) - MAX(sec) AS BIGINT) AS lag_sec,
+       CAST(SUM(CASE WHEN sec >= max_sec - 86400 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_recent,
+       CAST(SUM(CASE WHEN sec >= max_sec - 604800 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_window
+FROM per, fr GROUP BY 1
+"""
+
+EXTENSION_H_CATALOG["freshness_audit"] = (
+    x_freshness_audit, SQL_FRESHNESS_AUDIT)
+
+
+def x_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type audience co-membership matrix over users
+    (operators/analytics.py::audience_overlap)."""
+    from pdcm_etl_spark.operators.analytics import audience_overlap
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    return audience_overlap(ev, entity_col="user_id", group_col="event_type")
+
+
+SQL_AUDIENCE_OVERLAP = """
+WITH m AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+)
+SELECT a.event_type AS group_a, b.event_type AS group_b,
+       CAST(COUNT(*) AS BIGINT) AS n_entities
+FROM m a JOIN m b
+  ON a.user_id = b.user_id AND a.event_type <= b.event_type
+GROUP BY 1, 2
+"""
+
+EXTENSION_H_CATALOG["audience_overlap"] = (
+    x_audience_overlap, SQL_AUDIENCE_OVERLAP)
+
+
+def x_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly net-revenue-retention triangle over purchase events
+    (operators/temporal.py::revenue_retention)."""
+    from pdcm_etl_spark.operators.temporal import revenue_retention
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    return revenue_retention(
+        ev,
+        user_col="user_id",
+        ts_col="ts",
+        value_micro=F.expr(
+            "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))"
+        ),
+    )
+
+
+SQL_REVENUE_RETENTION = """
+WITH base AS (
+  SELECT user_id AS u,
+         CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS w,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS v
+  FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+), first AS (
+  SELECT u, MIN(w) AS cohort_week FROM base GROUP BY 1
+), cells AS (
+  SELECT cohort_week, CAST(w - cohort_week AS INTEGER) AS week_offset,
+         SUM(v) AS rev
+  FROM base JOIN first USING (u)
+  GROUP BY 1, 2
+), base0 AS (
+  SELECT cohort_week AS cw0, rev AS rev0 FROM cells WHERE week_offset = 0
+)
+SELECT cohort_week, week_offset,
+       CAST(rev AS BIGINT) AS revenue_micro,
+       CAST(CASE WHEN rev0 IS NULL OR rev0 = 0 THEN NULL
+            ELSE (rev * 1000000) // rev0 END AS BIGINT) AS retention_ppm
+FROM cells LEFT JOIN base0 ON cohort_week = cw0
+"""
+
+EXTENSION_H_CATALOG["revenue_retention"] = (
+    x_revenue_retention, SQL_REVENUE_RETENTION)
+
+
+def x_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest / current consecutive-day streak per user — the
+    gaps-and-islands pattern (operators/temporal.py::activity_streaks)."""
+    from pdcm_etl_spark.operators.temporal import activity_streaks
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    return activity_streaks(ev, user_col="user_id", ts_col="ts")
+
+
+SQL_ACTIVITY_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id AS "user",
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+  FROM events WHERE user_id IS NOT NULL
+), islands AS (
+  SELECT "user", d,
+         d - ROW_NUMBER() OVER (PARTITION BY "user" ORDER BY d)
+           AS island
+  FROM days
+), per_island AS (
+  SELECT "user", island, CAST(COUNT(*) AS BIGINT) AS len,
+         MAX(d) AS island_end
+  FROM islands GROUP BY 1, 2
+)
+SELECT "user",
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       MAX(len) AS longest_streak,
+       CAST(-((MIN({'ne': -island_end, 'nl': -len})).nl) AS BIGINT)
+         AS current_streak
+FROM per_island GROUP BY 1
+"""
+
+EXTENSION_H_CATALOG["activity_streaks"] = (
+    x_activity_streaks, SQL_ACTIVITY_STREAKS)
+
+
+def x_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key/value spread profile of the events props JSON blob
+    (operators/analytics.py::json_key_profile)."""
+    from pdcm_etl_spark.operators.analytics import json_key_profile
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    return json_key_profile(load_events(spark, sf_dir), json_col="props")
+
+
+SQL_JSON_KEY_PROFILE = """
+WITH kv AS (
+  SELECT k AS key, json_extract_string(props, '$.' || k) AS value
+  FROM events, unnest(json_keys(props)) AS u(k)
+)
+SELECT key,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct_values,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM kv GROUP BY 1
+"""
+
+EXTENSION_H_CATALOG["json_key_profile"] = (
+    x_json_key_profile, SQL_JSON_KEY_PROFILE)
+
+
+def x_nzv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-zero-variance screen over lineitem's portable columns
+    (operators/analytics.py::nzv_audit)."""
+    from pdcm_etl_spark.operators.analytics import nzv_audit
+
+    return nzv_audit(
+        _t(spark, sf_dir, "lineitem"),
+        cols=["l_returnflag", "l_linestatus", "l_linenumber",
+              "l_suppkey"],
+    )
+
+
+SQL_NZV_AUDIT = """
+WITH long AS (
+  SELECT 'l_returnflag' AS col_name, CAST(l_returnflag AS VARCHAR) AS val
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+), counts AS (
+  SELECT col_name, val, CAST(COUNT(*) AS BIGINT) AS n
+  FROM long GROUP BY 1, 2
+)
+SELECT col_name,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       (MIN({'nn': -n, 'val': val})).val AS mode_value,
+       CAST((-((MIN({'nn': -n, 'val': val})).nn)) * 1000000 // SUM(n)
+            AS BIGINT) AS mode_share_ppm
+FROM counts GROUP BY 1
+"""
+
+EXTENSION_H_CATALOG["nzv_audit"] = (x_nzv_audit, SQL_NZV_AUDIT)

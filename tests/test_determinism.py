@@ -48,6 +48,12 @@ CURRENT_ROUND_EXTRAS: list[str] = [
     "pit_tier_enrich",
     "rfm_segments",
     "label_distinctive_terms",
+    "freshness_audit",
+    "audience_overlap",
+    "revenue_retention",
+    "activity_streaks",
+    "json_key_profile",
+    "nzv_audit",
 ]
 
 DET_SF_DIR = os.environ.get("SPARK_GRAFT_DET_SF_DIR", "/root/testdata/sf0.1")

@@ -2720,3 +2720,118 @@ def test_label_distinctive_terms_known_exact_values(spark):
     assert by[("b", "cc")]["lift_ppm"] == 1_333_333
     # min_count prunes: no (b, zz) row at all
     assert ("b", "zz") not in by
+
+
+def test_freshness_audit_known_exact_values(spark):
+    from pdcm_etl_spark.operators.temporal import freshness_audit
+
+    rows = [
+        ("a", "2024-01-10 00:00:00"),  # frontier
+        ("a", "2024-01-09 12:00:00"),  # within 1d
+        ("a", "2024-01-01 00:00:00"),  # outside 7d
+        ("b", "2024-01-05 00:00:00"),  # 5d stale, within 7d window
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {r["key"]: r for r in freshness_audit(df, "k", "ts").collect()}
+    a, b = out["a"], out["b"]
+    assert (a["n_rows"], a["lag_sec"]) == (3, 0)
+    assert (a["n_recent"], a["n_window"]) == (2, 2)
+    assert b["lag_sec"] == 5 * 86_400
+    assert (b["n_recent"], b["n_window"]) == (0, 1)
+
+
+def test_audience_overlap_known_exact_values(spark):
+    from pdcm_etl_spark.operators.analytics import audience_overlap
+
+    rows = [
+        (1, "view"), (1, "click"), (1, "view"),   # dup collapses
+        (2, "view"),
+        (3, "click"), (3, "purchase"),
+        (None, "view"), (4, None),                 # nulls dropped
+    ]
+    df = spark.createDataFrame(rows, "u long, g string")
+    out = {(r["group_a"], r["group_b"]): r["n_entities"]
+           for r in audience_overlap(df, "u", "g").collect()}
+    assert out[("view", "view")] == 2          # diagonal = audience size
+    assert out[("click", "click")] == 2
+    assert out[("click", "view")] == 1         # user 1 only
+    assert out[("click", "purchase")] == 1     # user 3
+    assert ("purchase", "view") not in out     # no co-membership
+    # symmetric pairs emitted once, sorted a <= b
+    assert all(a <= b for a, b in out)
+
+
+def test_revenue_retention_known_exact_values(spark):
+    from pdcm_etl_spark.operators.temporal import revenue_retention
+
+    # one cohort: week0 revenue 100, week1 revenue 110 -> NDR 110%
+    rows = [
+        (1, "2024-01-04 00:00:00", 60.0),
+        (2, "2024-01-05 00:00:00", 40.0),
+        (1, "2024-01-11 00:00:00", 110.0),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts string, v double").select(
+        "u", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = {r["week_offset"]: r for r in revenue_retention(
+        df, "u", "ts",
+        F.expr("CAST(CAST(v AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))"),
+    ).collect()}
+    assert out[0]["revenue_micro"] == 100_000_000
+    assert out[0]["retention_ppm"] == 1_000_000
+    assert out[1]["revenue_micro"] == 110_000_000
+    assert out[1]["retention_ppm"] == 1_100_000
+
+
+def test_activity_streaks_known_exact_values(spark):
+    from pdcm_etl_spark.operators.temporal import activity_streaks
+
+    # user 1: days 1,2,3 then 7,8 -> longest 3, current 2 (ends last)
+    # user 2: one day -> 1/1/1
+    rows = (
+        [(1, f"2024-01-0{d} 09:00:00") for d in (1, 2, 3, 7, 8)]
+        + [(1, "2024-01-02 18:00:00")]  # same-day repeat collapses
+        + [(2, "2024-01-05 00:00:00")]
+    )
+    df = spark.createDataFrame(rows, "u long, ts string").select(
+        "u", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {r["user"]: r for r in activity_streaks(df, "u", "ts").collect()}
+    u1 = out[1]
+    assert (u1["n_active_days"], u1["n_streaks"]) == (5, 2)
+    assert (u1["longest_streak"], u1["current_streak"]) == (3, 2)
+    u2 = out[2]
+    assert (u2["longest_streak"], u2["current_streak"]) == (1, 1)
+
+
+def test_json_key_profile_known_exact_values(spark):
+    from pdcm_etl_spark.operators.analytics import json_key_profile
+
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": "x"}',), ('{"a": 2}',), ('{"b": "x"}',),
+         (None,)],
+        "props string",
+    )
+    out = {r["key"]: r for r in json_key_profile(df, "props").collect()}
+    a, b = out["a"], out["b"]
+    assert (a["n_rows"], a["n_distinct_values"]) == (2, 2)
+    assert (a["min_value"], a["max_value"]) == ("1", "2")
+    assert (b["n_rows"], b["n_distinct_values"]) == (2, 1)
+    assert b["min_value"] == "x"
+
+
+def test_nzv_audit_known_exact_values(spark):
+    from pdcm_etl_spark.operators.analytics import nzv_audit
+
+    df = spark.createDataFrame(
+        [("c", 1)] * 9 + [("d", 2)],
+        "flag string, num int",
+    )
+    out = {r["col_name"]: r for r in nzv_audit(df, ["flag", "num"]).collect()}
+    f = out["flag"]
+    assert (f["n_rows"], f["n_distinct"]) == (10, 2)
+    assert (f["mode_value"], f["mode_share_ppm"]) == ("c", 900_000)
+    n = out["num"]
+    assert (n["mode_value"], n["mode_share_ppm"]) == ("1", 900_000)

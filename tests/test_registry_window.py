@@ -21,6 +21,12 @@ ROTATED_IN = [
     "pit_tier_enrich",
     "rfm_segments",
     "label_distinctive_terms",
+    "freshness_audit",
+    "audience_overlap",
+    "revenue_retention",
+    "activity_streaks",
+    "json_key_profile",
+    "nzv_audit",
 ]
 
 # The window must also re-check the families that have been OUT of it
@@ -67,6 +73,9 @@ WINDOW_EXEMPT_FAMILIES = {
     "benford": "CORRECTNESS_r08.json",            # benford_profile
     "listagg": "CORRECTNESS_r08.json",            # string_agg_ordered
     "pivot": "CORRECTNESS_r08.json",              # pivot_status
+    "funnel-latency": "CORRECTNESS_r08.json",     # funnel_time_to_convert
+    "window": "CORRECTNESS_r08.json",             # rolling_window
+    "entropy": "CORRECTNESS_r08.json",            # entropy_profile
 }
 
 
@@ -94,18 +103,19 @@ def test_first_50_covers_every_family():
         "set-op": ["except_keys"],
         "cdc": ["scd2_merge", "stream_scd2_upsert", "ivm_merge"],
         "collect": ["collect_set_markers", "global_agg"],
-        "json": ["json_agg_struct"],
+        "json": ["json_agg_struct", "json_key_profile"],
         "sketch": ["approx_distinct", "heavy_hitters", "approx_quantile",
                    "grouped_quantiles", "trimmed_mean_group",
                    "quantile_bin", "weighted_median_group"],
         "pivot": ["pivot_status"],
         "timeseries": ["events_daily", "cohort_retention",
-                       "timeseries_gapfill", "funnel_time_to_convert"],
+                       "timeseries_gapfill", "funnel_time_to_convert",
+                       "revenue_retention"],
         "anomaly": ["anomaly_iqr", "anomaly_mad", "seasonal_anomaly"],
         "recursion": ["recursive_closure", "pagerank", "bfs_distance"],
         "graph-analytics": ["triangle_count", "pagerank", "kcore",
                             "bfs_distance", "degree_histogram"],
-        "assoc": ["itemset_pairs", "assoc_rules"],
+        "assoc": ["itemset_pairs", "assoc_rules", "audience_overlap"],
         "dedup": ["dedup_edit_distance", "dedup_minhash_lsh",
                   "dedup_minhash_incremental", "dedup_keeper_quality",
                   "dedup_semantic", "dedup_groups", "dedup_groups_star",
@@ -125,15 +135,16 @@ def test_first_50_covers_every_family():
         "temporal": ["asof_join", "range_join", "funnel_stages",
                      "sessionize_batch", "interval_overlap_join",
                      "rolling_window", "twap", "interarrival_profile",
-                     "pit_tier_enrich"],
+                     "pit_tier_enrich", "activity_streaks"],
         "skew-profile": ["key_skew_profile"],
         "join-planning": ["join_cardinality_estimate",
                           "key_skew_profile"],
         "table-profile": ["table_stats", "profile_notnull",
                           "entropy_profile", "benford_profile",
-                          "grouped_moments"],
+                          "grouped_moments", "nzv_audit"],
         "markov": ["event_transitions", "event_path_topk"],
-        "crosstab": ["crosstab_lift", "chi_square_assoc"],
+        "crosstab": ["crosstab_lift", "chi_square_assoc",
+                     "audience_overlap"],
         "sampling": ["sample_stratified", "shuffle_shards",
                      "sample_weighted", "sample_weighted_grouped",
                      "sample_domain_mix", "split_leakage_audit",
@@ -212,6 +223,12 @@ def test_first_50_covers_every_family():
         "pit-enrich": ["pit_tier_enrich"],
         "rfm": ["rfm_segments"],
         "distinctive-terms": ["label_distinctive_terms"],
+        "freshness": ["freshness_audit"],
+        "audience-overlap": ["audience_overlap"],
+        "revenue-retention": ["revenue_retention"],
+        "gaps-islands": ["activity_streaks"],
+        "json-profile": ["json_key_profile"],
+        "nzv": ["nzv_audit"],
     }
     missing = {
         fam: reps
@@ -230,7 +247,7 @@ def test_first_50_covers_every_family():
     # families over a fixed 50-slot window); the binding guarantees are
     # the 2-round freshness proof and the forced rotate-back, not the
     # constant
-    assert len(WINDOW_EXEMPT_FAMILIES) <= 18
+    assert len(WINDOW_EXEMPT_FAMILIES) <= 20
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     allowed_files = {"CORRECTNESS_r07.json", "CORRECTNESS_r08.json"}
     for fam, fname in WINDOW_EXEMPT_FAMILIES.items():
