@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # remains pinned inside the window by tests/test_registry_window.py.
 _PRIORITY: list[str] = [
     # ---- window slots 1-50: the driver's correctness gate hashes these.
-    # Round-9 rotation: the 18 round-9 additions are windowed immediately;
+    # Round-9 rotation: the 20 round-9 additions are windowed immediately;
     # the 8 STALEST families (last driver-green in r07, exempt during r8)
     # rotate back in; the rest is a set-cover over the operator-family
     # map (tests/test_registry_window.py). Families benched this round
@@ -61,6 +61,8 @@ _PRIORITY: list[str] = [
     "activity_streaks",
     "json_key_profile",
     "nzv_audit",
+    "out_of_orderness_profile",
+    "snapshot_field_churn",
     # stale-family reps: last green r07, two rounds un-windowed
     "partition_prune",
     "pack_sequences",
@@ -85,9 +87,7 @@ _PRIORITY: list[str] = [
     "dedup_recall",
     "bigram_lm_score",
     "key_skew_profile",
-    "event_transitions",
     "bigram_pmi_topk",
-    "kmeans_assign_bcast",
     "linreg_group",
     "fk_orphan_audit",
     "quantile_normalize",
@@ -98,6 +98,8 @@ _PRIORITY: list[str] = [
     # oracle-checked every pytest run (tests/test_oracle_parity.py)
     "json_agg_struct",
     "entropy_profile",
+    "event_transitions",
+    "kmeans_assign_bcast",
     "benford_profile",
     "string_agg_ordered",
     "pivot_status",

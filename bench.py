@@ -209,6 +209,8 @@ HEADLINE = [
     "activity_streaks",
     "json_key_profile",
     "nzv_audit",
+    "out_of_orderness_profile",
+    "snapshot_field_churn",
     # round-9 (verdict ask 7): the remaining registry queries — mostly
     # sub-second micro-ops, folded in so every one of the 200 rows has
     # a round-over-round sf0.1 anchor in BENCH_FULL.json (the printed

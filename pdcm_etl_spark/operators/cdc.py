@@ -233,3 +233,69 @@ def snapshot_diff(
         .filter(F.col("status").isNotNull())
         .select(*keys, "status", "old_hash", "new_hash")
     )
+
+
+def snapshot_field_churn(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    fields: list[str],
+) -> DataFrame:
+    """Column-level churn between two snapshots: among keys present in
+    BOTH, how many rows changed EACH field — the per-column refinement
+    of snapshot_diff's row-level added/removed/changed verdict (a CDC
+    feed where 90% of "changes" are one volatile column wants that
+    column split out of the SCD2 tracked set; this is the audit that
+    finds it).
+
+    NULL-safe comparison (``<=>``): NULL→value and value→NULL both
+    count as changes, NULL→NULL does not — the SQL-equality trap that
+    undercounts churn on nullable columns.
+
+    Scale shape: ONE key-equi inner join of the two snapshots (both
+    sides data-sized — shuffle join, AQE-managed), then a single
+    unkeyed conditional aggregate producing one bounded row; the long
+    (col_name, n_changed) form comes from stack() over that 1-row
+    frame. Output is len(fields) rows.
+
+    Returns (col_name, n_persisting, n_changed, churn_ppm).
+    """
+    o = old.select(
+        F.col(key_col).alias("__k"),
+        *[F.col(f).alias(f"__o_{f}") for f in fields],
+    )
+    n = new.select(
+        F.col(key_col).alias("__k"),
+        *[F.col(f).alias(f"__n_{f}") for f in fields],
+    )
+    # both snapshots are data-sized: pin shuffle-hash so Catalyst's
+    # size estimate can't broadcast one at test scale (the _size_sides
+    # hazard — an abortive build side at 100 TB)
+    joined = o.join(n.hint("shuffle_hash"), "__k")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n_rows")]
+    for f in fields:
+        aggs.append(
+            F.sum(
+                F.when(
+                    ~F.col(f"__o_{f}").eqNullSafe(F.col(f"__n_{f}")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"__chg_{f}")
+        )
+    one = joined.agg(*aggs)
+    stack_args = ", ".join(f"'{f}', __chg_{f}" for f in fields)
+    return one.select(
+        F.expr(
+            f"stack({len(fields)}, {stack_args}) as (col_name, n_changed)"
+        ),
+        F.col("__n_rows").alias("n_persisting"),
+    ).select(
+        "col_name",
+        "n_persisting",
+        "n_changed",
+        F.expr(
+            "CAST(CASE WHEN n_persisting = 0 THEN 0 ELSE"
+            " n_changed * 1000000 DIV n_persisting END AS BIGINT)"
+        ).alias("churn_ppm"),
+    )

@@ -1511,3 +1511,57 @@ def activity_streaks(
             F.struct((-F.col("__end")).alias("ne"), (-F.col("__len")).alias("nl"))
         )["nl"]).cast("bigint").alias("current_streak"),
     )
+
+
+def out_of_orderness_profile(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    arrival_col: str,
+    late_secs: tuple[int, int] = (60, 600),
+) -> DataFrame:
+    """Out-of-orderness profile per stream: how far behind the
+    high-watermark do events actually arrive — THE number that sizes a
+    streaming watermark (``withWatermark`` bounds state by declared
+    lateness; declare less than this profile says and rows drop
+    silently, declare more and state grows for nothing). Disorder for
+    an event = (running max event-time over arrival order) − its own
+    event time; the profile reports how many events exceed each
+    candidate lateness bound and the worst disorder seen.
+
+    ``arrival_col`` is the arrival/ingestion order (an ingestion id or
+    offset — here the event id); event time rides the portable
+    ``unix_micros div 1e6`` floor.
+
+    Scale shape: ONE key-partitioned running-max window over arrival
+    order, then a key aggregation that REUSES the same Exchange —
+    single shuffle, O(1) state per row. Output is one row per stream.
+
+    Returns (key, n_events, max_disorder_sec, n_late_a, n_late_b) with
+    a/b = ``late_secs``.
+    """
+    es = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div 1000000")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(arrival_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    a, b = late_secs
+    staged = df.select(
+        F.col(key_col),
+        F.col(arrival_col),
+        es.alias("__sec"),
+    ).withColumn(
+        "__lag",
+        F.max("__sec").over(w) - F.col("__sec"),
+    )
+    return staged.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("__lag").cast("bigint").alias("max_disorder_sec"),
+        F.sum(F.when(F.col("__lag") > a, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late_a"),
+        F.sum(F.when(F.col("__lag") > b, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late_b"),
+    )

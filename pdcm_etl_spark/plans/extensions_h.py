@@ -723,3 +723,108 @@ FROM counts GROUP BY 1
 """
 
 EXTENSION_H_CATALOG["nzv_audit"] = (x_nzv_audit, SQL_NZV_AUDIT)
+
+
+def x_out_of_orderness_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark-sizing disorder profile per event type, arrival order =
+    event id (operators/temporal.py::out_of_orderness_profile)."""
+    from pdcm_etl_spark.operators.temporal import out_of_orderness_profile
+    from pdcm_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    return out_of_orderness_profile(
+        ev, key_col="event_type", ts_col="ts", arrival_col="event_id"
+    )
+
+
+SQL_OUT_OF_ORDERNESS_PROFILE = """
+WITH staged AS (
+  SELECT event_type AS key,
+         MAX(CAST(epoch_us(ts) // 1000000 AS BIGINT)) OVER (
+           PARTITION BY event_type ORDER BY event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - CAST(epoch_us(ts) // 1000000 AS BIGINT) AS lag_sec
+  FROM events
+)
+SELECT key,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(lag_sec) AS BIGINT) AS max_disorder_sec,
+       CAST(SUM(CASE WHEN lag_sec > 60 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late_a,
+       CAST(SUM(CASE WHEN lag_sec > 600 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late_b
+FROM staged GROUP BY 1
+"""
+
+EXTENSION_H_CATALOG["out_of_orderness_profile"] = (
+    x_out_of_orderness_profile, SQL_OUT_OF_ORDERNESS_PROFILE)
+
+
+def x_snapshot_field_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level churn between the snapshot_diff pair of order
+    snapshots (operators/cdc.py::snapshot_field_churn) — which columns
+    actually changed among persisting keys."""
+    from pdcm_etl_spark.operators.cdc import snapshot_field_churn
+
+    base = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "date_format(o_orderdate, 'yyyy-MM-dd') AS o_date",
+    )
+    old = base.filter("o_orderkey % 7 != 0")
+    new = base.filter("o_orderkey % 11 != 0").withColumn(
+        "o_orderpriority",
+        F.expr(
+            "CASE WHEN o_orderkey % 5 = 0 "
+            "THEN concat(o_orderpriority, '-R2') ELSE o_orderpriority END"
+        ),
+    )
+    return snapshot_field_churn(
+        old, new, "o_orderkey",
+        fields=["o_orderstatus", "o_orderpriority", "o_date"],
+    )
+
+
+SQL_SNAPSHOT_FIELD_CHURN = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_date
+  FROM orders
+), old AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN o_orderpriority || '-R2' ELSE o_orderpriority END
+           AS o_orderpriority,
+         o_date
+  FROM base WHERE o_orderkey % 11 <> 0
+), one AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN o.o_orderstatus IS DISTINCT FROM
+                            n.o_orderstatus THEN 1 ELSE 0 END) AS BIGINT)
+           AS chg_status,
+         CAST(SUM(CASE WHEN o.o_orderpriority IS DISTINCT FROM
+                            n.o_orderpriority THEN 1 ELSE 0 END) AS BIGINT)
+           AS chg_prio,
+         CAST(SUM(CASE WHEN o.o_date IS DISTINCT FROM n.o_date
+                       THEN 1 ELSE 0 END) AS BIGINT) AS chg_date
+  FROM old o JOIN new n USING (o_orderkey)
+), long AS (
+  SELECT 'o_orderstatus' AS col_name, chg_status AS n_changed, n_rows
+  FROM one
+  UNION ALL
+  SELECT 'o_orderpriority', chg_prio, n_rows FROM one
+  UNION ALL
+  SELECT 'o_date', chg_date, n_rows FROM one
+)
+SELECT col_name, n_rows AS n_persisting, n_changed,
+       CAST(CASE WHEN n_rows = 0 THEN 0
+            ELSE n_changed * 1000000 // n_rows END AS BIGINT) AS churn_ppm
+FROM long
+"""
+
+EXTENSION_H_CATALOG["snapshot_field_churn"] = (
+    x_snapshot_field_churn, SQL_SNAPSHOT_FIELD_CHURN)

@@ -54,6 +54,8 @@ CURRENT_ROUND_EXTRAS: list[str] = [
     "activity_streaks",
     "json_key_profile",
     "nzv_audit",
+    "out_of_orderness_profile",
+    "snapshot_field_churn",
 ]
 
 DET_SF_DIR = os.environ.get("SPARK_GRAFT_DET_SF_DIR", "/root/testdata/sf0.1")

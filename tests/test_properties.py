@@ -2835,3 +2835,50 @@ def test_nzv_audit_known_exact_values(spark):
     assert (f["mode_value"], f["mode_share_ppm"]) == ("c", 900_000)
     n = out["num"]
     assert (n["mode_value"], n["mode_share_ppm"]) == ("1", 900_000)
+
+
+def test_out_of_orderness_profile_known_exact_values(spark):
+    from pdcm_etl_spark.operators.temporal import out_of_orderness_profile
+
+    # arrival order (id): event times 100, 400, 250, 390, 1200, 200
+    # running max:        100, 400, 400, 400, 1200, 1200
+    # lag:                  0,   0, 150,  10,    0, 1000
+    rows = [
+        ("k", 1, 100), ("k", 2, 400), ("k", 3, 250),
+        ("k", 4, 390), ("k", 5, 1200), ("k", 6, 200),
+    ]
+    df = spark.createDataFrame(rows, "t string, id long, sec long").select(
+        "t", "id",
+        F.expr("CAST(timestamp_seconds(sec) AS TIMESTAMP)").alias("ts"),
+    )
+    out = out_of_orderness_profile(
+        df, key_col="t", ts_col="ts", arrival_col="id",
+        late_secs=(60, 600),
+    ).collect()
+    r = out[0]
+    assert r["n_events"] == 6
+    assert r["max_disorder_sec"] == 1000
+    assert r["n_late_a"] == 2   # lags 150 and 1000 exceed 60
+    assert r["n_late_b"] == 1   # only 1000 exceeds 600
+
+
+def test_snapshot_field_churn_known_exact_values(spark):
+    from pdcm_etl_spark.operators.cdc import snapshot_field_churn
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x"), (3, "c", "y"), (9, "gone", "z")],
+        "k long, f1 string, f2 string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "now"),   # f2 NULL -> value: counts as change
+         (2, "B", "x"),     # f1 changed
+         (3, "c", None),    # f2 value -> NULL: counts as change
+         (4, "new", "w")],  # added key: not persisting, ignored
+        "k long, f1 string, f2 string",
+    )
+    out = {r["col_name"]: r for r in snapshot_field_churn(
+        old, new, "k", ["f1", "f2"]).collect()}
+    assert out["f1"]["n_persisting"] == 3
+    assert out["f1"]["n_changed"] == 1
+    assert out["f2"]["n_changed"] == 2  # NULL-safe both directions
+    assert out["f2"]["churn_ppm"] == 2 * 1_000_000 // 3
