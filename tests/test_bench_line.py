@@ -9,7 +9,7 @@ import json
 def test_bench_line_fits_driver_tail_budget():
     import bench
 
-    timings = {f"query_with_a_long_name_{i:03d}": 123.456 for i in range(200)}
+    timings = {f"query_with_a_long_name_{i:03d}": 123.456 for i in range(240)}
     line = bench.format_bench_line(
         timings,
         0.1,
@@ -23,8 +23,8 @@ def test_bench_line_fits_driver_tail_budget():
     )
     assert len(line) < 1900
     parsed = json.loads(line)
-    assert parsed["queries_timed"] == 200
-    assert parsed["value"] == round(123.456 * 200, 3)
+    assert parsed["queries_timed"] == 240
+    assert parsed["value"] == round(123.456 * 240, 3)
     # slowest-first truncation keeps SOME per-query detail
     assert parsed["queries"]
     assert parsed["flagship_cold_sec"] == 63.123
