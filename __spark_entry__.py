@@ -35,65 +35,65 @@ def entry(spark: SparkSession) -> DataFrame:
 # remains pinned inside the window by tests/test_registry_window.py.
 _PRIORITY: list[str] = [
     # ---- window slots 1-50: the driver's correctness gate hashes these.
-    # Round-9 rotation: the 20 round-9 additions are windowed immediately;
-    # the 8 STALEST families (last driver-green in r07, exempt during r8)
-    # rotate back in; the rest is a set-cover over the operator-family
-    # map (tests/test_registry_window.py). Families benched this round
-    # all have a driver-hash-green rep in CORRECTNESS_r08.json — the
-    # window test pins the ≤2-round freshness mechanically.
+    # Round-10 rotation: the 4 round-10 additions are windowed
+    # immediately; ALL 22 families benched during round 9 (last green
+    # r08) rotate back in — the freshness-budget forced-rotate-back;
+    # the remaining 23 slots are a set-cover over the operator-family
+    # map (tests/test_registry_window.py). Every family benched this
+    # round has a driver-hash-green rep in CORRECTNESS_r09.json.
     "etl_search_index",
-    # round-9 additions (never driver-checked before this round)
-    "label_noise_audit",
-    "dup_rate_by_source",
-    "token_frequency_spectrum",
-    "char_class_profile",
-    "rare_category_collapse",
-    "interarrival_profile",
-    "stratified_kfold_assign",
-    "degree_histogram",
-    "embedding_norm_profile",
-    "pit_tier_enrich",
-    "rfm_segments",
-    "label_distinctive_terms",
-    "freshness_audit",
+    # round-10 additions (never driver-checked before this round)
+    "dedup_substring",
+    "dedup_substring_stats",
+    "dedup_recall_sampled",
+    "session_gap_sensitivity",
+    # forced rotate-back: all 22 families benched during round 9
+    "rrf_fusion",
+    "ngram_novelty",
+    "weighted_median_group",
+    "churn_summary",
+    "split_leakage_audit",
+    "mode_group",
+    "vocab_accumulation",
+    "lang_confusion",
+    "balanced_downsample",
+    "concentration_topn",
+    "seasonal_anomaly",
+    "attribution_position",
+    "chisq_drift",
+    "link_predict_cn",
+    "benford_profile",
+    "string_agg_ordered",
+    "pivot_status",
+    "funnel_time_to_convert",
+    "rolling_window",
+    "entropy_profile",
+    "event_transitions",
+    "kmeans_assign_bcast",
+    # family set-cover representatives (all driver-proven r1-r9)
     "audience_overlap",
-    "revenue_retention",
-    "activity_streaks",
-    "json_key_profile",
-    "nzv_audit",
-    "out_of_orderness_profile",
-    "snapshot_field_churn",
-    # stale-family reps: last green r07, two rounds un-windowed
-    "partition_prune",
-    "pack_sequences",
-    "corpus_curation",
-    "quality_percentile",
-    "stump_train",
-    "multimodal_decode",
-    "trimmed_mean_group",
-    "bpe_train",
-    # family set-cover representatives (all driver-proven r1-r8)
-    "global_agg",
-    "harmonisation_cascade",
-    "correlated_count",
-    "array_equality_group",
-    "except_keys",
+    "winsorize_group",
     "stream_scd2_upsert",
-    "quantile_bin",
-    "bfs_distance",
-    "dup_cluster_histogram",
-    "pareto_frontier",
-    "ann_ivf_persisted",
-    "dedup_recall",
-    "bigram_lm_score",
-    "key_skew_profile",
-    "bigram_pmi_topk",
+    "pagerank",
     "linreg_group",
-    "fk_orphan_audit",
-    "quantile_normalize",
+    "key_skew_profile",
+    "json_key_profile",
+    "harmonisation_cascade",
     "golden_record_merge",
-    "etl_search_index_incremental",
+    "global_agg",
+    "fk_orphan_audit",
+    "dup_cluster_histogram",
+    "dedup_recall",
     "decile_migration",
+    "ann_ivf_persisted",
+    "zorder_layout",
+    "unigram_lm_score",
+    "trimmed_mean_group",
+    "token_frequency_spectrum",
+    "stump_train",
+    "stratified_kfold_assign",
+    "snapshot_field_churn",
+    "rfm_segments",
     # ---- below the 50-row window: all driver-proven in r1-r8, still
     # oracle-checked every pytest run (tests/test_oracle_parity.py)
     "json_agg_struct",
@@ -267,6 +267,12 @@ def _optional_catalogs() -> list[dict]:
         from pdcm_etl_spark.plans.extensions_h import EXTENSION_H_CATALOG
 
         cats.append(EXTENSION_H_CATALOG)
+    except ImportError:
+        pass
+    try:
+        from pdcm_etl_spark.plans.extensions_i import EXTENSION_I_CATALOG
+
+        cats.append(EXTENSION_I_CATALOG)
     except ImportError:
         pass
     return cats

@@ -212,9 +212,10 @@ HEADLINE = [
     "out_of_orderness_profile",
     "snapshot_field_churn",
     # round-9 (verdict ask 7): the remaining registry queries — mostly
-    # sub-second micro-ops, folded in so every one of the 200 rows has
-    # a round-over-round sf0.1 anchor in BENCH_FULL.json (the printed
-    # line still truncates slowest-first to the driver's tail budget)
+    # sub-second micro-ops, folded in so every registry row (220 as of
+    # r9; the list below is additive each round) has a round-over-round
+    # sf0.1 anchor in BENCH_FULL.json (the printed line still truncates
+    # slowest-first to the driver's tail budget)
     "ann_ivf_topk",
     "ann_lsh_topk",
     "ann_recall",

@@ -1158,6 +1158,7 @@ def audience_overlap(
     df: DataFrame,
     entity_col: str,
     group_col: str,
+    max_groups: int = 1024,
 ) -> DataFrame:
     """Audience-overlap matrix: for every PAIR of groups (event types,
     segments, channels), how many entities are active in BOTH — the
@@ -1175,6 +1176,14 @@ def audience_overlap(
     formulation shuffles the fact table against itself; this shuffles
     it once.
 
+    The bounded-vocabulary contract is ENFORCED, not trusted (the
+    top_percentile_filter stance): an entity whose distinct-group set
+    exceeds ``max_groups`` would silently turn the map-side pair
+    explode quadratic in a data-sized domain (a caller passing a
+    user-id as ``group_col`` gets an abort, not a 10¹²-row shuffle) —
+    an in-plan ``raise_error`` branch on the per-entity set size aborts
+    the job, costing nothing on the happy path.
+
     Returns (group_a, group_b, n_entities) for a <= b, sorted groups.
     """
     sets = (
@@ -1185,6 +1194,22 @@ def audience_overlap(
         .filter(F.col("__e").isNotNull() & F.col("__g").isNotNull())
         .groupBy("__e")
         .agg(F.array_sort(F.collect_set("__g")).alias("__gs"))
+        .withColumn(
+            "__gs",
+            F.when(
+                F.size("__gs") <= max_groups, F.col("__gs")
+            ).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "audience_overlap: entity has %d distinct"
+                        f" groups (> max_groups={max_groups});"
+                        " the group column is not a bounded vocabulary"
+                        " — bucketize it or raise max_groups",
+                        F.size("__gs"),
+                    )
+                )
+            ),
+        )
     )
     pairs = sets.select(
         F.explode(

@@ -252,6 +252,15 @@ def snapshot_field_churn(
     count as changes, NULL→NULL does not — the SQL-equality trap that
     undercounts churn on nullable columns.
 
+    Precondition — ``key_col`` must be unique within each snapshot: a
+    duplicated key multiplies through the inner join and silently
+    inflates ``n_persisting``/``n_changed``. Enforced, not trusted:
+    the one-row aggregate also counts DISTINCT keys, and a
+    ``raise_error`` branch aborts the job if joined-row count exceeds
+    distinct-key count (the same raise-on-violation stance as
+    ``top_percentile_filter``; rides the existing single-row frame, no
+    extra action).
+
     Scale shape: ONE key-equi inner join of the two snapshots (both
     sides data-sized — shuffle join, AQE-managed), then a single
     unkeyed conditional aggregate producing one bounded row; the long
@@ -275,21 +284,44 @@ def snapshot_field_churn(
     aggs = [F.count(F.lit(1)).cast("bigint").alias("__n_rows")]
     for f in fields:
         aggs.append(
-            F.sum(
-                F.when(
-                    ~F.col(f"__o_{f}").eqNullSafe(F.col(f"__n_{f}")), 1
-                ).otherwise(0)
+            # coalesce: SUM over the empty join (no persisting keys)
+            # is NULL — the row must read (0, 0, 0), not NULLs
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        ~F.col(f"__o_{f}").eqNullSafe(F.col(f"__n_{f}")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             )
             .cast("bigint")
             .alias(f"__chg_{f}")
         )
-    one = joined.agg(*aggs)
+    aggs.append(
+        F.count_distinct(F.col("__k")).cast("bigint").alias("__n_keys")
+    )
+    one = joined.agg(*aggs).withColumn(
+        "__guard",
+        F.when(
+            F.col("__n_rows") != F.col("__n_keys"),
+            F.raise_error(
+                F.format_string(
+                    "snapshot_field_churn: key column is not unique —"
+                    " %d joined rows over %d distinct keys; dedupe the"
+                    " snapshots on the key first",
+                    F.col("__n_rows"),
+                    F.col("__n_keys"),
+                )
+            ).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
     stack_args = ", ".join(f"'{f}', __chg_{f}" for f in fields)
     return one.select(
         F.expr(
             f"stack({len(fields)}, {stack_args}) as (col_name, n_changed)"
         ),
-        F.col("__n_rows").alias("n_persisting"),
+        (F.col("__n_rows") + F.col("__guard")).alias("n_persisting"),
     ).select(
         "col_name",
         "n_persisting",

@@ -649,6 +649,165 @@ def paragraph_dedup(
     )
 
 
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+) -> DataFrame:
+    """EXACT duplicate-substring detection at token granularity (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499) — the canonical LLM-dedup family that
+    paragraph/winnow/minhash only approximate: find every maximal span
+    of ≥ ``k`` consecutive tokens that also occurs at an earlier
+    position in the corpus (including earlier in the SAME document —
+    self-repetition is dup material too). The reference paper builds a
+    corpus suffix array; the distributed decomposition is exact and
+    needs no global structure:
+
+      * a substring of length ≥ k repeats  ⟺  it contains ≥ 1 repeated
+        k-token window — so sliding k-windows (stride 1) are a
+        LOSSLESS detector for ≥ k repeats;
+      * first-occurrence keeps: the window at the globally smallest
+        (id, pos) is the keeper; every other occurrence is duplicate
+        material (paragraph_dedup's rule at token granularity);
+      * maximal spans: a document's non-keeper windows cover token
+        intervals [pos, pos+k−1]; overlapping intervals merge into
+        islands (windows sorted by pos: a window starts a new island
+        iff pos − prev_pos ≥ k — gaps-and-islands, zero self-joins).
+
+    Scale shape: windows are digested IN the generate projection (md5
+    over the k-token slice — only (id, pos, 16-byte digest) ever
+    crosses a shuffle, never window text; plan-pinned). One
+    digest-keyed shuffle for first-occurrence, one id-keyed shuffle
+    shared by the lag window, the island running sum, AND the span
+    aggregate (HashPartitioning(id) satisfies the (id, island)
+    clustering — no third Exchange). A corpus-hot window (boilerplate
+    repeated 10⁶×) concentrates one digest partition exactly like
+    paragraph_dedup's digest window — inherent to first-occurrence
+    semantics, and the per-row state is (id, pos) only.
+
+    Returns one row per maximal duplicated span:
+    (``id_col``, span_start, span_end, span_tokens, n_windows),
+    token offsets 0-based inclusive.
+    """
+    from pyspark.sql import Window
+
+    ws = F.split(F.lower(F.col(text_col)), " ")
+    pre = df.select(F.col(id_col).alias("id"), ws.alias("ws")).filter(
+        F.size("ws") >= k
+    )
+    wins = pre.select(
+        "id",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("ws") - k)
+        ).alias("pos", "__i"),
+        "ws",
+    ).select(
+        "id",
+        F.col("pos").cast("bigint").alias("pos"),
+        # digest inside the generate projection: window text never
+        # leaves the map side
+        F.md5(
+            F.array_join(F.slice("ws", F.col("pos") + 1, k), " ")
+        ).alias("dig"),
+    )
+    first_w = Window.partitionBy("dig").orderBy("id", "pos")
+    dup = (
+        wins.withColumn("__rn", F.row_number().over(first_w))
+        .filter(F.col("__rn") > 1)
+        .select("id", "pos")
+    )
+    by_pos = Window.partitionBy("id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(by_pos) < k, F.lit(0)
+    ).otherwise(F.lit(1))
+    islands = dup.withColumn("__brk", brk).withColumn(
+        "island",
+        F.sum("__brk").over(
+            by_pos.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k) - 1).alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+            "n_windows",
+        )
+    )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 16,
+) -> DataFrame:
+    """The headline number of Lee et al. 2022 (arXiv:2107.06499,
+    Table 2): WHAT SHARE of each feed's tokens is duplicated text —
+    per-group rollup of ``substring_dedup``'s maximal spans. Spans are
+    disjoint by construction (islands merge on overlap), so
+    SUM(span_tokens) is the exact duplicated-token count per document;
+    the per-feed dup_ppm is the number that decides which ingest
+    sources need substring-level scrubbing before training.
+
+    Scale shape: the substring machinery unchanged, plus one
+    (id)-keyed span rollup (same partitioning as the span aggregate —
+    no new Exchange), ONE data-sized keyed join back to the doc list
+    (shuffle-hash pinned both ways: both sides data-sized, Catalyst
+    must not broadcast either at 100 TB), and a group-vocabulary-sized
+    final aggregate.
+
+    Returns (``group_col``, n_docs, total_tokens, dup_tokens, dup_ppm)
+    with dup_ppm = floor(1e6 * dup_tokens / total_tokens).
+    """
+    spans = substring_dedup(df, id_col, text_col, k)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_tokens").alias("__dup")
+    )
+    docs = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("__g"),
+        F.size(F.split(F.lower(F.col(text_col)), " "))
+        .cast("bigint")
+        .alias("__tok"),
+    )
+    joined = docs.hint("shuffle_hash").join(
+        per_doc.hint("shuffle_hash"), id_col, "left"
+    )
+    return (
+        joined.groupBy(F.col("__g").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__tok").cast("bigint").alias("total_tokens"),
+            F.coalesce(F.sum("__dup"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "total_tokens",
+            "dup_tokens",
+            F.expr(
+                "CAST(CASE WHEN total_tokens = 0 THEN 0 ELSE"
+                " dup_tokens * 1000000 DIV total_tokens END AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # edit-distance (Levenshtein) near-dup
 # ---------------------------------------------------------------------------
@@ -728,6 +887,7 @@ def prefix_filter_pairs(
     min_ppm: int = 300_000,
     candidate_observation=None,
     raw_observation=None,
+    prefilter_observation=None,
 ) -> DataFrame:
     """EXACT Jaccard-threshold self-join via prefix filtering
     (Chaudhuri/Ganti/Kaushik ICDE'06; Xiao et al. WWW'08 "PPJoin") —
@@ -776,11 +936,16 @@ def prefix_filter_pairs(
     verify joins.
 
     Candidate accounting: pass ``pyspark.sql.Observation`` instances
-    as ``raw_observation`` (pairs out of the prefix buckets, before
-    the positional filter) / ``candidate_observation`` (pairs entering
-    verification) and the counts ride the job as observed metrics —
-    the candidate:output ratio becomes a committed artifact
-    (scripts_dev/ppjoin_profile.py) instead of a docstring claim.
+    as ``raw_observation`` (pairs out of the prefix buckets, once per
+    shared prefix token — pre-dedup multiplicity),
+    ``prefilter_observation`` (DISTINCT pairs after the pair groupBy
+    but before the positional filter — the honest denominator for the
+    positional filter's marginal cut, since the old ``.distinct()``
+    already removed the multiplicity ``raw`` counts), and
+    ``candidate_observation`` (pairs entering verification) and the
+    counts ride the job as observed metrics — the candidate:output
+    ratio becomes a committed artifact (scripts_dev/ppjoin_profile.py)
+    instead of a docstring claim.
 
     Scale shape: one shuffle each for the frequency agg, the
     freq-keyed join, the per-doc sort-agg, the prefix-bucket agg, the
@@ -877,14 +1042,19 @@ def prefix_filter_pairs(
     # docstring's ordering argument — and any common token above k_r
     # sits after (i_r, j_r) in both sorted arrays). The pair's bound is
     # the MIN over r; the collected array is ≤ prefix-length sized.
-    cands = (
-        raw_pairs.groupBy("id_a", "id_b")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("k", "rem"))).alias(
-                "__sh"
-            ),
-            F.max("ssum").alias("ssum"),  # constant within the pair
+    grouped = raw_pairs.groupBy("id_a", "id_b").agg(
+        F.array_sort(F.collect_list(F.struct("k", "rem"))).alias(
+            "__sh"
+        ),
+        F.max("ssum").alias("ssum"),  # constant within the pair
+    )
+    if prefilter_observation is not None:
+        grouped = grouped.observe(
+            prefilter_observation,
+            F.count(F.lit(1)).alias("n_distinct_pairs"),
         )
+    cands = (
+        grouped
         .withColumn(
             "ub",
             F.array_min(

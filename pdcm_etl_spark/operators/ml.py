@@ -567,11 +567,14 @@ def quantile_normalize(
         "__lr", F.row_number().over(in_bucket).cast("bigint")
     )
     # bucket counts: ONE bounded (n_buckets rows) aggregate feeds both
-    # the running-sum offsets and the grand total — no extra data scan
-    bcounts = (
-        bucketed.groupBy("__bk")
-        .agg(F.count(F.lit(1)).alias("__bn"))
-        .localCheckpoint(eager=True)
+    # the running-sum offsets and the grand total — no extra data scan.
+    # bounded_checkpoint proves the pre-checkpoint plan bounded and
+    # marks the LogicalRDD so the window audit sees through it (the
+    # former tests/test_window_audit.py allowlist entry)
+    from pdcm_etl_spark.plans.audit import bounded_checkpoint
+
+    bcounts = bounded_checkpoint(
+        bucketed.groupBy("__bk").agg(F.count(F.lit(1)).alias("__bn"))
     )
     off_w = Window.orderBy("__bk").rowsBetween(
         Window.unboundedPreceding, -1

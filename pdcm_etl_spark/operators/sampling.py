@@ -440,6 +440,13 @@ def split_leakage_audit(
     """
     from pdcm_etl_spark.operators.text import add_fingerprint
 
+    if n_folds < 2:
+        raise ValueError(
+            f"split_leakage_audit: n_folds={n_folds} — a split needs at"
+            " least 2 folds for leakage to be definable (n_folds=1"
+            " makes the audit vacuously empty, and 0 divides by zero)"
+        )
+
     tagged = add_fingerprint(df, text_col=text_col).select(
         F.col(id_col).alias("__id"),
         "fingerprint",

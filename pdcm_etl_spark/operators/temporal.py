@@ -329,6 +329,80 @@ def sessionize(
     )
 
 
+def session_gap_sensitivity(
+    events: DataFrame,
+    gaps_seconds: list[int],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """The gap-parameter tuning curve for sessionization: total session
+    count (and events-per-session) at EVERY candidate gap threshold in
+    one pass — the profile that picks ``sessionize``'s gap_seconds /
+    a streaming session window's timeout empirically instead of by
+    folklore (where the curve flattens, the sessions are real; 30 min
+    is just where web analytics stopped looking).
+
+    Key identity: n_sessions(gap) = Σ_events 1[first-of-user OR
+    delta_prev > gap] — a session count is a BOUNDARY count, so all K
+    thresholds come from the same lag value. ONE user-keyed shuffle
+    (the same single Exchange sessionize uses) computes the lag; a
+    single global partial-aggregated SUM per threshold follows
+    (map-side combine → K scalars); stack() unpivots the one-row frame
+    to K rows. No per-gap re-sessionization, no second shuffle.
+
+    Returns (gap_seconds, n_sessions, n_users, n_events,
+    events_per_session_ppm), one row per threshold, exact integers.
+    """
+    if not gaps_seconds:
+        raise ValueError("session_gap_sensitivity: need >= 1 gap")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev = F.lag(ts_col).over(w)
+    delta = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
+        prev.cast("timestamp")
+    )
+    lagged = events.select(
+        prev.isNull().alias("__first"), delta.alias("__d")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("__n_events"),
+        F.sum(F.col("__first").cast("bigint"))
+        .cast("bigint")
+        .alias("__n_users"),
+    ]
+    for g in gaps_seconds:
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col("__first") | (F.col("__d") > g * 1_000_000), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"__s_{g}")
+        )
+    one = lagged.agg(*aggs)
+    stack_args = ", ".join(
+        f"{g}, __s_{g}" for g in sorted(gaps_seconds)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(gaps_seconds)}, {stack_args})"
+            " as (gap_seconds, n_sessions)"
+        ),
+        F.col("__n_users").alias("n_users"),
+        F.col("__n_events").alias("n_events"),
+    ).select(
+        F.col("gap_seconds").cast("bigint").alias("gap_seconds"),
+        "n_sessions",
+        "n_users",
+        "n_events",
+        F.expr(
+            "CAST(CASE WHEN n_sessions = 0 THEN 0 ELSE"
+            " n_events * 1000000 DIV n_sessions END AS BIGINT)"
+        ).alias("events_per_session_ppm"),
+    )
+
+
 def rolling_aggregate(
     events: DataFrame,
     key_col: str = "user_id",

@@ -169,10 +169,46 @@ _BOUNDED_NODES = (
 )
 
 
+# RDD ids of localCheckpoint frames whose PRE-checkpoint plan the
+# walker proved bounded (see bounded_checkpoint). A checkpoint erases
+# lineage into a LogicalRDD leaf, which used to force an argued
+# allowlist entry in tests/test_window_audit.py; registering the proof
+# at the call site keeps the audit mechanical end-to-end.
+_BOUNDED_RDD_IDS: set[int] = set()
+
+
+def bounded_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``localCheckpoint`` a frame and, IF its pre-checkpoint optimized
+    plan is provably bounded (``_bounded_input``), register the
+    resulting LogicalRDD's rdd id so the window audit can see through
+    the checkpoint. The marker is earned, never asserted: an unbounded
+    frame checkpointed through here registers nothing and any window
+    riding it still gets flagged."""
+    proven = False
+    try:
+        proven = _bounded_input(df._jdf.queryExecution().optimizedPlan())
+    except Exception:  # noqa: BLE001 — unproven stays unproven
+        proven = False
+    out = df.localCheckpoint(eager=eager)
+    if proven:
+        try:
+            plan = out._jdf.queryExecution().optimizedPlan()
+            if plan.getClass().getSimpleName() == "LogicalRDD":
+                _BOUNDED_RDD_IDS.add(plan.rdd().id())
+        except Exception:  # noqa: BLE001 — marker is best-effort
+            pass
+    return out
+
+
 def _bounded_input(p) -> bool:
     cn = p.getClass().getSimpleName()
     if cn in _BOUNDED_NODES:
         return True
+    if cn == "LogicalRDD":
+        try:
+            return p.rdd().id() in _BOUNDED_RDD_IDS
+        except Exception:  # noqa: BLE001 — unproven stays unproven
+            return False
     if cn in _PASSTHROUGH_NODES:
         kids = _seq(p.children())
         return bool(kids) and _bounded_input(kids[0])
@@ -198,6 +234,10 @@ def window_findings(df: DataFrame) -> list[str]:
             if node.partitionSpec().length() > 0:
                 continue
         except Exception:  # noqa: BLE001 — node shape varies by version
+            # fail CLOSED: a probe failure must surface as a finding,
+            # not silently exempt the window from the audit
+            head = node.toString().splitlines()[0]
+            findings.append(f"unauditable-window: {head[:160]}")
             continue
         child = _seq(node.children())[0]
         if not _bounded_input(child):

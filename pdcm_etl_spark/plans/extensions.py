@@ -234,11 +234,17 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_H60 = dedup.DUCK_H60  # canonical definition lives beside portable_hash60
 
 
-def _sql_dedup_minhash_lsh(num_perm: int = 32, bands: int = 8, min_bp: int = 2000) -> str:
+def _sql_dedup_minhash_lsh(
+    num_perm: int = 32,
+    bands: int = 8,
+    min_bp: int = 2000,
+    where: str = "",
+) -> str:
     """Exact oracle for the MinHash+LSH pipeline: same 60-bit shingle
     digest, same (a*h+b) mod p permutations (constants imported from
     operators/dedup.py), same base-31 band fold, same candidate-only
-    Jaccard verification."""
+    Jaccard verification. ``where`` (e.g. ``" WHERE <pred>"``) narrows
+    the document scan — the sampled-recall harness's hook."""
     p = dedup.MINHASH_PRIME
     coeffs = dedup.minhash_perm_coeffs(num_perm)
     mins = ",\n         ".join(
@@ -255,7 +261,7 @@ def _sql_dedup_minhash_lsh(num_perm: int = 32, bands: int = 8, min_bp: int = 200
     h60 = _DUCK_H60.format(col="shingle")
     return f"""
 WITH ws AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents{where}
 ), sh AS (
   SELECT DISTINCT doc_id,
          array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle

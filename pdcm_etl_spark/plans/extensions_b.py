@@ -613,12 +613,33 @@ def x_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.banding_recall(_docs(spark, sf_dir), min_ppm=200_000)
 
 
-def _sql_dedup_recall() -> str:
+def x_dedup_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of dedup_recall (round-9 verdict ask 2): both
+    pipelines run on a DETERMINISTIC portable-hash document sample
+    (sample_bp basis points of the corpus) so the pair-quadratic exact
+    truth is paid on p² of the pairs while recall, a ratio over a
+    uniformly-sampled pair subset (Bernoulli doc sampling ⇒ each truth
+    pair survives iff both endpoints do), transfers. This is the
+    variant the sf1 sweep RUNS (the full-truth twin stays sf≤0.1);
+    scripts_dev/dedup_recall_sf1.py commits its recall_ppm at sf1."""
+    from pdcm_etl_spark.operators import dedup as dd
+
+    return dd.banding_recall(
+        _docs(spark, sf_dir), min_ppm=200_000, sample_bp=2500
+    )
+
+
+def _sql_dedup_recall(sample_bp: int | None = None) -> str:
     from pdcm_etl_spark.plans.extensions import _sql_dedup_minhash_lsh
 
+    where = ""
+    if sample_bp is not None:
+        h = DUCK_H60.format(col="CAST(doc_id AS VARCHAR)")
+        where = f" WHERE ({h}) % 10000 < {sample_bp}"
     return f"""
 WITH ws AS (
-  SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
+  SELECT doc_id AS id, string_split(lower(text), ' ') AS w
+  FROM documents{where}
 ), d AS (
   SELECT id, list_distinct(list_transform(
            range(greatest(len(w) - 2, 0)),
@@ -634,7 +655,7 @@ WITH ws AS (
   SELECT id_a, id_b FROM p
   WHERE (i * 1000000) // (na + nb - i) >= 200000
 ), found AS (
-  SELECT id_a, id_b FROM ({_sql_dedup_minhash_lsh(min_bp=2000)})
+  SELECT id_a, id_b FROM ({_sql_dedup_minhash_lsh(min_bp=2000, where=where)})
 ), h AS (
   SELECT COUNT(*) AS n_hit
   FROM (SELECT id_a, id_b FROM found INTERSECT
@@ -897,6 +918,8 @@ EXTENSION_B_CATALOG: dict[str, tuple] = {
     "quantile_normalize": (x_quantile_normalize, SQL_QUANTILE_NORMALIZE),
     "er_score_pairs": (x_er_score_pairs, SQL_ER_SCORE_PAIRS),
     "dedup_recall": (x_dedup_recall, _sql_dedup_recall()),
+    "dedup_recall_sampled": (
+        x_dedup_recall_sampled, _sql_dedup_recall(sample_bp=2500)),
     "stream_dq_monitor": (x_stream_dq_monitor, SQL_STREAM_DQ_MONITOR),
     "sample_weighted_grouped": (
         x_sample_weighted_grouped, SQL_SAMPLE_WEIGHTED_GROUPED),

@@ -428,8 +428,11 @@ def x_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_nationkey")
     )
+    # customer is data-sized (grows with SF): pin shuffle-hash — the
+    # same abortive-broadcast hazard _size_sides documents; rfm's own
+    # windows re-shuffle on c_nationkey anyway, so no broadcast win
     joined = orders.join(
-        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        cust.hint("shuffle_hash"), orders["o_custkey"] == cust["c_custkey"]
     )
     return rfm_segments(
         joined,
@@ -803,14 +806,14 @@ new AS (
   FROM base WHERE o_orderkey % 11 <> 0
 ), one AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-         CAST(SUM(CASE WHEN o.o_orderstatus IS DISTINCT FROM
-                            n.o_orderstatus THEN 1 ELSE 0 END) AS BIGINT)
-           AS chg_status,
-         CAST(SUM(CASE WHEN o.o_orderpriority IS DISTINCT FROM
-                            n.o_orderpriority THEN 1 ELSE 0 END) AS BIGINT)
-           AS chg_prio,
-         CAST(SUM(CASE WHEN o.o_date IS DISTINCT FROM n.o_date
-                       THEN 1 ELSE 0 END) AS BIGINT) AS chg_date
+         CAST(COALESCE(SUM(CASE WHEN o.o_orderstatus IS DISTINCT FROM
+                            n.o_orderstatus THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS chg_status,
+         CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority IS DISTINCT FROM
+                            n.o_orderpriority THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS chg_prio,
+         CAST(COALESCE(SUM(CASE WHEN o.o_date IS DISTINCT FROM n.o_date
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS chg_date
   FROM old o JOIN new n USING (o_orderkey)
 ), long AS (
   SELECT 'o_orderstatus' AS col_name, chg_status AS n_changed, n_rows

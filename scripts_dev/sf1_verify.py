@@ -1,0 +1,297 @@
+"""Hash-verified correctness at sf1 for the heavy tail (round-9
+verdict ask 1). Until now sf1 evidence was run-to-completion only
+(sf1_sweep.py's noop sink) — a skew/overflow bug that only manifests at
+10x data would pass every gate. This script closes that hole with
+three per-query methods, strongest applicable first:
+
+  * oracle      — the registry's own DuckDB oracle SQL executed ON the
+                  sf1 lake, full driver-style compare (row count +
+                  columns + order-insensitive canonical values) via
+                  tests/harness.compare. Used for every heavy query
+                  whose oracle is linear in the data (the flagship
+                  family, stats, rank kit...).
+  * invariant   — an exact cross-scale count identity on the
+                  replicated-stress lake (gen_scale.py: text/vectors
+                  identical across the m=10 replicas, ids offset).
+                  For dedup_prefix_filter, whose candidate generation
+                  is exact-complete: every sf0.1 pair (a,b) lifts to
+                  all 10x10 replica combinations at the SAME Jaccard,
+                  and each of the n3 documents with >= 1 shingle gains
+                  C(10,2)=45 self-replica pairs at Jaccard 1.0, so
+                    n_pairs(sf1) == 100 * n_pairs(sf0.1) + 45 * n3.
+                  (The r9 profile numbers satisfy this exactly:
+                  100*256 + 45*5000 = 250,600.) Checked alongside a
+                  determinism double-run.
+  * determinism — the query runs TWICE at sf1 (fresh plans) and both
+                  runs must agree on a Spark-side canonical frame hash
+                  (per-row xxhash64 over the name-sorted stringified
+                  struct, summed in DECIMAL(38,0) + row count — order-
+                  insensitive, never collected). Used for the dedup/ANN
+                  family whose candidate generation is deliberately
+                  lossy (stop-shingle / bucket caps), where neither a
+                  brute-force oracle (pair-quadratic at sf1) nor a
+                  replica-lift identity (frequency-dependent pruning
+                  changes candidates at 10x) exists. A reason string
+                  records WHY per query.
+
+Also commits the sampled dedup_recall number at sf1 (round-9 verdict
+ask 2): dedup_recall_sampled (sample_bp=2500) collected at sf1, the
+recall_ppm + sample size recorded — replacing the sweep's EXCLUDED row
+as the at-scale recall evidence.
+
+Run SOLO (no concurrent JVMs — see the repo's scale-proof protocol):
+
+    python scripts_dev/sf1_verify.py [sf1_dir] [out_jsonl]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
+    ),
+)
+
+SF01 = "/root/testdata/sf0.1"
+
+# DuckDB-oracle at sf1: heavy queries with data-linear oracles.
+ORACLE = [
+    "etl_search_index",
+    "etl_search_index_wide",
+    "etl_search_index_spine",
+    "etl_search_index_incremental",   # oracle IS the full rebuild
+    "table_stats",
+    "bucket_cojoin",
+    "pricing_summary",
+    "spearman_corr",
+    "assoc_rules",
+    "itemset_pairs",
+    "weighted_median_group",
+    "json_key_profile",
+    "rollup_totals",
+    "approx_quantile",
+    "unpivot_metrics",
+    "linreg_group",
+    "ks_drift",
+    "quantile_normalize",
+    "shuffle_shards",
+    "inverted_index",
+]
+
+# determinism double-run; reason = why no oracle/invariant at sf1
+DETERMINISM = {
+    "dedup_ngram_jaccard": (
+        "stop-shingle guard (max_shingle_freq) prunes on corpus "
+        "frequency, which scales 10x on the replicated lake — "
+        "candidates differ by design; brute-force oracle pair-quadratic"
+    ),
+    "dedup_containment": "same stop-shingle frequency dependence",
+    "dedup_simhash": (
+        "band-bucket candidate caps are corpus-frequency dependent; "
+        "oracle pair-quadratic"
+    ),
+    "dedup_embedding": (
+        "LSH bucketing + caps; brute-force cosine truth quadratic at sf1"
+    ),
+    "dedup_semantic": "same embedding-bucket shape",
+    "dedup_groups": (
+        "CC over the minhash pair graph — edges inherit banding "
+        "probabilities; no closed-form replica lift"
+    ),
+    "dedup_groups_star": "same pair-graph dependence",
+    "kcore": "same pair-graph dependence",
+    "dedup_keeper_quality": "keeper set rides the pair graph",
+    "dedup_edit_distance": (
+        "length-bucket caps (max_bucket) bind at 10x density by design"
+    ),
+    "dedup_winnow": "winnow window selection is corpus-order sensitive",
+    "ann_ivf_delta_append": (
+        "IVF assignment rides trained centroids; exact top-k truth "
+        "quadratic at sf1"
+    ),
+    "ann_ivf_persisted": "same IVF shape",
+    "dedup_minhash_lsh": (
+        "banding is probabilistic in the permutations; exact truth "
+        "quadratic (recall measured separately via dedup_recall_sampled)"
+    ),
+}
+
+
+def frame_hash(df):
+    """Order-insensitive canonical hash computed INSIDE Spark (no
+    collect): xxhash64 of the name-sorted stringified row struct,
+    summed exactly in DECIMAL(38,0), plus the row count."""
+    from pyspark.sql import functions as F
+
+    cols = sorted(df.columns)
+    h = F.xxhash64(
+        F.to_json(
+            F.struct(*[F.col(c).cast("string").alias(c) for c in cols])
+        )
+    )
+    row = df.select(
+        h.cast("decimal(38,0)").alias("__h")
+    ).agg(
+        F.sum("__h").alias("hsum"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    return (str(row["hsum"]), int(row["n"]))
+
+
+def main() -> None:
+    sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    out = sys.argv[2] if len(sys.argv) > 2 else (
+        "scripts_dev/sf1_verify_r10.jsonl"
+    )
+    import duckdb
+
+    import harness
+    import __spark_entry__ as entry
+    from pdcm_etl_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("sf1-verify")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs, oracles = entry.queries(), entry.oracle_sql()
+
+    done = set()
+    if os.path.exists(out):
+        with open(out) as fh:
+            done = {json.loads(ln)["name"] for ln in fh if ln.strip()}
+
+    def emit(rec: dict) -> None:
+        print(json.dumps(rec), flush=True)
+        with open(out, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+
+    def release() -> None:
+        jsc = spark.sparkContext._jsc.sc()
+        jsc.env().blockManager().master().removeAllBlocks()
+
+    # -- method: oracle ---------------------------------------------------
+    for name in ORACLE:
+        if name in done:
+            continue
+        t0 = time.time()
+        try:
+            con = duckdb.connect()
+            for t in harness.TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf1}/{t}.parquet')"
+                )
+            res = harness.compare(name, qs[name](spark, sf1), con,
+                                  oracles[name])
+            con.close()
+            emit({
+                "name": name, "method": "duckdb_oracle",
+                "ok": res["ok"], "issues": res["issues"],
+                "wall_sec": round(time.time() - t0, 1),
+            })
+        except Exception as exc:  # noqa: BLE001 — record, keep sweeping
+            emit({
+                "name": name, "method": "duckdb_oracle", "ok": False,
+                "issues": [f"EXC {type(exc).__name__}: {exc}"[:300]],
+                "wall_sec": round(time.time() - t0, 1),
+            })
+        release()
+
+    # -- method: invariant (dedup_prefix_filter replica lift) -------------
+    if "dedup_prefix_filter" not in done:
+        t0 = time.time()
+        try:
+            n01 = qs["dedup_prefix_filter"](spark, SF01).count()
+            docs01 = spark.read.parquet(
+                os.path.join(SF01, "documents.parquet")
+            )
+            n3 = docs01.filter(
+                F.size(F.split(F.lower(F.col("text")), " ")) >= 3
+            ).count()
+            expected = 100 * n01 + 45 * n3
+            h1 = frame_hash(qs["dedup_prefix_filter"](spark, sf1))
+            release()
+            h2 = frame_hash(qs["dedup_prefix_filter"](spark, sf1))
+            ok = (h1 == h2) and (h1[1] == expected)
+            emit({
+                "name": "dedup_prefix_filter", "method": "invariant",
+                "ok": ok,
+                "detail": {
+                    "n_sf01_pairs": n01, "n_docs_ge3tok_sf01": n3,
+                    "expected_sf1_pairs": expected, "got_sf1_pairs": h1[1],
+                    "hash_run1": h1[0], "hash_run2": h2[0],
+                    "identity": "n(sf1) == 100*n(sf0.1) + 45*n3",
+                },
+                "wall_sec": round(time.time() - t0, 1),
+            })
+        except Exception as exc:  # noqa: BLE001
+            emit({
+                "name": "dedup_prefix_filter", "method": "invariant",
+                "ok": False,
+                "issues": [f"EXC {type(exc).__name__}: {exc}"[:300]],
+                "wall_sec": round(time.time() - t0, 1),
+            })
+        release()
+
+    # -- method: determinism double-run ------------------------------------
+    for name, reason in DETERMINISM.items():
+        if name in done:
+            continue
+        t0 = time.time()
+        try:
+            h1 = frame_hash(qs[name](spark, sf1))
+            release()
+            h2 = frame_hash(qs[name](spark, sf1))
+            emit({
+                "name": name, "method": "determinism_2run",
+                "ok": h1 == h2,
+                "detail": {"hash_run1": h1[0], "rows_run1": h1[1],
+                           "hash_run2": h2[0], "rows_run2": h2[1]},
+                "why_no_oracle": reason,
+                "wall_sec": round(time.time() - t0, 1),
+            })
+        except Exception as exc:  # noqa: BLE001
+            emit({
+                "name": name, "method": "determinism_2run", "ok": False,
+                "issues": [f"EXC {type(exc).__name__}: {exc}"[:300]],
+                "wall_sec": round(time.time() - t0, 1),
+            })
+        release()
+
+    # -- sampled recall at sf1 (verdict ask 2) -----------------------------
+    if "dedup_recall_sampled" not in done:
+        t0 = time.time()
+        try:
+            row = qs["dedup_recall_sampled"](spark, sf1).first()
+            emit({
+                "name": "dedup_recall_sampled", "method": "value",
+                "ok": row["recall_ppm"] is not None
+                and 0 <= row["recall_ppm"] <= 1_000_000,
+                "detail": {
+                    "sample_bp": 2500,
+                    "n_true_pairs": row["n_true_pairs"],
+                    "n_lsh_pairs": row["n_lsh_pairs"],
+                    "n_hit": row["n_hit"],
+                    "recall_ppm": row["recall_ppm"],
+                },
+                "wall_sec": round(time.time() - t0, 1),
+            })
+        except Exception as exc:  # noqa: BLE001
+            emit({
+                "name": "dedup_recall_sampled", "method": "value",
+                "ok": False,
+                "issues": [f"EXC {type(exc).__name__}: {exc}"[:300]],
+                "wall_sec": round(time.time() - t0, 1),
+            })
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

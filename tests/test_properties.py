@@ -2882,3 +2882,110 @@ def test_snapshot_field_churn_known_exact_values(spark):
     assert out["f1"]["n_changed"] == 1
     assert out["f2"]["n_changed"] == 2  # NULL-safe both directions
     assert out["f2"]["churn_ppm"] == 2 * 1_000_000 // 3
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=1, max_size=30,
+        ).map(" ".join),
+        min_size=1, max_size=8,
+    ),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_substring_dedup_properties(spark, texts, parts):
+    """Lee-et-al substring dedup invariants against a pure-Python
+    suffix-scan replica: sliding k-windows, first occurrence by
+    (id, pos) — including SELF-repetition — and overlap-merged maximal
+    spans; plus partition independence."""
+    from pdcm_etl_spark.operators.dedup import substring_dedup
+
+    k = 4
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"],
+         r["span_tokens"], r["n_windows"])
+        for r in substring_dedup(df, k=k).collect()
+    )
+    rep = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"],
+         r["span_tokens"], r["n_windows"])
+        for r in substring_dedup(df.repartition(parts), k=k).collect()
+    )
+    assert got == rep
+    # python replica: first-occurrence over (id, pos), then merge
+    # windows into islands (new island iff gap >= k)
+    seen: set[str] = set()
+    dup_pos: dict[int, list[int]] = {}
+    for i, t in sorted(rows):
+        ws = t.lower().split(" ")
+        for p in range(len(ws) - k + 1):
+            win = " ".join(ws[p : p + k])
+            if win in seen:
+                dup_pos.setdefault(i, []).append(p)
+            else:
+                seen.add(win)
+    expect = []
+    for i, ps in dup_pos.items():
+        start, prev, n = ps[0], ps[0], 1
+        for p in ps[1:]:
+            if p - prev < k:
+                prev, n = p, n + 1
+            else:
+                expect.append((i, start, prev + k - 1,
+                               prev + k - start, n))
+                start, prev, n = p, p, 1
+        expect.append((i, start, prev + k - 1, prev + k - start, n))
+    assert got == sorted(expect)
+
+
+def test_substring_dedup_exact_copy_and_selfrep(spark):
+    """Deterministic cases: an exact copy of an earlier doc is one
+    maximal span covering the whole copy; in-document repetition
+    (the same k tokens twice in ONE doc) is dup material at its second
+    occurrence even with no cross-doc match."""
+    from pdcm_etl_spark.operators.dedup import substring_dedup
+
+    base = " ".join(f"w{i}" for i in range(10))          # 10 tokens
+    selfrep = "x1 x2 x3 x4 zz1 zz2 zz3 x1 x2 x3 x4"      # k=4 repeat at 7
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, selfrep)],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"],
+         r["span_tokens"], r["n_windows"])
+        for r in substring_dedup(df, k=4).collect()
+    )
+    assert got == [
+        (1, 0, 9, 10, 7),   # whole copy: windows 0..6 merge to one span
+        (2, 7, 10, 4, 1),   # self-repetition: second x1..x4 occurrence
+    ]
+
+
+def test_audience_overlap_unbounded_group_raises(spark):
+    """The bounded-vocabulary contract is enforced in-plan: an entity
+    with more distinct groups than max_groups aborts the job instead of
+    going quadratic (round-9 verdict ask 4)."""
+    from pdcm_etl_spark.operators.analytics import audience_overlap
+
+    rows = [(1, f"g{i}") for i in range(5)] + [(2, "g0"), (2, "g1")]
+    df = spark.createDataFrame(rows, "e bigint, g string")
+    # happy path under the cap
+    ok = audience_overlap(df, "e", "g", max_groups=5).collect()
+    # entity-1 contributes all 15 (i<=j) cells over 5 groups; entity-2's
+    # three cells merge into existing ones
+    assert len(ok) == 5 * 6 // 2
+    with pytest.raises(Exception, match="not a bounded vocabulary"):
+        audience_overlap(df, "e", "g", max_groups=4).collect()
+
+
+def test_split_leakage_bad_folds_raises(spark):
+    from pdcm_etl_spark.operators.sampling import split_leakage_audit
+
+    df = spark.createDataFrame([(1, "t")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="at least 2 folds"):
+        split_leakage_audit(df, "doc_id", n_folds=1)

@@ -4,46 +4,44 @@ inside that window (round-1 verdict requirement), and that the round-3
 rotation actually landed every previously-unchecked query inside it
 (round-2 verdict item 2)."""
 
-# queries that need a driver row THIS round — round-9 additions — all
+# queries that need a driver row THIS round — round-10 additions — all
 # must sit inside the 50-row window; everything rotated out is
-# cumulatively driver-proven in r1-r8 and stays oracle-checked every
+# cumulatively driver-proven in r1-r9 and stays oracle-checked every
 # pytest run (tests/test_oracle_parity.py)
 ROTATED_IN = [
-    "label_noise_audit",
-    "dup_rate_by_source",
-    "token_frequency_spectrum",
-    "char_class_profile",
-    "rare_category_collapse",
-    "interarrival_profile",
-    "stratified_kfold_assign",
-    "degree_histogram",
-    "embedding_norm_profile",
-    "pit_tier_enrich",
-    "rfm_segments",
-    "label_distinctive_terms",
-    "freshness_audit",
-    "audience_overlap",
-    "revenue_retention",
-    "activity_streaks",
-    "json_key_profile",
-    "nzv_audit",
-    "out_of_orderness_profile",
-    "snapshot_field_churn",
+    "dedup_substring",
+    "dedup_substring_stats",
+    "dedup_recall_sampled",
+    "session_gap_sensitivity",
 ]
 
 # The window must also re-check the families that have been OUT of it
-# longest: these 8 were exempt in round 8 (last green r07), so round 9
-# rotates a rep of each back in — the mechanic that keeps every
-# family's driver check at most ~2 rounds stale.
+# longest: the 22 families benched during round 9 (last driver-green
+# r08) ALL rotate back in round 10 — the freshness-budget
+# forced-rotate-back (a family may be benched at most one round).
 STALE_ROTATED_IN = [
-    "partition_prune",
-    "pack_sequences",
-    "corpus_curation",
-    "quality_percentile",
-    "stump_train",
-    "multimodal_decode",
-    "trimmed_mean_group",
-    "bpe_train",
+    "rrf_fusion",
+    "ngram_novelty",
+    "weighted_median_group",
+    "churn_summary",
+    "split_leakage_audit",
+    "mode_group",
+    "vocab_accumulation",
+    "lang_confusion",
+    "balanced_downsample",
+    "concentration_topn",
+    "seasonal_anomaly",
+    "attribution_position",
+    "chisq_drift",
+    "link_predict_cn",
+    "benford_profile",
+    "string_agg_ordered",
+    "pivot_status",
+    "funnel_time_to_convert",
+    "rolling_window",
+    "entropy_profile",
+    "event_transitions",
+    "kmeans_assign_bcast",
 ]
 
 
@@ -53,33 +51,38 @@ STALE_ROTATED_IN = [
 # one-round pass: a family may be benched ONLY if a representative is
 # driver-hash-green within the last TWO committed rounds (checked
 # mechanically below against the named file), the exempt set stays
-# ≤ 16, and a family benched for two consecutive rounds must rotate
+# ≤ 26 (the same bound the mechanical assert below enforces — keep the
+# two in lockstep), and a family benched for two consecutive rounds must rotate
 # back in (STALE_ROTATED_IN above is round 9's instance of that rule —
 # the 8 families exempt-under-r07 in round 8). Every benched family
 # stays oracle-checked every pytest run (tests/test_oracle_parity.py).
 WINDOW_EXEMPT_FAMILIES = {
-    "rank-fusion": "CORRECTNESS_r08.json",        # rrf_fusion
-    "novelty": "CORRECTNESS_r08.json",            # ngram_novelty
-    "weighted-order-stats": "CORRECTNESS_r08.json",  # weighted_median_group
-    "growth-accounting": "CORRECTNESS_r08.json",  # churn_summary
-    "leakage-audit": "CORRECTNESS_r08.json",      # split_leakage_audit
-    "mode": "CORRECTNESS_r08.json",               # mode_group
-    "vocab-overlap": "CORRECTNESS_r08.json",      # vocab_accumulation
-    "lang-confusion": "CORRECTNESS_r08.json",     # lang_confusion
-    "class-balance": "CORRECTNESS_r08.json",      # balanced_downsample
-    "inequality": "CORRECTNESS_r08.json",         # concentration_topn
-    "anomaly": "CORRECTNESS_r08.json",            # seasonal_anomaly
-    "attribution": "CORRECTNESS_r08.json",        # attribution_position
-    "drift": "CORRECTNESS_r08.json",              # chisq_drift
-    "link-prediction": "CORRECTNESS_r08.json",    # link_predict_cn
-    "benford": "CORRECTNESS_r08.json",            # benford_profile
-    "listagg": "CORRECTNESS_r08.json",            # string_agg_ordered
-    "pivot": "CORRECTNESS_r08.json",              # pivot_status
-    "funnel-latency": "CORRECTNESS_r08.json",     # funnel_time_to_convert
-    "window": "CORRECTNESS_r08.json",             # rolling_window
-    "entropy": "CORRECTNESS_r08.json",            # entropy_profile
-    "markov": "CORRECTNESS_r08.json",             # event_transitions
-    "clustering": "CORRECTNESS_r08.json",         # kmeans_assign_bcast
+    "array-join": "CORRECTNESS_r09.json",
+    "cadence-profile": "CORRECTNESS_r09.json",
+    "category-collapse": "CORRECTNESS_r09.json",
+    "char-profile": "CORRECTNESS_r09.json",
+    "collocation": "CORRECTNESS_r09.json",
+    "degree-profile": "CORRECTNESS_r09.json",
+    "disorder-profile": "CORRECTNESS_r09.json",
+    "distinctive-terms": "CORRECTNESS_r09.json",
+    "dup-scorecard": "CORRECTNESS_r09.json",
+    "embedding-health": "CORRECTNESS_r09.json",
+    "freshness": "CORRECTNESS_r09.json",
+    "gaps-islands": "CORRECTNESS_r09.json",
+    "incremental-etl": "CORRECTNESS_r09.json",
+    "label-noise": "CORRECTNESS_r09.json",
+    "multimodal": "CORRECTNESS_r09.json",
+    "nzv": "CORRECTNESS_r09.json",
+    "packing": "CORRECTNESS_r09.json",
+    "pipeline": "CORRECTNESS_r09.json",
+    "pit-enrich": "CORRECTNESS_r09.json",
+    "quality-filter": "CORRECTNESS_r09.json",
+    "quantile-normalize": "CORRECTNESS_r09.json",
+    "revenue-retention": "CORRECTNESS_r09.json",
+    "set-op": "CORRECTNESS_r09.json",
+    "skyline": "CORRECTNESS_r09.json",
+    "subquery": "CORRECTNESS_r09.json",
+    "tokenizer": "CORRECTNESS_r09.json",
 }
 
 
@@ -129,8 +132,8 @@ def test_first_50_covers_every_family():
         "skyline": ["pareto_frontier"],
         "similarity": ["ann_ivf_trained_topk", "ann_ivf_persisted",
                        "ann_ivf_delta_append"],
-        "ann-eval": ["ann_recall", "dedup_recall"],
-        "dedup-eval": ["dedup_recall"],
+        "ann-eval": ["ann_recall", "dedup_recall", "dedup_recall_sampled"],
+        "dedup-eval": ["dedup_recall", "dedup_recall_sampled"],
         "text": ["text_quality", "text_tfidf", "text_chunk",
                  "text_pii_scrub", "text_contamination", "text_repetition",
                  "unigram_lm_score", "bigram_lm_score", "ngram_novelty"],
@@ -236,6 +239,9 @@ def test_first_50_covers_every_family():
         "nzv": ["nzv_audit"],
         "disorder-profile": ["out_of_orderness_profile"],
         "field-churn": ["snapshot_field_churn"],
+        # round-10 families
+        "substring-dedup": ["dedup_substring", "dedup_substring_stats"],
+        "session-tuning": ["session_gap_sensitivity"],
     }
     missing = {
         fam: reps
@@ -254,9 +260,9 @@ def test_first_50_covers_every_family():
     # families over a fixed 50-slot window); the binding guarantees are
     # the 2-round freshness proof and the forced rotate-back, not the
     # constant
-    assert len(WINDOW_EXEMPT_FAMILIES) <= 22
+    assert len(WINDOW_EXEMPT_FAMILIES) <= 26
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    allowed_files = {"CORRECTNESS_r07.json", "CORRECTNESS_r08.json"}
+    allowed_files = {"CORRECTNESS_r08.json", "CORRECTNESS_r09.json"}
     for fam, fname in WINDOW_EXEMPT_FAMILIES.items():
         assert fname in allowed_files, (
             f"benched family {fam} cites {fname}, outside the 2-round "

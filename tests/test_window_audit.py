@@ -15,7 +15,12 @@ row-preserving ops, joins and unions).
 The allowlist carries the sites where boundedness is real but flows
 through a node the conservative walker refuses to see through (e.g. an
 explode of an aggregate's bounded collect_set). Every entry needs the
-written argument.
+written argument. Round 10: EMPTY — the one entry (quantile_normalize's
+checkpointed 64-row bucket frame) is now handled mechanically by
+``plans.audit.bounded_checkpoint``, which proves the PRE-checkpoint
+plan bounded and registers the LogicalRDD id so the walker sees through
+the checkpoint; test_bounded_checkpoint_marker below pins both sides of
+that mechanism (a proven frame passes, an unproven one still flags).
 """
 
 from __future__ import annotations
@@ -23,18 +28,8 @@ from __future__ import annotations
 import pytest
 
 # name -> written boundedness justification for windows the walker
-# cannot prove bounded. Keep entries rare and argued.
-ALLOWLIST: dict[str, str] = {
-    "quantile_normalize": (
-        "the flagged window is the bucket-offset running sum over "
-        "bcounts (operators/ml.py::quantile_normalize) — input is the "
-        "groupBy(__bk) aggregate, ≤ n_buckets (=64) rows by "
-        "construction, but it rides a localCheckpoint(eager=True) "
-        "whose LogicalRDD hides the aggregate from the walker; the "
-        "checkpoint is deliberate (bcounts feeds both the offsets and "
-        "the grand total without a second scan)"
-    ),
-}
+# cannot prove bounded. Keep entries rare and argued. (Empty since r10.)
+ALLOWLIST: dict[str, str] = {}
 
 
 def _names():
@@ -58,6 +53,33 @@ def test_no_accidental_global_windows(spark, sf_dir, name):
         f"(all rows to one partition at scale):\n  "
         + "\n  ".join(findings)
     )
+
+
+def test_bounded_checkpoint_marker(spark):
+    """Both sides of the checkpoint see-through: a checkpointed
+    aggregate (provably bounded pre-checkpoint) passes the audit; the
+    same window over a checkpointed raw scan still gets flagged."""
+    from pyspark.sql import Window, functions as F
+
+    from pdcm_etl_spark.plans.audit import (
+        bounded_checkpoint,
+        window_findings,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 4).alias("k"), F.col("id").alias("v")
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+
+    agg = df.groupBy("k").agg(F.sum("v").alias("s"))
+    proven = bounded_checkpoint(agg).withColumn(
+        "run", F.sum("s").over(w)
+    )
+    assert window_findings(proven) == []
+
+    raw = bounded_checkpoint(df).withColumn("run", F.sum("v").over(w))
+    flagged = window_findings(raw)
+    assert len(flagged) == 1 and "unpartitioned-window" in flagged[0]
 
 
 def test_audit_flags_a_real_global_window(spark):
