@@ -3624,13 +3624,17 @@ r AS (
   FROM base
 ),
 a AS (
+  -- HUGEINT discipline (round-10 sf1 verify finding): at sf1 a key
+  -- holds ~2.4M rows, so SUM((rx-ry)^2) ~ 1.4e19 and n*(n^2-1) both
+  -- overflow INT64 — the Spark side already rides DECIMAL(38,0)
   SELECT key, COUNT(*) AS n,
-         CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sd2
+         SUM(CAST((rx - ry) * (rx - ry) AS HUGEINT)) AS sd2
   FROM r GROUP BY key
 )
 SELECT key AS l_returnflag, CAST(n AS BIGINT) AS n,
        CAST(CASE WHEN n < 2 THEN NULL
-            ELSE 1000000 - (6 * sd2 * 1000000) // (n * (n * n - 1))
+            ELSE 1000000 - (6 * sd2 * 1000000)
+                 // (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1))
             END AS BIGINT) AS rho_ppm
 FROM a
 """

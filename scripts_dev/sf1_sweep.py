@@ -29,8 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 EXCLUDED = {
     "dedup_recall": (
         "truth side pair-quadratic; replicated-stress lake squares dup "
-        "groups (m²=100x) and out-spills scratch — production path is "
-        "sample_bp (operators/dedup.py banding_recall)"
+        "groups (m²=100x) and out-spills scratch — the at-scale recall "
+        "evidence is dedup_recall_sampled (sample_bp=2500), which DOES "
+        "run at sf1: swept here AND its recall_ppm committed in "
+        "scripts_dev/sf1_verify_r10.jsonl (round-9 verdict ask 2)"
     ),
 }
 

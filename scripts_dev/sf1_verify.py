@@ -124,6 +124,57 @@ DETERMINISM = {
 }
 
 
+ROW_CAP = 300_000  # above this, Python row-compare is driver-hostile
+
+
+def hash_compare(name, spark_df, con, sql) -> dict:
+    """Cross-engine compare for LARGE results (the flagship family at
+    sf1 is ~1.5M x 67 — a Python row canonicalization would be 100M
+    objects): both engines compute the SAME order-insensitive canonical
+    hash natively — the repo's portable 60-bit md5 hash
+    (operators/dedup.py::portable_hash60 / DUCK_H60) over the
+    name-sorted columns joined with 0x1f (NULL -> 0x00'N' sentinel),
+    summed exactly (DECIMAL(38,0) / HUGEINT) — plus the row count.
+    Valid because the registry's determinism rules already force every
+    compare column to bigint/string (no float/decimal stringification
+    skew); validated against the full row-compare at sf0.01 by
+    tests/test_scale_helpers.py::test_hash_compare_agrees_with_row_compare."""
+    from pyspark.sql import functions as F
+
+    from pdcm_etl_spark.operators.dedup import DUCK_H60, portable_hash60
+
+    cols = sorted(spark_df.columns)
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00N")) for c in cols
+    ]
+    h = portable_hash60(F.concat_ws("\x1f", *parts)).cast("decimal(38,0)")
+    srow = spark_df.select(h.alias("__h")).agg(
+        F.sum("__h").alias("hsum"), F.count(F.lit(1)).alias("n")
+    ).first()
+    dcols = ", ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), chr(0) || 'N')" for c in cols
+    )
+    dh = DUCK_H60.format(col=f"concat_ws(chr(31), {dcols})")
+    drow = con.execute(
+        f"SELECT SUM(CAST({dh} AS HUGEINT)) AS hsum, COUNT(*) AS n"
+        f" FROM ({sql})"
+    ).fetchone()
+    ok = (str(srow["hsum"]) == str(drow[0])) and (
+        int(srow["n"]) == int(drow[1])
+    )
+    return {
+        "name": name,
+        "ok": ok,
+        "issues": []
+        if ok
+        else [
+            f"hash spark=({srow['hsum']},{srow['n']}) "
+            f"duck=({drow[0]},{drow[1]})"
+        ],
+        "mode": "native-hash",
+    }
+
+
 def frame_hash(df):
     """Order-insensitive canonical hash computed INSIDE Spark (no
     collect): xxhash64 of the name-sorted stringified row struct,
@@ -173,7 +224,13 @@ def main() -> None:
 
     def release() -> None:
         jsc = spark.sparkContext._jsc.sc()
-        jsc.env().blockManager().master().removeAllBlocks()
+        it = jsc.getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
 
     # -- method: oracle ---------------------------------------------------
     for name in ORACLE:
@@ -183,12 +240,20 @@ def main() -> None:
         try:
             con = duckdb.connect()
             for t in harness.TABLES:
+                # Spark-written lakes are DIRECTORIES named *.parquet
+                pat = (f"{sf1}/{t}.parquet/*.parquet"
+                       if os.path.isdir(f"{sf1}/{t}.parquet")
+                       else f"{sf1}/{t}.parquet")
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf1}/{t}.parquet')"
+                    f"read_parquet('{pat}')"
                 )
-            res = harness.compare(name, qs[name](spark, sf1), con,
-                                  oracles[name])
+            df = qs[name](spark, sf1)
+            n = df.count()
+            if n > ROW_CAP:
+                res = hash_compare(name, df, con, oracles[name])
+            else:
+                res = harness.compare(name, df, con, oracles[name])
             con.close()
             emit({
                 "name": name, "method": "duckdb_oracle",

@@ -161,3 +161,47 @@ def test_range_join_matches_inequality_join(spark):
     ).select(points.pid, points.k, points.ts, "start_ts", "end_ts")
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
     assert fast.count() > 0
+
+
+def test_hash_compare_agrees_with_row_compare(spark, sf_dir):
+    """sf1_verify's native hash-compare (used where a Python
+    row-compare would be driver-hostile) must agree with the full
+    row-compare on known-green queries AND flip on a perturbed oracle
+    (sensitivity control)."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as e
+    import harness
+
+    spec = importlib.util.spec_from_file_location(
+        "sf1_verify",
+        os.path.join(os.path.dirname(__file__), "..", "scripts_dev",
+                     "sf1_verify.py"),
+    )
+    sv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sv)
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in harness.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    for name in ["etl_search_index_spine", "table_stats"]:
+        df = qs[name](spark, sf_dir)
+        row = harness.compare(name, df, con, oracles[name])
+        hsh = sv.hash_compare(name, df, con, oracles[name])
+        assert row["ok"] and hsh["ok"], (name, row, hsh)
+    # sensitivity: a 1-row-dropped oracle must hash-mismatch
+    bad = sv.hash_compare(
+        "table_stats",
+        qs["table_stats"](spark, sf_dir),
+        con,
+        f"SELECT * FROM ({oracles['table_stats']}) LIMIT 1",
+    )
+    assert not bad["ok"]
+    con.close()
