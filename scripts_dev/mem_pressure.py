@@ -82,6 +82,18 @@ def main() -> None:
 
     qs = entry.queries()
 
+    # resume: a query with a recorded row is done (r10 lesson — an OOM
+    # kills the whole JVM, and the rerun used to start from scratch);
+    # delete a row from the jsonl to force a re-measure
+    done: set[str] = set()
+    if os.path.exists(out):
+        with open(out) as fh:
+            done = {
+                json.loads(ln)["name"]
+                for ln in fh
+                if ln.strip() and "name" in json.loads(ln)
+            }
+
     def release() -> None:
         jsc = spark.sparkContext._jsc.sc()
         it = jsc.getPersistentRDDs().iterator()
@@ -95,6 +107,8 @@ def main() -> None:
     for i, name in enumerate(names):
         if name not in qs:
             print(f"skip unknown query {name}")
+            continue
+        if name in done:
             continue
         release()
         spark.range(10).count()

@@ -42,9 +42,12 @@ def main() -> None:
     sf_dir = args[0] if args else "/tmp/sf1"
     out = args[1] if len(args) > 1 else "/tmp/sf1_sweep.jsonl"
     cap = 900
+    only: set[str] | None = None
     for a in sys.argv[1:]:
         if a.startswith("--cap="):
             cap = int(a.split("=", 1)[1])
+        elif a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
 
     from pdcm_etl_spark.session import get_spark
 
@@ -70,6 +73,8 @@ def main() -> None:
 
     names = sorted(qs)
     for i, name in enumerate(names):
+        if only is not None and name not in only:
+            continue
         if name in done:
             continue
         if name in EXCLUDED:
