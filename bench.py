@@ -278,6 +278,12 @@ def main() -> None:
 
     queries = entrymod.queries()
 
+    # round-10: auto-fold registry queries missing from the manual list
+    # so BENCH_FULL always covers the WHOLE registry — the list used to
+    # need a hand-append every round and drifted (r10 shipped 224
+    # queries while the list held 220)
+    HEADLINE.extend(sorted(set(queries) - set(HEADLINE)))
+
     # JVM/codegen warmup so timings measure the engine, not first-job
     # class-loading: JMH-style — run every headline query once at the
     # smallest scale factor (sf0.001) before the timed loop. Whole-stage

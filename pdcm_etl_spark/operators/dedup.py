@@ -888,6 +888,7 @@ def prefix_filter_pairs(
     candidate_observation=None,
     raw_observation=None,
     prefilter_observation=None,
+    _return_candidates: bool = False,
 ) -> DataFrame:
     """EXACT Jaccard-threshold self-join via prefix filtering
     (Chaudhuri/Ganti/Kaushik ICDE'06; Xiao et al. WWW'08 "PPJoin") —
@@ -1077,6 +1078,11 @@ def prefix_filter_pairs(
             candidate_observation,
             F.count(F.lit(1)).alias("n_candidates"),
         )
+    if _return_candidates:
+        # measurement hook (scripts_dev/ppjoin_profile.py): the
+        # candidate stream BEFORE the doc-sized verify joins, so the
+        # generation/verification wall split is a measured artifact
+        return cands
     ta = docs.select(
         F.col("id").alias("id_a"),
         F.col("toks").alias("toks_a"),

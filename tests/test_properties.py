@@ -2261,8 +2261,11 @@ def test_split_leakage_audit_known_exact_values(spark):
     assert r["min_id"] == 0 and r["max_id"] == 4
     assert r["n_folds_hit"] == 4
     assert r["folds"] == "0,1,2,3"
-    # single-fold split can never report leaks
-    assert not split_leakage_audit(df, id_col="doc_id", n_folds=1).collect()
+    # single-fold split can never report leaks — since r10 that is a
+    # raised precondition (a vacuous audit is a caller bug), not an
+    # empty result
+    with pytest.raises(ValueError, match="at least 2 folds"):
+        split_leakage_audit(df, id_col="doc_id", n_folds=1)
 
 
 def test_mode_group_known_exact_values(spark):
