@@ -83,6 +83,24 @@ ORACLE = [
     "quantile_normalize",
     "shuffle_shards",
     "inverted_index",
+    # round-10 breadth extension: mid-tier queries + the r10 additions,
+    # all with data-linear oracles (results past ROW_CAP take the
+    # native hash-compare path automatically)
+    "dedup_exact",
+    "dedup_paragraph",
+    "text_tfidf",
+    "unigram_lm_score",
+    "corpus_curation",
+    "funnel_stages",
+    "cohort_retention",
+    "scd2_merge",
+    "asof_join",
+    "sessionize_batch",
+    "target_encode",
+    "heavy_hitters",
+    "dedup_substring",
+    "dedup_substring_stats",
+    "session_gap_sensitivity",
 ]
 
 # determinism double-run; reason = why no oracle/invariant at sf1
