@@ -35,66 +35,67 @@ def entry(spark: SparkSession) -> DataFrame:
 # remains pinned inside the window by tests/test_registry_window.py.
 _PRIORITY: list[str] = [
     # ---- window slots 1-50: the driver's correctness gate hashes these.
-    # Round-10 rotation: the 4 round-10 additions are windowed
-    # immediately; ALL 22 families benched during round 9 (last green
-    # r08) rotate back in — the freshness-budget forced-rotate-back;
-    # the remaining 23 slots are a set-cover over the operator-family
-    # map (tests/test_registry_window.py). Every family benched this
-    # round has a driver-hash-green rep in CORRECTNESS_r09.json.
+    # Round-11 rotation: the 2 round-11 additions are windowed
+    # immediately; ALL 26 families benched during round 10 (last green
+    # r09) rotate back in — the freshness-budget forced-rotate-back;
+    # the remaining 21 slots are a greedy set-cover over the
+    # operator-family map (tests/test_registry_window.py). Every family
+    # benched this round has a driver-hash-green rep in
+    # CORRECTNESS_r10.json.
     "etl_search_index",
-    # round-10 additions (never driver-checked before this round)
-    "dedup_substring",
-    "dedup_substring_stats",
-    "dedup_recall_sampled",
-    "session_gap_sensitivity",
-    # forced rotate-back: all 22 families benched during round 9
-    "rrf_fusion",
-    "ngram_novelty",
-    "weighted_median_group",
-    "churn_summary",
-    "split_leakage_audit",
-    "mode_group",
-    "vocab_accumulation",
-    "lang_confusion",
-    "balanced_downsample",
-    "concentration_topn",
-    "seasonal_anomaly",
-    "attribution_position",
-    "chisq_drift",
-    "link_predict_cn",
-    "benford_profile",
-    "string_agg_ordered",
-    "pivot_status",
-    "funnel_time_to_convert",
-    "rolling_window",
-    "entropy_profile",
-    "event_transitions",
-    "kmeans_assign_bcast",
-    # family set-cover representatives (all driver-proven r1-r9)
+    # round-11 additions (never driver-checked before this round)
+    "dedup_substring_scrub",
+    "dedup_recall_banded",
+    # forced rotate-back: all 26 families benched during round 10
+    "array_equality_group",
+    "interarrival_profile",
+    "rare_category_collapse",
+    "char_class_profile",
+    "bigram_pmi_topk",
+    "degree_histogram",
+    "out_of_orderness_profile",
+    "label_distinctive_terms",
+    "dup_rate_by_source",
+    "embedding_norm_profile",
+    "freshness_audit",
+    "activity_streaks",
+    "etl_search_index_incremental",
+    "label_noise_audit",
+    "multimodal_decode",
+    "nzv_audit",
+    "pack_sequences",
+    "corpus_curation",
+    "pit_tier_enrich",
+    "quality_percentile",
+    "quantile_normalize",
+    "revenue_retention",
+    "except_keys",
+    "pareto_frontier",
+    "correlated_count",
+    "bpe_pair_counts",
+    # family set-cover representatives (all driver-proven r1-r10)
     "audience_overlap",
-    "winsorize_group",
-    "stream_scd2_upsert",
-    "pagerank",
-    "linreg_group",
-    "key_skew_profile",
-    "json_key_profile",
-    "harmonisation_cascade",
-    "golden_record_merge",
-    "global_agg",
-    "fk_orphan_audit",
-    "dup_cluster_histogram",
-    "dedup_recall",
+    "quantile_bin",
+    "ann_ivf_delta_append",
+    "balanced_downsample",
+    "bigram_lm_score",
     "decile_migration",
-    "ann_ivf_persisted",
-    "zorder_layout",
-    "unigram_lm_score",
-    "trimmed_mean_group",
-    "token_frequency_spectrum",
-    "stump_train",
-    "stratified_kfold_assign",
+    "dedup_recall",
+    "dup_cluster_histogram",
+    "fk_orphan_audit",
+    "global_agg",
+    "golden_record_merge",
+    "harmonisation_cascade",
+    "json_key_profile",
+    "key_skew_profile",
+    "linreg_group",
     "snapshot_field_churn",
-    "rfm_segments",
-    # ---- below the 50-row window: all driver-proven in r1-r8, still
+    "stream_left_outer_join",
+    "anomaly_iqr",
+    "benford_profile",
+    "bfs_distance",
+    "bucket_cojoin",
+    # ---- below the 50-row window: all driver-proven in r1-r10, still
     # oracle-checked every pytest run (tests/test_oracle_parity.py)
     "json_agg_struct",
     "entropy_profile",
@@ -273,6 +274,12 @@ def _optional_catalogs() -> list[dict]:
         from pdcm_etl_spark.plans.extensions_i import EXTENSION_I_CATALOG
 
         cats.append(EXTENSION_I_CATALOG)
+    except ImportError:
+        pass
+    try:
+        from pdcm_etl_spark.plans.extensions_j import EXTENSION_J_CATALOG
+
+        cats.append(EXTENSION_J_CATALOG)
     except ImportError:
         pass
     return cats

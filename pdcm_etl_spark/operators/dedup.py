@@ -589,12 +589,13 @@ def paragraph_dedup(
     fall back to windows for oversized paragraphs).
 
     Scale: one shuffle on the segment digest (16-byte md5 + ids, never
-    the text), first-occurrence via a digest-partitioned window —
-    bucket-sized state, no global sort; reassembly is a per-doc
-    aggregation. Returns (id, n_segs, n_kept, kept_text).
+    the text — segment text stays id-partitioned for reassembly);
+    first-occurrence is skew-safe via min(struct(id, seg_idx)) partial
+    aggregate + join-back (round-11: a corpus-hot boilerplate segment
+    collapses map-side instead of single-task-sorting its digest
+    partition — see substring_dedup for the full argument); reassembly
+    is a per-doc aggregation. Returns (id, n_segs, n_kept, kept_text).
     """
-    from pyspark.sql import Window
-
     ws = F.split(F.lower(F.col(text_col)), " ")
     pre = df.select(F.col(id_col).alias("id"), ws.alias("ws"))
     n_segs = F.ceil(F.size("ws") / F.lit(seg_words)).cast("bigint")
@@ -619,10 +620,23 @@ def paragraph_dedup(
             " ",
         ).alias("seg"),
     )
-    # first occurrence wins, ordered by (doc id, position) — the digest
-    # partitions the window so state is bucket-sized
-    w = Window.partitionBy(F.md5("seg")).orderBy("id", "seg_idx")
-    flagged = segs.withColumn("kept", F.row_number().over(w) == 1)
+    # first occurrence wins, ordered by (doc id, position):
+    # min(struct) is field-lexicographic, so the keeper per digest is
+    # exactly the lowest (id, seg_idx); both join sides data-sized →
+    # shuffle_hash pinned (no broadcast at 100 TB)
+    segs = segs.withColumn("dig", F.md5("seg"))
+    keepers = segs.groupBy("dig").agg(
+        F.min(F.struct("id", "seg_idx")).alias("__first")
+    )
+    flagged = (
+        segs.hint("shuffle_hash")
+        .join(keepers.hint("shuffle_hash"), "dig")
+        .withColumn(
+            "kept",
+            (F.col("id") == F.col("__first.id"))
+            & (F.col("seg_idx") == F.col("__first.seg_idx")),
+        )
+    )
     return (
         flagged.groupBy("id")
         .agg(
@@ -678,14 +692,19 @@ def substring_dedup(
 
     Scale shape: windows are digested IN the generate projection (md5
     over the k-token slice — only (id, pos, 16-byte digest) ever
-    crosses a shuffle, never window text; plan-pinned). One
-    digest-keyed shuffle for first-occurrence, one id-keyed shuffle
-    shared by the lag window, the island running sum, AND the span
-    aggregate (HashPartitioning(id) satisfies the (id, island)
-    clustering — no third Exchange). A corpus-hot window (boilerplate
-    repeated 10⁶×) concentrates one digest partition exactly like
-    paragraph_dedup's digest window — inherent to first-occurrence
-    semantics, and the per-row state is (id, pos) only.
+    crosses a shuffle, never window text; plan-pinned).
+    First-occurrence is SKEW-SAFE (round-11): min(struct(id, pos)) per
+    digest is a map-side partial aggregate — a corpus-hot k-gram
+    (boilerplate repeated 10⁶×) collapses to one tiny row per map task
+    before the digest shuffle, instead of forcing a full single-task
+    sort of the hot digest partition (the old row_number-over-window
+    shape). The join-back streams the hot partition through a hash
+    probe (build side = one keeper row per digest); both sides are
+    data-sized, so shuffle_hash is pinned both ways — Catalyst must
+    never broadcast either at 100 TB. Then one id-keyed shuffle shared
+    by the lag window, the island running sum, AND the span aggregate
+    (HashPartitioning(id) satisfies the (id, island) clustering — no
+    extra Exchange).
 
     Returns one row per maximal duplicated span:
     (``id_col``, span_start, span_end, span_tokens, n_windows),
@@ -712,10 +731,18 @@ def substring_dedup(
             F.array_join(F.slice("ws", F.col("pos") + 1, k), " ")
         ).alias("dig"),
     )
-    first_w = Window.partitionBy("dig").orderBy("id", "pos")
+    # struct ordering is field-lexicographic, so min(struct(id, pos))
+    # IS the first occurrence under the (id, pos) total order
+    keepers = wins.groupBy("dig").agg(
+        F.min(F.struct("id", "pos")).alias("__first")
+    )
     dup = (
-        wins.withColumn("__rn", F.row_number().over(first_w))
-        .filter(F.col("__rn") > 1)
+        wins.hint("shuffle_hash")
+        .join(keepers.hint("shuffle_hash"), "dig")
+        .filter(
+            (F.col("id") != F.col("__first.id"))
+            | (F.col("pos") != F.col("__first.pos"))
+        )
         .select("id", "pos")
     )
     by_pos = Window.partitionBy("id").orderBy("pos")
@@ -800,11 +827,80 @@ def substring_dup_stats(
             "n_docs",
             "total_tokens",
             "dup_tokens",
+            # dup_tokens can reach the corpus token count (~2e13 at
+            # 100 TB of text): * 1e6 passes int64 at 9.2e12 and ANSI
+            # Spark aborts — ride DECIMAL(38,0) (the overflow-audit
+            # class, same as text.py f_ppm / banding recall)
             F.expr(
                 "CAST(CASE WHEN total_tokens = 0 THEN 0 ELSE"
-                " dup_tokens * 1000000 DIV total_tokens END AS BIGINT)"
+                " CAST(dup_tokens AS DECIMAL(38,0)) * 1000000"
+                " DIV total_tokens END AS BIGINT)"
             ).alias("dup_ppm"),
         )
+    )
+
+
+def substring_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+) -> DataFrame:
+    """The REMOVAL half of Lee et al. 2022 (arXiv:2107.06499 §4.1,
+    "ExactSubstr" dedup): ``substring_dedup`` finds every maximal
+    duplicated span; the paper's actual deliverable is the CLEANED
+    corpus — cut every non-first duplicated span out of its document
+    and reassemble the survivors in order. This is the op a training
+    pipeline runs right before tokenization; paragraph_dedup is its
+    fixed-segment approximation, this one is exact at token
+    granularity.
+
+    Scale shape: the substring machinery unchanged, plus a per-doc
+    span rollup that rides the span aggregate's HashPartitioning(id)
+    (no new Exchange — span counts per doc are bounded by
+    n_tokens / k), then ONE id-keyed join back to the token arrays
+    (both sides data-sized: shuffle_hash pinned both ways, Catalyst
+    must never broadcast either at 100 TB). The cut itself is a
+    per-row higher-order filter — tokens × spans per document, all
+    inside whole-stage codegen, no Python boundary, and the document
+    text crosses exactly one shuffle (the join), never the digest
+    shuffle.
+
+    Returns (``id_col``, n_tokens, dup_tokens, kept_tokens,
+    kept_text), where kept_tokens ≡ n_tokens − dup_tokens because
+    maximal spans are disjoint by construction.
+    """
+    spans = substring_dedup(df, id_col, text_col, k)
+    spans_per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias(
+            "__spans"
+        ),
+        F.sum("span_tokens").cast("bigint").alias("__dup"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.col(text_col)), " ").alias("__ws"),
+    )
+    joined = base.hint("shuffle_hash").join(
+        spans_per_doc.hint("shuffle_hash"), id_col, "left"
+    )
+    # token index i is 0-based, spans are 0-based inclusive — a token
+    # survives iff no span covers its position; docs with no spans
+    # (left-join null) keep everything
+    kept = F.when(F.col("__spans").isNull(), F.col("__ws")).otherwise(
+        F.expr(
+            "filter(__ws, (w, i) -> NOT exists(__spans,"
+            " s -> i >= s.span_start AND i <= s.span_end))"
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__ws").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("__dup"), F.lit(0)).cast("bigint").alias(
+            "dup_tokens"
+        ),
+        F.size(kept).cast("bigint").alias("kept_tokens"),
+        F.array_join(kept, " ").alias("kept_text"),
     )
 
 
@@ -1325,6 +1421,96 @@ def banding_recall(
                 " div n_true_pairs END AS BIGINT)"
             ).alias("recall_ppm"),
         )
+    )
+
+
+def banding_recall_banded(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_ppm: int = 200_000,
+    num_perm: int = 32,
+    bands: int = 8,
+    sample_bp: int | None = None,
+    band_edges_ppm: tuple[int, ...] = (
+        200_000,
+        300_000,
+        500_000,
+        800_000,
+        1_000_000,
+    ),
+) -> DataFrame:
+    """``banding_recall`` stratified by EXACT-Jaccard band — the
+    round-10 verdict's fix for a trivially-perfect headline number: on
+    a replica-heavy corpus the scalar recall is dominated by J=1.0
+    pairs that 32-perm MinHash catches with probability ~1, so it
+    proves plumbing, not near-threshold behaviour. Grouping the same
+    truth/hit sets by the truth side's exact jaccard_ppm (already
+    computed by prefix_filter_pairs' verification — stratification is
+    free) yields the per-band miss rate, and the LOW bands
+    ([0.2,0.3), [0.3,0.5)) are where the bands/rows S-curve actually
+    gets tuned before a 100 TB run.
+
+    Band convention: each row is labeled by its band's lower edge
+    (band_lo_ppm); the top edge 1_000_000 is its own band (exact
+    replicas), everything else is [edge_i, edge_{i+1}).
+
+    Scale shape: the two production pipelines unchanged (sampled via
+    ``sample_bp`` exactly like banding_recall's 100 TB mode), then ONE
+    pair-keyed left join truth←found (both sides data-sized,
+    shuffle_hash pinned) and a band-cardinality aggregate. recall_ppm
+    rides DECIMAL(38,0) per the overflow convention.
+
+    Returns (band_lo_ppm, n_true_pairs, n_hit, recall_ppm) ordered by
+    band_lo_ppm.
+    """
+    if sample_bp is not None:
+        docs = docs.filter(
+            portable_hash60(F.col(id_col).cast("string")) % 10000
+            < sample_bp
+        )
+    sh = shingles(docs, id_col, text_col, n)
+    min_bp = min_ppm // 100
+    truth = prefix_filter_pairs(sh, min_ppm=min_ppm).select(
+        "id_a", "id_b", "jaccard_ppm"
+    )
+    found = minhash_dedup(
+        docs, id_col, text_col, n, num_perm, bands, min_bp=min_bp
+    ).select("id_a", "id_b", F.lit(1).alias("__hit"))
+    edges = sorted(band_edges_ppm)
+    band = F.when(
+        F.col("jaccard_ppm") >= edges[-1], F.lit(edges[-1])
+    )
+    for lo, hi in zip(reversed(edges[:-1]), reversed(edges[1:])):
+        band = band.when(
+            (F.col("jaccard_ppm") >= lo) & (F.col("jaccard_ppm") < hi),
+            F.lit(lo),
+        )
+    joined = truth.hint("shuffle_hash").join(
+        found.hint("shuffle_hash"), ["id_a", "id_b"], "left"
+    )
+    return (
+        joined.select(
+            band.cast("bigint").alias("band_lo_ppm"),
+            F.coalesce(F.col("__hit"), F.lit(0)).alias("__hit"),
+        )
+        .groupBy("band_lo_ppm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
+            F.sum("__hit").cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "band_lo_ppm",
+            "n_true_pairs",
+            "n_hit",
+            F.expr(
+                "CAST(CASE WHEN n_true_pairs = 0 THEN NULL"
+                " ELSE (CAST(n_hit AS DECIMAL(38,0)) * 1000000)"
+                " div n_true_pairs END AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("band_lo_ppm")
     )
 
 

@@ -396,9 +396,13 @@ def session_gap_sensitivity(
         "n_sessions",
         "n_users",
         "n_events",
+        # n_events is the full stream cardinality (~1e13 at claimed
+        # scale): * 1e6 passes int64 at 9.2e12 and ANSI Spark aborts —
+        # DECIMAL(38,0) before the multiply (repo overflow convention)
         F.expr(
             "CAST(CASE WHEN n_sessions = 0 THEN 0 ELSE"
-            " n_events * 1000000 DIV n_sessions END AS BIGINT)"
+            " CAST(n_events AS DECIMAL(38,0)) * 1000000"
+            " DIV n_sessions END AS BIGINT)"
         ).alias("events_per_session_ppm"),
     )
 

@@ -25,7 +25,7 @@ caller's business via an allowlist — the linter itself has no opinions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def _seq(s) -> list:
@@ -169,12 +169,26 @@ _BOUNDED_NODES = (
 )
 
 
-# RDD ids of localCheckpoint frames whose PRE-checkpoint plan the
-# walker proved bounded (see bounded_checkpoint). A checkpoint erases
-# lineage into a LogicalRDD leaf, which used to force an argued
-# allowlist entry in tests/test_window_audit.py; registering the proof
-# at the call site keeps the audit mechanical end-to-end.
-_BOUNDED_RDD_IDS: set[int] = set()
+# (applicationId, rdd id) of localCheckpoint frames whose
+# PRE-checkpoint plan the walker proved bounded (see
+# bounded_checkpoint). A checkpoint erases lineage into a LogicalRDD
+# leaf, which used to force an argued allowlist entry in
+# tests/test_window_audit.py; registering the proof at the call site
+# keeps the audit mechanical end-to-end. Keyed by applicationId
+# because rdd ids restart from 0 in a fresh SparkContext — a bare-id
+# registry could mark an unproven LogicalRDD bounded after a context
+# restart (false negative in the safety audit).
+_BOUNDED_RDD_IDS: set[tuple[str, int]] = set()
+
+
+def _active_app_id() -> str:
+    try:
+        sess = SparkSession.getActiveSession()
+        if sess is not None:
+            return sess.sparkContext.applicationId
+    except Exception:  # noqa: BLE001 — no context, no proofs
+        pass
+    return ""
 
 
 def bounded_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -194,7 +208,7 @@ def bounded_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
         try:
             plan = out._jdf.queryExecution().optimizedPlan()
             if plan.getClass().getSimpleName() == "LogicalRDD":
-                _BOUNDED_RDD_IDS.add(plan.rdd().id())
+                _BOUNDED_RDD_IDS.add((_active_app_id(), plan.rdd().id()))
         except Exception:  # noqa: BLE001 — marker is best-effort
             pass
     return out
@@ -206,7 +220,7 @@ def _bounded_input(p) -> bool:
         return True
     if cn == "LogicalRDD":
         try:
-            return p.rdd().id() in _BOUNDED_RDD_IDS
+            return (_active_app_id(), p.rdd().id()) in _BOUNDED_RDD_IDS
         except Exception:  # noqa: BLE001 — unproven stays unproven
             return False
     if cn in _PASSTHROUGH_NODES:

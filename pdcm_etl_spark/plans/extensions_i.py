@@ -95,8 +95,10 @@ per_doc AS (
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(tok) AS BIGINT) AS total_tokens,
        CAST(SUM(dup) AS BIGINT) AS dup_tokens,
+       -- HUGEINT discipline: SUM(dup)*1e6 passes int64 at corpus scale
        CAST(CASE WHEN SUM(tok) = 0 THEN 0
-            ELSE SUM(dup) * 1000000 // SUM(tok) END AS BIGINT) AS dup_ppm
+            ELSE CAST(SUM(dup) AS HUGEINT) * 1000000 // SUM(tok)
+            END AS BIGINT) AS dup_ppm
 FROM j GROUP BY source
 """
 
@@ -149,8 +151,10 @@ WITH lagged AS (
 )
 SELECT CAST(gap_seconds AS BIGINT) AS gap_seconds, n_sessions, n_users,
        n_events,
+       -- HUGEINT discipline: n_events*1e6 passes int64 at stream scale
        CAST(CASE WHEN n_sessions = 0 THEN 0
-            ELSE n_events * 1000000 // n_sessions END AS BIGINT)
+            ELSE CAST(n_events AS HUGEINT) * 1000000 // n_sessions
+            END AS BIGINT)
          AS events_per_session_ppm
 FROM long
 """

@@ -61,8 +61,21 @@ sys.path.insert(
 
 SF01 = "/root/testdata/sf0.1"
 
-# DuckDB-oracle at sf1: heavy queries with data-linear oracles.
-ORACLE = [
+# ---------------------------------------------------------------------------
+# ROLLING sf1 verification (round-10 verdict item 2): coverage is a
+# freshness window like the driver's 50-row gate. Each round verifies a
+# ~30-query batch that is DISJOINT from everything already proven in a
+# committed sf1_verify_r{N}.jsonl; tests/test_sf1_rotation.py pins the
+# per-round sets (names in registry, batch size, disjointness).
+# Budget math: 226-query registry, 51 proven in r10, ~33/round
+# thereafter → projected FULL oracle/determinism coverage at sf1 by
+# round 16 (the heavy dedup/flagship tail was deliberately front-loaded
+# into r10, so the remaining batches are the cheap bounded-output
+# profile majority).
+# ---------------------------------------------------------------------------
+
+# DuckDB-oracle at sf1: queries with data-linear oracles.
+ORACLE_R10 = [
     "etl_search_index",
     "etl_search_index_wide",
     "etl_search_index_spine",
@@ -103,8 +116,50 @@ ORACLE = [
     "session_gap_sensitivity",
 ]
 
+# Round-11 batch: the round-11 additions plus the next 31 stalest
+# queries — deliberately aligned with the round-11 driver-gate window
+# (forced-back families + set-cover reps), so the same round that
+# re-proves a family at sf0.01 also proves it at sf1. All oracles are
+# data-linear (profile/agg/join shapes); the pair-graph and
+# IVF-assignment families stay in DETERMINISM rounds.
+ORACLE_R11 = [
+    "dedup_substring_scrub",      # r11 addition (positional oracle)
+    "array_equality_group",
+    "interarrival_profile",
+    "rare_category_collapse",
+    "char_class_profile",
+    "bigram_pmi_topk",
+    "degree_histogram",
+    "out_of_orderness_profile",
+    "label_distinctive_terms",
+    "dup_rate_by_source",
+    "embedding_norm_profile",
+    "freshness_audit",
+    "activity_streaks",
+    "label_noise_audit",
+    "multimodal_decode",
+    "nzv_audit",
+    "pack_sequences",
+    "pit_tier_enrich",
+    "quality_percentile",
+    "revenue_retention",
+    "except_keys",
+    "correlated_count",
+    "bpe_pair_counts",
+    "audience_overlap",
+    "quantile_bin",
+    "balanced_downsample",
+    "bigram_lm_score",
+    "decile_migration",
+    "fk_orphan_audit",
+    "global_agg",
+    "golden_record_merge",
+    "key_skew_profile",
+    "snapshot_field_churn",
+]
+
 # determinism double-run; reason = why no oracle/invariant at sf1
-DETERMINISM = {
+DETERMINISM_R10 = {
     "dedup_ngram_jaccard": (
         "stop-shingle guard (max_shingle_freq) prunes on corpus "
         "frequency, which scales 10x on the replicated lake — "
@@ -139,6 +194,18 @@ DETERMINISM = {
         "banding is probabilistic in the permutations; exact truth "
         "quadratic (recall measured separately via dedup_recall_sampled)"
     ),
+}
+
+DETERMINISM_R11: dict[str, str] = {}
+
+# at-scale committed VALUE rows (no cross-engine oracle; the number
+# itself is the artifact — recall ratios over sampled truth)
+VALUE_R10 = ["dedup_recall_sampled"]
+VALUE_R11 = ["dedup_recall_banded"]
+
+ROUNDS = {
+    10: (ORACLE_R10, DETERMINISM_R10, VALUE_R10),
+    11: (ORACLE_R11, DETERMINISM_R11, VALUE_R11),
 }
 
 
@@ -215,9 +282,11 @@ def frame_hash(df):
 
 
 def main() -> None:
+    rnd = int(os.environ.get("SF1_VERIFY_ROUND", "11"))
+    oracle_set, det_set, value_set = ROUNDS[rnd]
     sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     out = sys.argv[2] if len(sys.argv) > 2 else (
-        "scripts_dev/sf1_verify_r10.jsonl"
+        f"scripts_dev/sf1_verify_r{rnd}.jsonl"
     )
     import duckdb
 
@@ -251,7 +320,7 @@ def main() -> None:
             pass
 
     # -- method: oracle ---------------------------------------------------
-    for name in ORACLE:
+    for name in oracle_set:
         if name in done:
             continue
         t0 = time.time()
@@ -287,7 +356,7 @@ def main() -> None:
         release()
 
     # -- method: invariant (dedup_prefix_filter replica lift) -------------
-    if "dedup_prefix_filter" not in done:
+    if rnd == 10 and "dedup_prefix_filter" not in done:
         t0 = time.time()
         try:
             n01 = qs["dedup_prefix_filter"](spark, SF01).count()
@@ -323,7 +392,7 @@ def main() -> None:
         release()
 
     # -- method: determinism double-run ------------------------------------
-    for name, reason in DETERMINISM.items():
+    for name, reason in det_set.items():
         if name in done:
             continue
         t0 = time.time()
@@ -347,27 +416,31 @@ def main() -> None:
             })
         release()
 
-    # -- sampled recall at sf1 (verdict ask 2) -----------------------------
-    if "dedup_recall_sampled" not in done:
+    # -- at-scale committed VALUE rows (sampled recall family) -------------
+    # bounded outputs (1 row scalar / ≤5 band rows); the committed
+    # numbers ARE the artifact — sanity: every recall_ppm in [0, 1e6]
+    for name in value_set:
+        if name in done:
+            continue
         t0 = time.time()
         try:
-            row = qs["dedup_recall_sampled"](spark, sf1).first()
+            rows = [r.asDict() for r in qs[name](spark, sf1).collect()]
+            ppms = [
+                r["recall_ppm"] for r in rows if "recall_ppm" in r
+            ]
             emit({
-                "name": "dedup_recall_sampled", "method": "value",
-                "ok": row["recall_ppm"] is not None
-                and 0 <= row["recall_ppm"] <= 1_000_000,
-                "detail": {
-                    "sample_bp": 2500,
-                    "n_true_pairs": row["n_true_pairs"],
-                    "n_lsh_pairs": row["n_lsh_pairs"],
-                    "n_hit": row["n_hit"],
-                    "recall_ppm": row["recall_ppm"],
-                },
+                "name": name, "method": "value",
+                "ok": bool(rows)
+                and all(
+                    p is None or 0 <= p <= 1_000_000 for p in ppms
+                )
+                and any(p is not None for p in ppms),
+                "detail": {"sample_bp": 2500, "rows": rows},
                 "wall_sec": round(time.time() - t0, 1),
             })
         except Exception as exc:  # noqa: BLE001
             emit({
-                "name": "dedup_recall_sampled", "method": "value",
+                "name": name, "method": "value",
                 "ok": False,
                 "issues": [f"EXC {type(exc).__name__}: {exc}"[:300]],
                 "wall_sec": round(time.time() - t0, 1),

@@ -32,14 +32,12 @@ TIE_SENSITIVE = re.compile(
 # Operators added in the current round — screened by name even when the
 # tie-sensitive regex does not match. Rotate each round.
 CURRENT_ROUND_EXTRAS: list[str] = [
-    # round-10 additions — each double-run hash-screened at sf0.1 the
+    # round-11 additions — each double-run hash-screened at sf0.1 the
     # round it ships (prior rounds' extras rotate out once their round's
     # full-registry screen is committed; they stay covered by the
     # regex-selected families below)
-    "dedup_substring",
-    "dedup_substring_stats",
-    "dedup_recall_sampled",
-    "session_gap_sensitivity",
+    "dedup_substring_scrub",
+    "dedup_recall_banded",
 ]
 
 DET_SF_DIR = os.environ.get("SPARK_GRAFT_DET_SF_DIR", "/root/testdata/sf0.1")

@@ -260,14 +260,19 @@ def test_semantic_dedup_joins_within_cluster_only(spark, sf_dir, queries):
 
 
 def test_paragraph_dedup_no_global_sort(spark, sf_dir, queries):
-    """The first-occurrence window must partition by the segment digest
-    (bucket-sized state) — never an unpartitioned global sort; no
+    """First-occurrence is the skew-safe min(struct) partial aggregate
+    + shuffle-hash join-back (round-11): no digest-partitioned
+    row_number window left in the plan (a corpus-hot segment would
+    single-task-sort it), the join must be ShuffledHashJoin (both
+    sides data-sized — a broadcast would OOM at 100 TB), and no
     nested-loop joins anywhere."""
     import re
 
     plan = _plan(queries["dedup_paragraph"](spark, sf_dir))
     for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
         assert m.group(1).strip() != "", "unpartitioned window in plan"
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
@@ -1246,4 +1251,45 @@ def test_decile_migration_one_key_exchange_for_ranks(spark, sf_dir, queries):
     plan = _plan(df)
     assert "Join" not in plan
     assert _exchanges(df) <= 3
+    assert "pythonudf" not in plan.lower()
+
+
+def test_substring_dedup_skew_safe_first_occurrence(spark, sf_dir, queries):
+    """Round-11: first-occurrence must be the min(struct) partial agg
+    + shuffle-hash join-back — a digest-partitioned row_number window
+    would single-task-sort a corpus-hot k-gram's partition. Every
+    remaining window is id-partitioned (the islands pass); every join
+    is ShuffledHashJoin (both sides data-sized; a broadcast would OOM
+    at 100 TB)."""
+    import re
+
+    plan = _plan(queries["dedup_substring"](spark, sf_dir))
+    for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
+        assert m.group(1).strip() != "", "unpartitioned window in plan"
+    assert "row_number" not in plan.lower(), plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "pythonudf" not in plan.lower()
+
+
+def test_substring_scrub_single_doc_join_no_python(spark, sf_dir, queries):
+    """The scrub adds exactly one id-keyed join back to the token
+    arrays on top of the substring machinery — shuffle-hash pinned
+    (document text is data-sized on both sides), the positional cut is
+    a codegen higher-order filter, no Python boundary anywhere."""
+    plan = _plan(queries["dedup_substring_scrub"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "pythonudf" not in plan.lower()
+
+
+def test_recall_banded_no_broadcast_of_pair_tables(spark, sf_dir, queries):
+    """truth←found is a pair-keyed left join of two data-sized pair
+    streams: must shuffle, never broadcast; the band rollup is a
+    band-cardinality aggregate (≤5 rows)."""
+    plan = _plan(queries["dedup_recall_banded"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
     assert "pythonudf" not in plan.lower()

@@ -2992,3 +2992,90 @@ def test_split_leakage_bad_folds_raises(spark):
     df = spark.createDataFrame([(1, "t")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="at least 2 folds"):
         split_leakage_audit(df, "doc_id", n_folds=1)
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=1, max_size=30,
+        ).map(" ".join),
+        min_size=1, max_size=8,
+    ),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_substring_scrub_properties(spark, texts, parts):
+    """The cleaned corpus against a pure-Python replica: every token
+    covered by a non-first duplicated span is cut, survivors keep
+    their order, kept_tokens ≡ n_tokens − dup_tokens (spans are
+    disjoint); plus partition independence."""
+    from pdcm_etl_spark.operators.dedup import substring_scrub
+
+    k = 4
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["dup_tokens"],
+         r["kept_tokens"], r["kept_text"])
+        for r in substring_scrub(df, k=k).collect()
+    )
+    rep = sorted(
+        (r["doc_id"], r["n_tokens"], r["dup_tokens"],
+         r["kept_tokens"], r["kept_text"])
+        for r in substring_scrub(df.repartition(parts), k=k).collect()
+    )
+    assert got == rep
+    # python replica: mark duplicated window positions (first
+    # occurrence global over (id, pos)), expand to covered token
+    # positions, cut, reassemble
+    seen: set[str] = set()
+    cover: dict[int, set[int]] = {i: set() for i, _ in rows}
+    for i, t in sorted(rows):
+        ws = t.lower().split(" ")
+        for p in range(len(ws) - k + 1):
+            win = " ".join(ws[p : p + k])
+            if win in seen:
+                cover[i].update(range(p, p + k))
+            else:
+                seen.add(win)
+    expect = []
+    for i, t in rows:
+        ws = t.lower().split(" ")
+        kept = [w for p, w in enumerate(ws) if p not in cover[i]]
+        expect.append(
+            (i, len(ws), len(cover[i]), len(kept), " ".join(kept))
+        )
+    assert got == sorted(expect)
+    for _i, n, dup, kept_n, _txt in got:
+        assert kept_n == n - dup
+
+
+def test_recall_banded_partitions_truth(spark):
+    """The banded rows partition the unbanded truth set: band counts
+    sum to banding_recall's n_true_pairs, per-band hits never exceed
+    the band's truth count, and the J=1.0 band catches the planted
+    exact replicas."""
+    from pdcm_etl_spark.operators.dedup import (
+        banding_recall,
+        banding_recall_banded,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(38)) + " alt1 alt2"
+    rows = [(0, base), (1, base), (2, near)] + [
+        (10 + i, f"uniq{i} " + " ".join(f"u{i}_{j}" for j in range(20)))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    scalar = banding_recall(df, min_ppm=200_000).collect()[0]
+    bands = banding_recall_banded(df, min_ppm=200_000).collect()
+    assert sum(b["n_true_pairs"] for b in bands) == scalar["n_true_pairs"]
+    assert sum(b["n_hit"] for b in bands) <= scalar["n_lsh_pairs"]
+    for b in bands:
+        assert 0 <= b["n_hit"] <= b["n_true_pairs"]
+        if b["recall_ppm"] is not None:
+            assert 0 <= b["recall_ppm"] <= 1_000_000
+    exact = [b for b in bands if b["band_lo_ppm"] == 1_000_000]
+    assert exact and exact[0]["n_true_pairs"] >= 1
+    assert exact[0]["recall_ppm"] == 1_000_000
