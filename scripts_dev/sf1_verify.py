@@ -67,11 +67,11 @@ SF01 = "/root/testdata/sf0.1"
 # ~30-query batch that is DISJOINT from everything already proven in a
 # committed sf1_verify_r{N}.jsonl; tests/test_sf1_rotation.py pins the
 # per-round sets (names in registry, batch size, disjointness).
-# Budget math: 226-query registry, 51 proven in r10, ~33/round
-# thereafter → projected FULL oracle/determinism coverage at sf1 by
-# round 16 (the heavy dedup/flagship tail was deliberately front-loaded
-# into r10, so the remaining batches are the cheap bounded-output
-# profile majority).
+# Budget math: 226-query registry; 51 proven in r10, 104 more in r11
+# (both tranches, 641 s wall) → 155 cumulative. The ~71 remaining are
+# the relational/window basics plus the families that need argued
+# determinism runs (pair-graph, ANN, recursive CTE oracles) —
+# projected FULL coverage by round 13.
 # ---------------------------------------------------------------------------
 
 # DuckDB-oracle at sf1: queries with data-linear oracles.
@@ -156,6 +156,84 @@ ORACLE_R11 = [
     "golden_record_merge",
     "key_skew_profile",
     "snapshot_field_churn",
+    # tranche 2 (same round — the first tranche came in at 202 s
+    # wall, far under budget, so the rolling window advances faster
+    # than the ~30/round floor): every remaining query whose oracle is
+    # data-linear at sf1. Still excluded, with reasons, for later
+    # determinism rounds: the pair-graph family (quadratic truth), the
+    # ANN family (quadratic truth), pagerank/recursive_closure
+    # (N-round CTE oracles — cheap per round but edge-quadratic in
+    # DuckDB's un-pruned intermediate at sf1).
+    "json_agg_struct",
+    "entropy_profile",
+    "event_transitions",
+    "kmeans_assign_bcast",
+    "string_agg_ordered",
+    "pivot_status",
+    "chi_square_assoc",
+    "funnel_time_to_convert",
+    "rolling_window",
+    "attribution_position",
+    "grouped_gain_curve",
+    "chisq_drift",
+    "ngram_novelty",
+    "rrf_fusion",
+    "concentration_topn",
+    "seasonal_anomaly",
+    "user_accumulation",
+    "split_leakage_audit",
+    "mode_group",
+    "source_token_overlap",
+    "vocab_accumulation",
+    "churn_summary",
+    "lang_confusion",
+    "corpus_language_mix",
+    "anomaly_mad",
+    "gini_concentration",
+    "dq_check",
+    "sample_weighted_grouped",
+    "winsorize_group",
+    "attribution_touch",
+    "distribution_drift",
+    "grouped_auc",
+    "stream_dq_monitor",
+    "stream_static_join",
+    "robust_scale",
+    "grouped_quantiles",
+    "timeseries_gapfill",
+    "grouped_moments",
+    "event_path_topk",
+    "join_cardinality_estimate",
+    "sample_weighted",
+    "twap",
+    "sample_domain_mix",
+    "stream_events_sliding",
+    "percentile_rank",
+    "interval_overlap_join",
+    "stream_windowed_topk",
+    "token_budget_select",
+    "snapshot_diff",
+    "crosstab_lift",
+    "ivm_merge",
+    "stream_sessionize",
+    "kmeans_assign",
+    "grouped_topk",
+    "multimodal_meta",
+    "multimodal_frames",
+    "multimodal_resize",
+    "multimodal_dedup",
+    "multimodal_audio",
+    "text_tokens",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_pii_scrub",
+    "text_contamination",
+    "text_repetition",
+    "text_chunk",
+    "ngram_topk",
+    "er_score_pairs",
+    "sorted_neighborhood",
 ]
 
 # determinism double-run; reason = why no oracle/invariant at sf1
@@ -302,7 +380,13 @@ def main() -> None:
     done = set()
     if os.path.exists(out):
         with open(out) as fh:
-            done = {json.loads(ln)["name"] for ln in fh if ln.strip()}
+            # artifacts may carry keyless provenance "note" records —
+            # only measurement rows count as done
+            done = {
+                rec["name"]
+                for rec in (json.loads(ln) for ln in fh if ln.strip())
+                if "name" in rec
+            }
 
     def emit(rec: dict) -> None:
         print(json.dumps(rec), flush=True)

@@ -3063,7 +3063,17 @@ def test_recall_banded_partitions_truth(spark):
 
     base = " ".join(f"tok{i}" for i in range(40))
     near = " ".join(f"tok{i}" for i in range(38)) + " alt1 alt2"
-    rows = [(0, base), (1, base), (2, near)] + [
+    # constructed mid-J pair (the synthetic corpus has NO truth pairs
+    # below J=0.8 — sf1_verify_r11.jsonl note — so the low bands are
+    # exercised here): 20 shared + 20 distinct tokens each side →
+    # 18 shared 3-shingles of 38/38 → J = 18/58 ≈ 0.310 → band 300000
+    mid_a = " ".join(f"mid{i}" for i in range(20)) + " " + " ".join(
+        f"ma{i}" for i in range(20)
+    )
+    mid_b = " ".join(f"mid{i}" for i in range(20)) + " " + " ".join(
+        f"mb{i}" for i in range(20)
+    )
+    rows = [(0, base), (1, base), (2, near), (20, mid_a), (21, mid_b)] + [
         (10 + i, f"uniq{i} " + " ".join(f"u{i}_{j}" for j in range(20)))
         for i in range(5)
     ]
@@ -3079,3 +3089,8 @@ def test_recall_banded_partitions_truth(spark):
     exact = [b for b in bands if b["band_lo_ppm"] == 1_000_000]
     assert exact and exact[0]["n_true_pairs"] >= 1
     assert exact[0]["recall_ppm"] == 1_000_000
+    # the constructed J≈0.31 pair lands in — and only in — the
+    # [0.3, 0.5) band, so stratification separates it from the
+    # replica/near bands instead of drowning it in the scalar
+    mid = [b for b in bands if b["band_lo_ppm"] == 300_000]
+    assert mid and mid[0]["n_true_pairs"] == 1, bands

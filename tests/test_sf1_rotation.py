@@ -2,7 +2,7 @@
 scripts_dev/sf1_verify.py proves a fresh ~30-query batch every round,
 disjoint from everything already proven in committed
 sf1_verify_r{N}.jsonl artifacts, so coverage accumulates instead of
-re-proving the same tail. Projected full registry coverage: round 16
+re-proving the same tail. Projected full registry coverage: round 13
 (see the budget math in sf1_verify.py's rolling-window comment)."""
 
 import importlib.util
