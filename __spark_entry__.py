@@ -35,10 +35,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # remains pinned inside the window by tests/test_registry_window.py.
 _PRIORITY: list[str] = [
     # ---- window slots 1-50: the driver's correctness gate hashes these.
-    # Round-11 rotation: the 2 round-11 additions are windowed
+    # Round-11 rotation: the 3 round-11 additions are windowed
     # immediately; ALL 26 families benched during round 10 (last green
     # r09) rotate back in — the freshness-budget forced-rotate-back;
-    # the remaining 21 slots are a greedy set-cover over the
+    # the remaining 20 slots are a greedy set-cover over the
     # operator-family map (tests/test_registry_window.py). Every family
     # benched this round has a driver-hash-green rep in
     # CORRECTNESS_r10.json.
@@ -46,6 +46,7 @@ _PRIORITY: list[str] = [
     # round-11 additions (never driver-checked before this round)
     "dedup_substring_scrub",
     "dedup_recall_banded",
+    "dedup_substring_incremental",
     # forced rotate-back: all 26 families benched during round 10
     "array_equality_group",
     "interarrival_profile",
@@ -92,7 +93,6 @@ _PRIORITY: list[str] = [
     "snapshot_field_churn",
     "stream_left_outer_join",
     "anomaly_iqr",
-    "benford_profile",
     "bfs_distance",
     "bucket_cojoin",
     # ---- below the 50-row window: all driver-proven in r1-r10, still

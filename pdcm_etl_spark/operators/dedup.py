@@ -904,6 +904,125 @@ def substring_scrub(
     )
 
 
+def substring_dedup_incremental(
+    df: DataFrame,
+    is_existing,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+) -> DataFrame:
+    """Incremental exact-substring dedup: find duplicated ≥ ``k``-token
+    spans in a NEW ingest batch against an already-indexed corpus plus
+    within the batch itself — ``minhash_dedup_incremental``'s
+    production shape applied to the Lee et al. 2022 exact family
+    (``substring_dedup``). ``is_existing`` is a boolean Column marking
+    indexed rows; spans are reported ONLY for new documents (corpus
+    self-duplication was handled at index time).
+
+    Keeper precedence: per digest, min(struct(rank, id, pos)) with
+    rank 0 for corpus rows and 1 for batch rows — an indexed
+    occurrence always wins, otherwise first-(id, pos) within the
+    batch. So a batch window whose keeper has rank 0 duplicates
+    CORPUS material and one with rank 1 duplicates earlier batch
+    material; the span rollup counts both (n_corpus_windows tells an
+    ingest pipeline whether a feed is re-sending the archive or
+    repeating itself). In a deployment the corpus side is a LOADED
+    (dig → keeper) index table — digests are recomputed here only
+    because the test lake stores raw text; the per-ingest shuffle is
+    then proportional to the new batch, not the corpus.
+
+    Scale shape: identical to substring_dedup's round-11 skew-safe
+    form — digests computed in the generate projection, keeper via
+    map-side partial agg (corpus-hot boilerplate collapses per map
+    task), shuffle_hash-pinned join-back, islands on the id-keyed
+    partitioning. The only addition is the 1-byte rank in the keeper
+    struct.
+
+    Returns one row per maximal duplicated span of a NEW document:
+    (``id_col``, span_start, span_end, span_tokens, n_windows,
+    n_corpus_windows), offsets 0-based inclusive.
+    """
+    from pyspark.sql import Window
+
+    marked = df.withColumn("__existing", is_existing)
+    ws = F.split(F.lower(F.col(text_col)), " ")
+    pre = marked.select(
+        F.col(id_col).alias("id"),
+        F.col("__existing").alias("ex"),
+        ws.alias("ws"),
+    ).filter(F.size("ws") >= k)
+    wins = pre.select(
+        "id",
+        "ex",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("ws") - k)
+        ).alias("pos", "__i"),
+        "ws",
+    ).select(
+        "id",
+        "ex",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.md5(
+            F.array_join(F.slice("ws", F.col("pos") + 1, k), " ")
+        ).alias("dig"),
+    )
+    keepers = wins.groupBy("dig").agg(
+        F.min(
+            F.struct(
+                F.when(F.col("ex"), F.lit(0))
+                .otherwise(F.lit(1))
+                .alias("r"),
+                "id",
+                "pos",
+            )
+        ).alias("__first")
+    )
+    dup = (
+        wins.filter(~F.col("ex"))
+        .hint("shuffle_hash")
+        .join(keepers.hint("shuffle_hash"), "dig")
+        .filter(
+            (F.col("id") != F.col("__first.id"))
+            | (F.col("pos") != F.col("__first.pos"))
+        )
+        .select(
+            "id",
+            "pos",
+            # rank 0 keeper = this window repeats corpus material
+            (F.col("__first.r") == 0).cast("bigint").alias("__corpus"),
+        )
+    )
+    by_pos = Window.partitionBy("id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(by_pos) < k, F.lit(0)
+    ).otherwise(F.lit(1))
+    islands = dup.withColumn("__brk", brk).withColumn(
+        "island",
+        F.sum("__brk").over(
+            by_pos.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k) - 1).alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum("__corpus").cast("bigint").alias("n_corpus_windows"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+            "n_windows",
+            "n_corpus_windows",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # edit-distance (Levenshtein) near-dup
 # ---------------------------------------------------------------------------

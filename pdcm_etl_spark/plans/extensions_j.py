@@ -136,3 +136,62 @@ FROM j GROUP BY band_lo_ppm ORDER BY band_lo_ppm
 
 EXTENSION_J_CATALOG["dedup_recall_banded"] = (
     x_dedup_recall_banded, _sql_dedup_recall_banded(sample_bp=2500))
+
+
+def x_dedup_substring_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental exact-substring dedup demo: docs with doc_id < 250
+    play the already-indexed corpus, the rest are the new ingest batch
+    (operators/dedup.py::substring_dedup_incremental — same boundary
+    convention as dedup_minhash_incremental). Spans reported for new
+    docs only, with the corpus-vs-batch window split."""
+    from pdcm_etl_spark.operators.dedup import substring_dedup_incremental
+
+    return substring_dedup_incremental(
+        _docs(spark, sf_dir), F.col("doc_id") < 250, k=16
+    )
+
+
+SQL_DEDUP_SUBSTRING_INCREMENTAL = """
+WITH ws AS (
+  SELECT doc_id AS id, doc_id < 250 AS ex,
+         string_split(lower(text), ' ') AS w
+  FROM documents
+), wins AS (
+  SELECT id, ex, i AS pos,
+         array_to_string(list_slice(w, i + 1, i + 16), ' ') AS win
+  FROM (SELECT id, ex, w, unnest(range(len(w) - 16 + 1)) AS i
+        FROM ws WHERE len(w) >= 16)
+), dup AS (
+  SELECT id, pos, kr FROM (
+    SELECT id, pos, ex,
+           row_number() OVER w AS rn,
+           first_value(CASE WHEN ex THEN 0 ELSE 1 END) OVER w AS kr
+    FROM wins
+    WINDOW w AS (PARTITION BY win
+                 ORDER BY CASE WHEN ex THEN 0 ELSE 1 END, id, pos)
+  ) WHERE rn > 1 AND NOT ex
+), isl AS (
+  SELECT id, pos, kr,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) < 16
+              THEN 0 ELSE 1 END AS brk
+  FROM dup
+), grp AS (
+  SELECT id, pos, kr,
+         SUM(brk) OVER (PARTITION BY id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM isl
+)
+SELECT id AS doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 15 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 15 - MIN(pos) + 1 AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN kr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corpus_windows
+FROM grp GROUP BY id, island
+"""
+
+EXTENSION_J_CATALOG["dedup_substring_incremental"] = (
+    x_dedup_substring_incremental, SQL_DEDUP_SUBSTRING_INCREMENTAL)

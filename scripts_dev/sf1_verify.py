@@ -67,8 +67,9 @@ SF01 = "/root/testdata/sf0.1"
 # ~30-query batch that is DISJOINT from everything already proven in a
 # committed sf1_verify_r{N}.jsonl; tests/test_sf1_rotation.py pins the
 # per-round sets (names in registry, batch size, disjointness).
-# Budget math: 226-query registry; 51 proven in r10, 174 more in r11
-# (three tranches, 1018 s wall solo) → 225/226 cumulative = FULL
+# Budget math: 227-query registry; 51 proven in r10, 175 more in r11
+# (three tranches + the late incremental op, ~1045 s wall solo) →
+# 226/227 cumulative = FULL
 # coverage, two rounds ahead of the original round-13 projection. The
 # single remaining query is dedup_recall, excluded by design (see the
 # exclusion note in sf1_verify_r11.jsonl). From round 12 the window's
@@ -303,6 +304,8 @@ ORACLE_R11 = [
     "bfs_distance",
     "recursive_closure",
     "pagerank",
+    # late round-11 addition, verified the session it shipped
+    "dedup_substring_incremental",
 ]
 
 # determinism double-run; reason = why no oracle/invariant at sf1

@@ -38,6 +38,7 @@ CURRENT_ROUND_EXTRAS: list[str] = [
     # regex-selected families below)
     "dedup_substring_scrub",
     "dedup_recall_banded",
+    "dedup_substring_incremental",
 ]
 
 DET_SF_DIR = os.environ.get("SPARK_GRAFT_DET_SF_DIR", "/root/testdata/sf0.1")

@@ -3094,3 +3094,97 @@ def test_recall_banded_partitions_truth(spark):
     # replica/near bands instead of drowning it in the scalar
     mid = [b for b in bands if b["band_lo_ppm"] == 300_000]
     assert mid and mid[0]["n_true_pairs"] == 1, bands
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=1, max_size=30,
+        ).map(" ".join),
+        min_size=2, max_size=8,
+    ),
+    boundary=st.integers(min_value=0, max_value=4),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_substring_dedup_incremental_properties(
+    spark, texts, boundary, parts
+):
+    """Incremental substring dedup against a pure-Python replica:
+    corpus windows (doc_id < boundary) always keep; batch windows dup
+    on (corpus ∪ earlier-batch) occurrence, kr flags the corpus case;
+    spans only for batch docs; partition independence; and with an
+    all-false is_existing it degenerates to substring_dedup exactly."""
+    from pyspark.sql import functions as F
+
+    from pdcm_etl_spark.operators.dedup import (
+        substring_dedup,
+        substring_dedup_incremental,
+    )
+
+    k = 4
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cond = F.col("doc_id") < boundary
+    cols = ("doc_id", "span_start", "span_end", "span_tokens",
+            "n_windows", "n_corpus_windows")
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in substring_dedup_incremental(df, cond, k=k).collect()
+    )
+    rep = sorted(
+        tuple(r[c] for c in cols)
+        for r in substring_dedup_incremental(
+            df.repartition(parts), cond, k=k
+        ).collect()
+    )
+    assert got == rep
+    # python replica
+    corpus: set[str] = set()
+    for i, t in sorted(rows):
+        if i >= boundary:
+            continue
+        ws = t.lower().split(" ")
+        for p in range(len(ws) - k + 1):
+            corpus.add(" ".join(ws[p : p + k]))
+    seen_new: set[str] = set()
+    dup_pos: dict[int, list[tuple[int, int]]] = {}
+    for i, t in sorted(rows):
+        if i < boundary:
+            continue
+        ws = t.lower().split(" ")
+        for p in range(len(ws) - k + 1):
+            win = " ".join(ws[p : p + k])
+            if win in corpus:
+                dup_pos.setdefault(i, []).append((p, 1))
+            elif win in seen_new:
+                dup_pos.setdefault(i, []).append((p, 0))
+            else:
+                seen_new.add(win)
+    expect = []
+    for i, ps in dup_pos.items():
+        start, prev = ps[0][0], ps[0][0]
+        n, nc = 1, ps[0][1]
+        for p, c in ps[1:]:
+            if p - prev < k:
+                prev, n, nc = p, n + 1, nc + c
+            else:
+                expect.append((i, start, prev + k - 1,
+                               prev + k - start, n, nc))
+                start, prev, n, nc = p, p, 1, c
+        expect.append((i, start, prev + k - 1, prev + k - start, n, nc))
+    assert got == sorted(expect)
+    # degenerate case: empty corpus == plain substring_dedup
+    got0 = sorted(
+        tuple(r[c] for c in cols)
+        for r in substring_dedup_incremental(
+            df, F.lit(False), k=k
+        ).collect()
+    )
+    plain = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"],
+         r["span_tokens"], r["n_windows"], 0)
+        for r in substring_dedup(df, k=k).collect()
+    )
+    assert got0 == plain

@@ -11,6 +11,7 @@ rotation actually landed every previously-unchecked query inside it
 ROTATED_IN = [
     "dedup_substring_scrub",
     "dedup_recall_banded",
+    "dedup_substring_incremental",
 ]
 
 # The window must also re-check the families that have been OUT of it
@@ -64,6 +65,7 @@ STALE_ROTATED_IN = [
 # benched family stays oracle-checked every pytest run
 # (tests/test_oracle_parity.py).
 WINDOW_EXEMPT_FAMILIES = {
+    "benford": "CORRECTNESS_r10.json",
     "clustering": "CORRECTNESS_r10.json",
     "drift": "CORRECTNESS_r10.json",
     "entropy": "CORRECTNESS_r10.json",
@@ -248,7 +250,8 @@ def test_first_50_covers_every_family():
         "field-churn": ["snapshot_field_churn"],
         # round-10 families
         "substring-dedup": ["dedup_substring", "dedup_substring_stats",
-                            "dedup_substring_scrub"],
+                            "dedup_substring_scrub",
+                            "dedup_substring_incremental"],
         "session-tuning": ["session_gap_sensitivity"],
     }
     missing = {

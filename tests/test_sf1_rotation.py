@@ -2,7 +2,7 @@
 scripts_dev/sf1_verify.py proves a fresh ~30-query batch every round,
 disjoint from everything already proven in committed
 sf1_verify_r{N}.jsonl artifacts, so coverage accumulates instead of
-re-proving the same tail. Coverage CLOSED in round 11: 225/226 proven
+re-proving the same tail. Coverage CLOSED in round 11: 226/227 proven
 (dedup_recall excluded by design — see the exclusion note in the r11
 artifact); from round 12 the window re-verifies changed-plan queries
 plus a rotating re-proof slice (see sf1_verify.py's budget-math
