@@ -14,9 +14,78 @@ bounds state, the 1-day tumbling window keys the state store, and
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Compressed source bytes per streaming state partition. Every shuffle
+# in a streaming query doubles as the STATE STORE partitioning, and each
+# state partition carries fixed per-micro-batch cost (provider open,
+# delta-file write, fsync, commit) regardless of how little state it
+# holds — profiled at sf0.1: the stream-stream left-outer join spent
+# 109 s + 105 s of task wall across its two 32-task join stages with
+# < 1 s of CPU (pure state-store commit latency), 7.0 s wall; at 4
+# partitions the same drain is 2.4 s (2.9×). Inheriting the
+# core-count-sized session shuffle partitions is wrong in both
+# directions: too many stores at bench scale, and a CONSTANT (rather
+# than data-derived) count at 100 TB. 32 MB of compressed source per
+# partition ≈ 100-300 MB of in-memory working set — the 100 MB-1 GB
+# band the optimization guide (§2.2) targets per partition; override
+# with SPARK_GRAFT_STREAM_STATE_PARTITIONS for a pinned deployment
+# value (a production checkpoint bakes the count in — this derivation
+# is for fresh drains like the bench's).
+_STATE_PARTITION_BYTES = 32 * 1024 * 1024
+
+
+def _source_bytes(path: str) -> int:
+    import os
+
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(path)
+            for f in fs
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+@contextlib.contextmanager
+def _stream_state_partitions(
+    spark: SparkSession, source_path: str
+):
+    """Scope ``spark.sql.shuffle.partitions`` (= the streaming state
+    partitioning, fixed at first checkpoint) to a count derived from the
+    source size: clamp(source_bytes / 32 MB, 1, session setting). The
+    session value — core-sized locally, cluster-tuned in production —
+    stays the CAP, so a 100 TB source still fans out to the full
+    configured width while a bench-scale drain stops paying 32 stores'
+    fixed commit cost per micro-batch."""
+    import os
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    override = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if override is not None:
+        n = max(1, int(override))
+    else:
+        n = max(
+            1,
+            min(
+                (_source_bytes(source_path) + _STATE_PARTITION_BYTES - 1)
+                // _STATE_PARTITION_BYTES,
+                int(prev),
+            ),
+        )
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def _session_scratch_dir(prefix: str) -> str:
@@ -103,14 +172,15 @@ def run_availablenow(
     complete mode; returns the resulting DataFrame. Deterministic: one
     final emission containing every window."""
     agg = daily_counts_stream(spark, sf_dir)
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table_name)
 
 
@@ -131,15 +201,16 @@ def run_to_parquet(
 
     Returns the batch DataFrame read back from the sink."""
     agg = daily_counts_stream(spark, sf_dir)
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir)
 
 
@@ -184,14 +255,15 @@ def attribution_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
         "purchase_ts",
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName("attribution_stream")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("attribution_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("attribution_stream")
 
 
@@ -230,14 +302,15 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName("dedup_stream")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("dedup_stream")
 
 
@@ -300,15 +373,16 @@ def scd2_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["flip"] += 1
         state["batches"] += 1
 
-    q = (
-        events_stream_source(spark, sf_dir)
-        .select("user_id", "event_type", "ts")
-        .writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            events_stream_source(spark, sf_dir)
+            .select("user_id", "event_type", "ts")
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     if state["batches"] > 1:
         shutil.rmtree(work, ignore_errors=True)
         raise AssertionError(
@@ -363,14 +437,15 @@ def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value_micro",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("events_sliding_stream")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("events_sliding_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("events_sliding_stream")
 
 
@@ -400,14 +475,15 @@ def windowed_topk_stream(
             F.col("win.start").alias("win_start"), "event_type", "n_events"
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("events_windowed_topk")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("events_windowed_topk")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     w = Window.partitionBy("win_start").orderBy(
         F.col("n_events").desc(), F.col("event_type").asc()
     )
@@ -462,14 +538,15 @@ def dq_monitor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("win.start").alias("win_start"), "n_events",
                 "v_type", "v_value", "n_error")
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("events_dq_monitor")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("events_dq_monitor")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("events_dq_monitor").select(
         "win_start",
         F.col("n_events").cast("bigint").alias("n_events"),
@@ -529,14 +606,15 @@ def enriched_segment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value_micro",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("events_segment_stream")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("events_segment_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("events_segment_stream").select(
         "win_start", "segment",
         F.col("n_events").cast("bigint").alias("n_events"),
@@ -658,14 +736,15 @@ def scd2_upsert_restartable(
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    q = (
-        raw.select("user_id", "event_type", "ts")
-        .writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", f"{work_dir}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark, staging_dir):
+        q = (
+            raw.select("user_id", "event_type", "ts")
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", f"{work_dir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return _load_state().select(
         "user_id", "event_type", "valid_from", "valid_to", "is_current"
     )
@@ -726,14 +805,15 @@ def attribution_stream_left_join(
         "purchase_ts",
         F.col("purchase_ts").isNotNull().alias("matched"),
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName("attribution_stream_left")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("attribution_stream_left")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("attribution_stream_left")
 
 
@@ -797,13 +877,14 @@ def attribution_stream_left_join_restartable(
         F.col("purchase_ts").isNotNull().alias("matched"),
     )
     out = f"{work_dir}/out"
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", f"{work_dir}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark, staging_dir):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{work_dir}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out)

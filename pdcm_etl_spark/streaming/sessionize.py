@@ -125,6 +125,11 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+    # NOTE (r11): deliberately NOT scoped by _stream_state_partitions —
+    # measured at sf0.1 the Python state kernel is compute-bound (2.4 s at
+    # 32 state partitions vs 7.9 s at the source-derived 1): shrinking the
+    # state partitioning also shrinks applyInPandasWithState's Python
+    # worker parallelism, which here outweighs the per-store commit cost.
     q = (
         sessions.writeStream.format("memory")
         .queryName("events_sessions_stream")
