@@ -47,12 +47,20 @@ def itemset_pairs(
     Returns (item_1, item_2, n_pair, n_1, n_2, lift_ppm),
     n_pair >= min_support.
     """
-    bi = baskets.select(
-        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
-    ).distinct()
+    from pdcm_etl_spark.operators.sharing import shared
+
+    # bi feeds the size guard AND the anti-join probe; guarded feeds the
+    # per-item supports, the basket count, and BOTH self-join sides —
+    # without sharing every consumer re-scans the source (measured: 20
+    # lineitem scans in one assoc_rules plan; see operators/sharing.py)
+    bi = shared(
+        baskets.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+        ).distinct()
+    )
     sizes = bi.groupBy("bk").agg(F.count(F.lit(1)).alias("n_items"))
     hot = sizes.filter(F.col("n_items") > max_basket).select("bk")
-    guarded = bi.join(hot, "bk", "left_anti")
+    guarded = shared(bi.join(hot, "bk", "left_anti"))
     item_n = guarded.groupBy(F.col("it")).agg(F.count(F.lit(1)).alias("n_it"))
     n_baskets = (
         guarded.select("bk")

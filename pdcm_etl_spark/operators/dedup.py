@@ -117,6 +117,12 @@ def _size_sides(sizes: DataFrame) -> tuple[DataFrame, DataFrame]:
     return sz_a, sz_b
 
 
+# compute-once sharing for multi-consumer intermediates — see
+# operators/sharing.py for the measured rationale (6× corpus re-scan
+# per jaccard_pairs call without it)
+from pdcm_etl_spark.operators.sharing import shared as _shared  # noqa: E402
+
+
 def _guarded_intersections(
     sh: DataFrame, max_shingle_freq: int | None
 ) -> tuple[DataFrame, DataFrame]:
@@ -137,6 +143,9 @@ def _guarded_intersections(
     counting itself needs no frequency side at all).
     """
     if max_shingle_freq is not None:
+        # the posting rows feed BOTH the hot-count pass and the anti-join
+        # probe side — share them so the corpus is shingled once, not twice
+        sh = _shared(sh)
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("freq"))
@@ -144,7 +153,12 @@ def _guarded_intersections(
             .select("shingle")
         )
         sh = sh.join(hot, "shingle", "left_anti")
-    buckets = sh.groupBy("shingle").agg(F.collect_list("id").alias("ids"))
+    # consumed by the pair explosion AND both size-side probes (3×) —
+    # share, or the whole scan→shingle→guard→collect pipeline re-runs
+    # per consumer (measured: 6 corpus scans per jaccard_pairs call)
+    buckets = _shared(
+        sh.groupBy("shingle").agg(F.collect_list("id").alias("ids"))
+    )
     # per-doc shingle-set sizes over the GUARDED shingles (freq-1 buckets
     # included — they contribute to |A| even though they pair nothing)
     sizes = (
@@ -407,7 +421,9 @@ def verify_pairs_jaccard(
         .unionByName(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sets = (
+    # both pair endpoints probe the same collected sets (2×) — share so
+    # the semi-join + collect_set pipeline runs once (see _shared)
+    sets = _shared(
         sh.join(cand_ids, "id", "left_semi")
         .groupBy("id")
         .agg(F.collect_set("shingle").alias("sset"))
@@ -494,12 +510,17 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, bands: int = 4) ->
     exact hamming via bit_count(xor) ≤ max_hamming."""
     width = SIMHASH_BITS // bands
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    banded = sims.select("id", "simhash", band_idx).withColumn(
-        "bh",
-        F.expr(
-            f"(simhash >> CAST(CAST(band AS BIGINT) * {width} AS INT))"
-            f" & {(1 << width) - 1}"
-        ),
+    # both pair sides read the banded table — share so the upstream
+    # simhash computation (token + 60-bit explodes) runs once
+    # (operators/sharing.py)
+    banded = _shared(
+        sims.select("id", "simhash", band_idx).withColumn(
+            "bh",
+            F.expr(
+                f"(simhash >> CAST(CAST(band AS BIGINT) * {width} AS INT))"
+                f" & {(1 << width) - 1}"
+            ),
+        )
     )
     a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bh")
     b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bh")
@@ -624,7 +645,9 @@ def paragraph_dedup(
     # min(struct) is field-lexicographic, so the keeper per digest is
     # exactly the lowest (id, seg_idx); both join sides data-sized →
     # shuffle_hash pinned (no broadcast at 100 TB)
-    segs = segs.withColumn("dig", F.md5("seg"))
+    # segs feeds the keeper aggregation AND the join-back probe — share
+    # so the segmentation explode runs once (operators/sharing.py)
+    segs = _shared(segs.withColumn("dig", F.md5("seg")))
     keepers = segs.groupBy("dig").agg(
         F.min(F.struct("id", "seg_idx")).alias("__first")
     )
@@ -731,6 +754,14 @@ def substring_dedup(
             F.array_join(F.slice("ws", F.col("pos") + 1, k), " ")
         ).alias("dig"),
     )
+    # wins feeds the keeper aggregation AND the join-back probe, but is
+    # deliberately NOT shared: the materialized window-digest stream
+    # (32-char md5 hex per token position) is larger than the corpus it
+    # came from, and the r11 paired A/B measured the store+replay
+    # costlier than recomputing the explode on both consumers (wall
+    # −0.03 s, CPU +8% at sf0.1; same verdict for the stats/scrub
+    # consumers). The incremental variant keeps its share — it has a
+    # third consumer and measured the other way.
     # struct ordering is field-lexicographic, so min(struct(id, pos))
     # IS the first occurrence under the (id, pos) total order
     keepers = wins.groupBy("dig").agg(
@@ -966,6 +997,9 @@ def substring_dedup_incremental(
             F.array_join(F.slice("ws", F.col("pos") + 1, k), " ")
         ).alias("dig"),
     )
+    # wins feeds the keeper aggregation AND the join-back probe — share
+    # so the window-digest explode runs once (operators/sharing.py)
+    wins = _shared(wins)
     keepers = wins.groupBy("dig").agg(
         F.min(
             F.struct(
@@ -1061,15 +1095,19 @@ def edit_distance_pairs(
     Returns (id_1, id_2, dist) with id_1 < id_2, dist <= max_dist.
     """
     norm = F.lower(F.trim(F.col(text_col)))
-    keyed = df.select(
-        F.col(id_col).alias("id"),
-        norm.alias("t"),
-        F.substring(norm, 1, prefix_len).alias("__pfx"),
-        F.expr(f"length({text_col}) div {len_bucket}").alias("__lb"),
+    # keyed feeds the block-count guard AND the anti-join probe; guarded
+    # feeds BOTH self-join sides — share (operators/sharing.py)
+    keyed = _shared(
+        df.select(
+            F.col(id_col).alias("id"),
+            norm.alias("t"),
+            F.substring(norm, 1, prefix_len).alias("__pfx"),
+            F.expr(f"length({text_col}) div {len_bucket}").alias("__lb"),
+        )
     )
     blocks = keyed.groupBy("__pfx", "__lb").agg(F.count(F.lit(1)).alias("__n"))
     hot = blocks.filter(F.col("__n") > max_bucket).select("__pfx", "__lb")
-    guarded = keyed.join(hot, ["__pfx", "__lb"], "left_anti")
+    guarded = _shared(keyed.join(hot, ["__pfx", "__lb"], "left_anti"))
     a = guarded.select(
         F.col("__pfx"), F.col("__lb"),
         F.col("id").alias("id_1"), F.col("t").alias("t1"),
@@ -1179,6 +1217,9 @@ def prefix_filter_pairs(
     # zero-padded frequency || 0x1f || shingle sorts exactly like
     # (freq asc, shingle asc) and survives the trip through array_sort
     # on both engines (no struct-ordering semantics to align)
+    # posting rows feed the frequency pass AND the freq-keyed join —
+    # share (see _shared: measured multi-scan of the corpus otherwise)
+    sh = _shared(sh)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     keyed = sh.join(freq.hint("shuffle_hash"), "shingle").select(
         "id",
@@ -1188,7 +1229,8 @@ def prefix_filter_pairs(
             F.col("shingle"),
         ).alias("k"),
     )
-    docs = (
+    # consumed by the prefix postings and BOTH verify-side probes (3×)
+    docs = _shared(
         keyed.groupBy("id")
         .agg(F.array_sort(F.collect_list("k")).alias("toks"))
         .select(
@@ -1369,10 +1411,14 @@ def sorted_neighborhood_pairs(
     """
     from pyspark.sql import Window
 
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(key_col).alias("k"),
-        F.substring(F.col(key_col), 1, bucket_len).alias("__b"),
+    # base feeds the in-bucket ranking AND the bucket totals; g feeds
+    # both pair sides — share (operators/sharing.py)
+    base = _shared(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(key_col).alias("k"),
+            F.substring(F.col(key_col), 1, bucket_len).alias("__b"),
+        )
     )
     w_in = Window.partitionBy("__b").orderBy(F.asc("k"), F.asc("id"))
     ranked = base.withColumn("__r_in", F.row_number().over(w_in))
@@ -1388,8 +1434,10 @@ def sorted_neighborhood_pairs(
     offsets = totals.select(
         "__b", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
     )
-    g = ranked.join(F.broadcast(offsets), "__b").select(
-        "id", "k", (F.col("__off") + F.col("__r_in")).alias("rank")
+    g = _shared(
+        ranked.join(F.broadcast(offsets), "__b").select(
+            "id", "k", (F.col("__off") + F.col("__r_in")).alias("rank")
+        )
     )
     a = g.select(
         F.col("id").alias("id_a"),
@@ -1519,10 +1567,16 @@ def banding_recall(
         )
     sh = shingles(docs, id_col, text_col, n)
     min_bp = min_ppm // 100
-    truth = prefix_filter_pairs(sh, min_ppm=min_ppm).select("id_a", "id_b")
-    found = minhash_dedup(
-        docs, id_col, text_col, n, num_perm, bands, min_bp=min_bp
-    ).select("id_a", "id_b")
+    # each side is consumed twice (the hit semi-join + its own scalar
+    # count) — share, or the full truth/LSH pipeline runs twice
+    truth = _shared(
+        prefix_filter_pairs(sh, min_ppm=min_ppm).select("id_a", "id_b")
+    )
+    found = _shared(
+        minhash_dedup(
+            docs, id_col, text_col, n, num_perm, bands, min_bp=min_bp
+        ).select("id_a", "id_b")
+    )
     hit = found.join(truth, ["id_a", "id_b"], "left_semi")
     nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
     nf = found.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh_pairs"))

@@ -394,7 +394,13 @@ def triangle_count(
 
     Returns (node, n_triangles) for nodes in at least one triangle.
     """
-    e = (
+    from pdcm_etl_spark.operators.sharing import shared
+
+    # e feeds the degree union (2×) and the orientation join; oe feeds
+    # the wedge sides (2×) and the closing join — share both, or the
+    # canonical-edge distinct pipeline re-runs per consumer (measured:
+    # 45 source scans in one triangle_count plan; operators/sharing.py)
+    e = shared(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
@@ -411,7 +417,7 @@ def triangle_count(
     # total order: ok = deg * 2^40 + node  (node ids < 2^40, deg < 2^23)
     okey = (F.col("deg") * F.lit(1 << 40) + F.col("node")).cast("bigint")
     keyed = deg.select("node", okey.alias("ok"))
-    oe = (
+    oe = shared(
         e.join(keyed.select(F.col("node").alias("a"), F.col("ok").alias("oa")), "a")
         .join(keyed.select(F.col("node").alias("b"), F.col("ok").alias("ob")), "b")
         .select(
@@ -578,7 +584,13 @@ def link_predict_cn(
 
     Returns (node_a, node_b, common_neighbors), node_a < node_b.
     """
-    und = (
+    from pdcm_etl_spark.operators.sharing import shared
+
+    # und feeds the degree agg, the wedge source, and the existing-edge
+    # anti join; nbrs feeds BOTH wedge sides — share, or the symmetrize+
+    # distinct pipeline re-runs per consumer (measured: 44 source scans
+    # in one link_predict_cn plan; operators/sharing.py)
+    und = shared(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(
             edges.select(
@@ -592,8 +604,10 @@ def link_predict_cn(
     ok = deg.filter(F.col("__deg") <= max_center_degree).select(
         F.col("s").alias("c")
     )
-    nbrs = und.select(F.col("s").alias("c"), F.col("d").alias("nb")).join(
-        ok, "c", "left_semi"
+    nbrs = shared(
+        und.select(F.col("s").alias("c"), F.col("d").alias("nb")).join(
+            ok, "c", "left_semi"
+        )
     )
     wedges = (
         nbrs.alias("w1")

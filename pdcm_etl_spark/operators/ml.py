@@ -147,14 +147,20 @@ def iqr_outliers(
     """
     from pyspark.sql import Window
 
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(key_col).alias("key"),
-        value_micro.cast("bigint").alias("m"),
-        # null metrics are excluded OUTSIDE the rank, not sorted to an
-        # end: engines disagree on null sort order (Spark NULLS FIRST,
-        # DuckDB NULLS LAST), which would shift every quantile position
-    ).filter(F.col("m").isNotNull())
+    from pdcm_etl_spark.operators.sharing import shared
+
+    # base feeds the rank window, the counts, and the flagging join —
+    # share so the source scan+filter runs once (operators/sharing.py)
+    base = shared(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(key_col).alias("key"),
+            value_micro.cast("bigint").alias("m"),
+            # null metrics are excluded OUTSIDE the rank, not sorted to an
+            # end: engines disagree on null sort order (Spark NULLS FIRST,
+            # DuckDB NULLS LAST), which would shift every quantile position
+        ).filter(F.col("m").isNotNull())
+    )
     w = Window.partitionBy("key").orderBy("m", "id")
     ranked = base.withColumn("rn", F.row_number().over(w))
     counts = base.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
@@ -214,11 +220,18 @@ def mad_outliers(
     """
     from pyspark.sql import Window
 
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(key_col).alias("key"),
-        value_micro.cast("bigint").alias("m"),
-    ).filter(F.col("m").isNotNull())
+    from pdcm_etl_spark.operators.sharing import shared
+
+    # base feeds the counts, the median window, and the deviation join;
+    # dev feeds the MAD window and the flagging join — share both
+    # (operators/sharing.py; measured: 7 events scans per plan)
+    base = shared(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(key_col).alias("key"),
+            value_micro.cast("bigint").alias("m"),
+        ).filter(F.col("m").isNotNull())
+    )
     w1 = Window.partitionBy("key").orderBy("m", "id")
     counts = base.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
     med = (
@@ -227,8 +240,10 @@ def mad_outliers(
         .filter(F.col("rn") == F.expr("(n + 1) div 2"))
         .select("key", F.col("m").alias("med_micro"))
     )
-    dev = base.join(med, "key").withColumn(
-        "d", F.abs(F.col("m") - F.col("med_micro"))
+    dev = shared(
+        base.join(med, "key").withColumn(
+            "d", F.abs(F.col("m") - F.col("med_micro"))
+        )
     )
     w2 = Window.partitionBy("key").orderBy("d", "id")
     mad = (
@@ -272,6 +287,11 @@ def percentile_rank_ppm(
     """
     from pyspark.sql import Window
 
+    # base feeds the rank window and the counts, but is deliberately
+    # NOT shared: with only two cheap consumers of a narrow projection,
+    # the r11 paired A/B measured the store+replay slower than the
+    # second scan (wall −0.07 s, CPU +8% at sf0.1) — unlike the 3+
+    # consumer mad/robust shapes below, which keep their share.
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(key_col).alias("key"),
@@ -387,11 +407,19 @@ def robust_scale_ppm(
     """
     from pyspark.sql import Window
 
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(key_col).alias("key"),
-        value_micro.cast("bigint").alias("m"),
-    ).filter(F.col("m").isNotNull())
+    from pdcm_etl_spark.operators.sharing import shared
+
+    # base feeds the counts, the median window, and the deviation join;
+    # dev feeds the MAD window and the final scaling join — share both,
+    # or the source scan+filter re-runs per consumer (measured: 7 events
+    # scans in one robust_scale plan; operators/sharing.py)
+    base = shared(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(key_col).alias("key"),
+            value_micro.cast("bigint").alias("m"),
+        ).filter(F.col("m").isNotNull())
+    )
     counts = base.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
     w1 = Window.partitionBy("key").orderBy("m", "id")
     med = (
@@ -400,7 +428,9 @@ def robust_scale_ppm(
         .filter(F.col("rn") == F.expr("(n + 1) div 2"))
         .select("key", F.col("m").alias("med"))
     )
-    dev = base.join(med, "key").withColumn("d", F.abs(F.col("m") - F.col("med")))
+    dev = shared(
+        base.join(med, "key").withColumn("d", F.abs(F.col("m") - F.col("med")))
+    )
     w2 = Window.partitionBy("key").orderBy("d", "id")
     mad = (
         dev.withColumn("rn", F.row_number().over(w2))

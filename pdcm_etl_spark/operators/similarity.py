@@ -569,10 +569,19 @@ def semantic_dedup(
 
     Returns (``id_col``, cid, removed).
     """
+    from pdcm_etl_spark.operators.sharing import shared
+
     _, assigned = kmeans_fit(
         embeddings, k, iterations, id_col, vec_col, assign_method
     )
-    labeled = embeddings.select(id_col, vec_col).join(assigned, id_col)
+    # the final assignment feeds the labeled join AND the removed-flag
+    # join; the labeled frame feeds BOTH sides of the in-cluster pair
+    # self-join — without sharing, the whole argmin assignment re-runs
+    # per consumer (measured: 5 embeddings scans per dedup_semantic plan)
+    assigned = shared(assigned)
+    labeled = shared(
+        embeddings.select(id_col, vec_col).join(assigned, id_col)
+    )
     pairs = embedding_near_dup_pairs(
         labeled, id_col=id_col, vec_col=vec_col, block_col="cid", min_ppm=min_ppm
     )

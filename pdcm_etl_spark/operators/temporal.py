@@ -143,15 +143,28 @@ def funnel_stages(
     """
     if not stages:
         raise ValueError("funnel_stages: need at least one stage")
+    from pdcm_etl_spark.operators.sharing import shared
+
+    # one corpus scan for ALL stages (pushed IN filter), shared so each
+    # stage's filter reads stored blocks; the accumulating `out` is
+    # consumed twice per stage (the constraint join + the left fold) —
+    # without sharing its recompute doubles per stage (measured: 13
+    # events scans in one 4-stage funnel plan; operators/sharing.py)
+    staged = shared(
+        events.filter(F.col(type_col).isin(list(stages))).select(
+            user_col, type_col, ts_col
+        )
+    )
     cur = (
-        events.filter(F.col(type_col) == stages[0])
+        staged.filter(F.col(type_col) == stages[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("t_1"))
     )
     out = cur
     for k, stage in enumerate(stages[1:], start=2):
+        out = shared(out)
         nxt = (
-            events.filter(F.col(type_col) == stage)
+            staged.filter(F.col(type_col) == stage)
             .join(out.select(user_col, f"t_{k - 1}"), user_col)
             .filter(F.col(ts_col) > F.col(f"t_{k - 1}"))
             .groupBy(user_col)
@@ -192,7 +205,11 @@ def cohort_retention(
     week = F.expr(
         f"cast(datediff(to_date({ts_col}), date'1970-01-01') div 7 as int)"
     )
-    activity = (
+    from pdcm_etl_spark.operators.sharing import shared
+
+    # consumed by the cohort-assignment aggregation AND the join back —
+    # share so the distinct runs once (operators/sharing.py)
+    activity = shared(
         events.select(F.col(user_col).alias("u"), week.alias("week"))
         .distinct()
     )

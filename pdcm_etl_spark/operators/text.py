@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pdcm_etl_spark.operators.sharing import shared
+
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "of", "and", "is"),
@@ -174,12 +176,21 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
+    # ONE pass over the exploded token stream: tf is the only consumer
+    # of toks (so the corpus-sized explode is never materialized — the
+    # r11 A/B measured sharing IT as a net loss), and doclen is derived
+    # FROM tf (sum of per-term counts ≡ token count per doc), so the
+    # second token-stream aggregation disappears entirely. tf itself is
+    # (doc × distinct-term)-sized and feeds doclen, dfreq AND the
+    # scoring join — compute-once shared (operators/sharing.py).
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
     )
-    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    doclen = toks.groupBy("id").agg(F.count(F.lit(1)).alias("doclen"))
+    tf = shared(
+        toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doclen = tf.groupBy("id").agg(F.sum("tf").alias("doclen"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(id_col).alias("n"))
     score = F.floor(
@@ -616,14 +627,20 @@ def unigram_lm_score(
 
     Returns (``id_col``, n_words, lm_score_ppm, hapax_bp, rarest_count).
     """
-    doc_words = (
+    # doc_words feeds the vocab aggregation AND the scoring join; vocab
+    # feeds the scalar-total ACTION and the scored projection — without
+    # sharing, the corpus is scanned+exploded three times per call
+    # (operators/sharing.py)
+    doc_words = shared(
         df.select(
             F.col(id_col).alias("id"),
             F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
         )
         .filter(F.col("w") != "")
     )
-    vocab = doc_words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = shared(
+        doc_words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
     # corpus size: scalar-bounded collect (one row), same policy as the
     # k-means centroid / streaming-span collects
     n_total = vocab.agg(F.sum("c").alias("n")).collect()[0]["n"]
@@ -693,6 +710,15 @@ def inverted_index(
     """
     from pyspark.sql import Window
 
+    # ONE pass over the exploded token stream: aggregate it straight to
+    # the (term, doc) occurrence table, then derive BOTH the term stats
+    # (cf = sum of per-doc counts, df = row count per term) and the
+    # postings pairs from that far smaller table. The old shape ran two
+    # corpus-stream aggregations (stats + distinct); the first r11
+    # attempt shared the raw token stream instead, which the paired A/B
+    # measured as a net loss (the materialized stream outweighs one
+    # explode). per feeds stats AND the postings path — compute-once
+    # shared (operators/sharing.py).
     dw = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -700,11 +726,14 @@ def inverted_index(
         )
         .filter(F.col("term") != "")
     )
-    stats = dw.groupBy("term").agg(
-        F.count(F.lit(1)).alias("cf"),
-        F.count_distinct("doc_id").alias("df"),
+    per = shared(
+        dw.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("__n"))
     )
-    pairs = dw.select("term", "doc_id").distinct()
+    stats = per.groupBy("term").agg(
+        F.sum("__n").alias("cf"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    pairs = per.select("term", "doc_id")
     bucketed = pairs.withColumn("__b", F.col("doc_id") % sub_buckets)
     w1 = Window.partitionBy("term", "__b").orderBy("doc_id")
     w2 = Window.partitionBy("term").orderBy("doc_id")
@@ -783,9 +812,10 @@ def bigram_lm_score(
     Scale shape: bigrams come out of the word array MAP-SIDE
     (slice+zip — never a positional self-join of exploded words); one
     bigram-vocab aggregation; the w1 marginal re-aggregates the vocab
-    (vocabulary-sized, and its exchange is shared with the scoring
-    join via AQE ReuseExchange — identical subplan); one (w1,w2) join;
-    one per-doc aggregation. No data-sized collect, no UDF.
+    (vocabulary-sized); doc_bi and vocab2 are compute-once shared
+    (operators/sharing.py — the AQE ReuseExchange this shape assumed
+    never fired); one (w1,w2) join; one per-doc aggregation. No
+    data-sized collect, no UDF.
 
     Returns (``id_col``, n_bigrams, lm2_score_ppm, min_cond_ppm).
     """
@@ -806,9 +836,15 @@ def bigram_lm_score(
             F.col("b.__r").alias("w2"),
         )
     )
-    vocab2 = doc_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    # the w1 marginal derives FROM the bigram vocab — vocabulary-sized,
-    # never a second corpus scan
+    # doc_bi feeds the bigram vocab AND the scoring join; vocab2 feeds
+    # the w1 marginal AND the conditional projection — share both or the
+    # corpus zip-explode runs three times (operators/sharing.py; the AQE
+    # ReuseExchange this docstring used to rely on never fired — plan
+    # capture r11 showed 3 documents scans)
+    doc_bi = shared(doc_bi)
+    vocab2 = shared(
+        doc_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    )
     w1_tot = vocab2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     scored = vocab2.join(w1_tot, "w1").select(
         "w1",

@@ -107,6 +107,12 @@ def main() -> None:
         i = args.index("--tag")
         tag = args[i + 1]
         del args[i : i + 2]
+    conf = {}
+    while "--conf" in args:
+        i = args.index("--conf")
+        k, _, v = args[i + 1].partition("=")
+        conf[k] = v
+        del args[i : i + 2]
     sf_dir = "/root/testdata/sf0.1"
     if args and os.path.isdir(args[0]):
         sf_dir = args.pop(0)
@@ -115,7 +121,8 @@ def main() -> None:
     from pdcm_etl_spark.session import get_spark
 
     spark = get_spark(
-        "pdcm-etl-profile", extra_conf={"spark.ui.enabled": "true"}
+        "pdcm-etl-profile",
+        extra_conf={"spark.ui.enabled": "true", **conf},
     )
     import __spark_entry__ as entrymod
 

@@ -18,6 +18,23 @@ def _plan(df, mode="formatted") -> str:
     return buf.getvalue()
 
 
+def _unshared_plan(fn, spark, sf_dir, mode="formatted") -> str:
+    """Plan with compute-once sharing disabled (operators/sharing.py).
+
+    The r11 share boundary truncates the printed plan at a
+    `Scan ExistingRDD` — the shape below it still executes, it just
+    materializes once. Shape pins on subtrees that now sit behind a
+    boundary assert under the documented recompute toggle, which prints
+    the full logical shape unchanged."""
+    import os
+
+    os.environ["SPARK_GRAFT_SHARE_INTERMEDIATES"] = "none"
+    try:
+        return _plan(fn(spark, sf_dir), mode=mode)
+    finally:
+        os.environ.pop("SPARK_GRAFT_SHARE_INTERMEDIATES", None)
+
+
 @pytest.fixture(scope="module")
 def queries():
     import __spark_entry__ as e
@@ -151,21 +168,31 @@ def test_jaccard_pairs_bucketed_no_freq_join(spark):
 
     from pdcm_etl_spark.operators.dedup import jaccard_pairs, shingles
 
+    import os
+
     docs = spark.range(100).select(
         F.col("id").alias("doc_id"),
         F.concat(F.lit("a b c d e f g h word"), F.col("id") % 7).alias("text"),
     )
-    plan = _plan(
-        jaccard_pairs(shingles(docs), min_bp=1000, max_shingle_freq=50),
-        mode="simple",
-    )
+    # r11: the candidate core shares its multi-consumer intermediates
+    # (operators/sharing.py), which truncates the printed plan at the
+    # share boundary — assert the LOGICAL shape under the documented
+    # recompute toggle (same plan, no boundary), then pin the boundary
+    # itself with sharing on.
+    os.environ["SPARK_GRAFT_SHARE_INTERMEDIATES"] = "none"
+    try:
+        plan = _plan(
+            jaccard_pairs(shingles(docs), min_bp=1000, max_shingle_freq=50),
+            mode="simple",
+        )
+    finally:
+        os.environ.pop("SPARK_GRAFT_SHARE_INTERMEDIATES", None)
     n_joins = sum(plan.count(j) for j in
                   ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
                    "BroadcastNestedLoopJoin", "CartesianProduct"))
     n_anti = plan.count("LeftAnti")
     # 2 size joins + the anti-guard (whose subtree prints once per branch
-    # in the static plan; the shingle/count exchanges are reused at
-    # runtime by AQE's ReuseExchange)
+    # in the static plan; with sharing on, reuse is by stored blocks)
     assert n_anti >= 1 and n_joins - n_anti == 2, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
@@ -174,11 +201,24 @@ def test_jaccard_pairs_bucketed_no_freq_join(spark):
     # aggregation buffer ever holds an unguarded posting list
     first_collect = plan.index("partial_collect_list")
     assert "LeftAnti" in plan[first_collect:], plan
-    # without the guard there is no anti-join: just the two size joins
-    no_guard = _plan(
-        jaccard_pairs(shingles(docs), min_bp=1000, max_shingle_freq=None),
+    # sharing on (the default): the pair explosion and both size probes
+    # must read the bucket table from the share boundary, not re-run
+    # the scan→shingle→guard pipeline per consumer (r11 fix: SIX
+    # documents scans per call without it)
+    shared_plan = _plan(
+        jaccard_pairs(shingles(docs), min_bp=1000, max_shingle_freq=50),
         mode="simple",
     )
+    assert "Scan ExistingRDD" in shared_plan, shared_plan
+    # without the guard there is no anti-join: just the two size joins
+    os.environ["SPARK_GRAFT_SHARE_INTERMEDIATES"] = "none"
+    try:
+        no_guard = _plan(
+            jaccard_pairs(shingles(docs), min_bp=1000, max_shingle_freq=None),
+            mode="simple",
+        )
+    finally:
+        os.environ.pop("SPARK_GRAFT_SHARE_INTERMEDIATES", None)
     n_joins_ng = sum(no_guard.count(j) for j in
                      ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
     assert n_joins_ng == 2, no_guard
@@ -326,8 +366,10 @@ def test_zorder_layout_is_map_side_plus_one_agg(spark, sf_dir, queries):
 def test_edit_distance_pairs_blocked_equi_join(spark, sf_dir, queries):
     """Candidate generation must be an equi join on the (prefix, length
     bucket) block key — never a cartesian text×text scan — and the
-    hot-block guard must appear as a LeftAnti join before pairing."""
-    plan = _plan(queries["dedup_edit_distance"](spark, sf_dir))
+    hot-block guard must appear as a LeftAnti join before pairing.
+    (Shape asserted under the recompute toggle — the guard now sits
+    behind the r11 share boundary; see _unshared_plan.)"""
+    plan = _unshared_plan(queries["dedup_edit_distance"], spark, sf_dir)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftAnti" in plan, plan
@@ -366,8 +408,9 @@ def test_triangle_count_all_joins_keyed(spark, sf_dir, queries):
 def test_itemset_pairs_guarded_basket_join(spark, sf_dir, queries):
     """The basket-size guard must appear as a LeftAnti join before the
     in-basket pair self-join, and the only non-equi operator allowed is
-    the one-row total broadcast."""
-    plan = _plan(queries["itemset_pairs"](spark, sf_dir))
+    the one-row total broadcast. (Shape asserted under the recompute
+    toggle — the guard sits behind the r11 share boundary.)"""
+    plan = _unshared_plan(queries["itemset_pairs"], spark, sf_dir)
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
@@ -405,8 +448,12 @@ def test_pareto_frontier_bounded_windows(spark, sf_dir, queries):
 
 def test_containment_pairs_same_guarded_core_as_jaccard(spark, sf_dir, queries):
     """Containment reuses the guarded in-bucket candidate core: the
-    stop-shingle anti-join must sit below the posting-list collect."""
-    plan = _plan(queries["dedup_containment"](spark, sf_dir), mode="simple")
+    stop-shingle anti-join must sit below the posting-list collect.
+    (Shape asserted under the recompute toggle — the guarded core sits
+    behind the r11 share boundary.)"""
+    plan = _unshared_plan(
+        queries["dedup_containment"], spark, sf_dir, mode="simple"
+    )
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
     first_collect = plan.index("partial_collect_list")
@@ -664,8 +711,12 @@ def test_winnow_hash_stream_never_explodes(spark, sf_dir, queries):
     each is ~n/w elements). What must NEVER happen is a Generate whose
     input is the raw k-gram hash transform itself — that would put ≈
     text-length rows per doc on the row stream. The md5/conv hashing
-    must stay inside Project nodes."""
-    plan = _plan(queries["dedup_winnow"](spark, sf_dir), mode="simple")
+    must stay inside Project nodes. (Shape asserted under the recompute
+    toggle — the hash-stream projection sits behind the r11 share
+    boundary.)"""
+    plan = _unshared_plan(
+        queries["dedup_winnow"], spark, sf_dir, mode="simple"
+    )
     for line in plan.splitlines():
         if "Generate " in line:
             assert "md5(" not in line and "conv(" not in line, line
@@ -730,8 +781,12 @@ def test_sorted_neighborhood_no_global_sort(spark, sf_dir, queries):
     data-sized Sort lives under a bucket-partitioned Window; the one
     UNPARTITIONED window runs over the bucket-totals aggregate (tiny),
     which re-enters on a broadcast join. No rank-wide Distinct: the
-    block pairing is exactly-once by construction."""
-    plan = _plan(queries["sorted_neighborhood"](spark, sf_dir), mode="simple")
+    block pairing is exactly-once by construction. (Shape asserted
+    under the recompute toggle — the rank pipeline sits behind the r11
+    share boundary.)"""
+    plan = _unshared_plan(
+        queries["sorted_neighborhood"], spark, sf_dir, mode="simple"
+    )
     lines = plan.splitlines()
     # every data-sized ranking window is bucket-partitioned (the rank
     # subtree appears once per self-join side — each copy must be)
