@@ -586,11 +586,19 @@ def grouped_moments(
     the sf0.01 gate passed with 2× headroom). Returns (key, n,
     min_micro, max_micro, mean_micro, var_micro2, var_sample_micro2).
     """
+    from pdcm_etl_spark.operators.sharing import shared
+
     base = df.select(
         F.col(key_col).alias("key"),
         value_micro.cast("bigint").alias("m"),
     ).filter(F.col("m").isNotNull())
-    stats = base.groupBy("key").agg(
+    # stats is group-cardinality-sized but feeds BOTH the centering
+    # join and the final output join — without sharing, each re-runs
+    # the full first-pass aggregation over the fact (3 source scans in
+    # the r11 sweep). base itself stays unshared: 2 consumers of a
+    # narrow projection measured cheaper to recompute (percentile_rank
+    # verdict).
+    stats = shared(base.groupBy("key").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("m").cast("decimal(38,0)")).alias("__s"),
         F.min("m").alias("min_micro"),
@@ -599,7 +607,7 @@ def grouped_moments(
         "key", "n", "min_micro", "max_micro",
         # integer mean: floor(Σ/n) — both engines truncate div
         F.expr("CAST(__s div n AS BIGINT)").alias("mean_micro"),
-    )
+    ))
     centered = base.join(F.broadcast(stats), "key").select(
         "key",
         (
@@ -714,11 +722,18 @@ def ks_drift(
     all-null input, which yields ZERO rows (matching the SQL oracle,
     whose value×total cross join is empty when no values exist).
     """
-    tagged = df.select(
-        value_micro.cast("bigint").alias("m"),
-        F.col(id_col).alias("id"),
-        F.when(after_pred, 1).otherwise(0).alias("a"),
-    ).filter(F.col("m").isNotNull())
+    from pdcm_etl_spark.operators.sharing import shared
+
+    # tagged feeds the bounds collect, the per-bucket windows AND the
+    # bucket totals — share so the scan+filter runs once (the bounds
+    # action materializes it; both bucket consumers replay blocks)
+    tagged = shared(
+        df.select(
+            value_micro.cast("bigint").alias("m"),
+            F.col(id_col).alias("id"),
+            F.when(after_pred, 1).otherwise(0).alias("a"),
+        ).filter(F.col("m").isNotNull())
+    )
 
     lo, hi = tagged.agg(F.min("m"), F.max("m")).first()
     if lo is None:
@@ -990,51 +1005,74 @@ def fk_orphan_audit(
 
     ``dims`` is [(fk_col, dim_df, dim_pk_col), ...].
 
-    Scale shape: each edge is ONE left anti join of the fact against
-    the dim's distinct keys — dims are broadcast-sized by star-schema
-    assumption (the repo-wide regime), so every edge is a broadcast
-    anti join + a count; null accounting is a conditional aggregate on
-    the fact scan. Output is one row per edge — bounded by the schema,
-    never by data.
+    Scale shape (r11): ONE pass over the fact for ALL edges — the old
+    per-edge form ran a count aggregate AND a broadcast anti join per
+    edge, i.e. 2·K full fact scans. Now every dim's distinct keys
+    enter as a broadcast LEFT join attaching a hit marker (dims are
+    broadcast-sized by star-schema assumption, the repo-wide regime;
+    keys are distinct so the join cannot multiply fact rows), one
+    conditional aggregate computes all 2K+1 counters map-side, and a
+    ``stack`` unpivots the single counter row into the per-edge output
+    — K broadcast hash joins, ZERO shuffles of the fact, one scan.
+    Output is one row per edge — bounded by the schema, never by data.
 
     Returns (fact, fk_col, n_rows, n_null_fk, n_orphan).
     """
     spark = fact.sparkSession
-    out = None
-    for fk_col, dim, pk_col in dims:
-        base = fact.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.coalesce(
-                F.sum(F.when(F.col(fk_col).isNull(), 1).otherwise(0)),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias("n_null_fk"),
-        )
-        orphans = (
-            fact.filter(F.col(fk_col).isNotNull())
-            .join(
-                F.broadcast(dim.select(F.col(pk_col).alias("__pk")).distinct()),
-                F.col(fk_col) == F.col("__pk"),
-                "left_anti",
-            )
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphan"))
-        )
-        row = base.crossJoin(orphans).select(
-            F.lit(fact_name).alias("fact"),
-            F.lit(fk_col).alias("fk_col"),
-            "n_rows",
-            "n_null_fk",
-            "n_orphan",
-        )
-        out = row if out is None else out.unionByName(row)
-    if out is None:
+    if not dims:
         return spark.createDataFrame(
             [],
             "fact string, fk_col string, n_rows bigint,"
             " n_null_fk bigint, n_orphan bigint",
         )
-    return out
+    probe = fact.select(*[fk for fk, _, _ in dims])
+    for i, (fk_col, dim, pk_col) in enumerate(dims):
+        probe = probe.join(
+            F.broadcast(
+                dim.select(F.col(pk_col).alias(f"__pk{i}"))
+                .distinct()
+                .withColumn(f"__hit{i}", F.lit(1))
+            ),
+            F.col(fk_col) == F.col(f"__pk{i}"),
+            "left",
+        )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for i, (fk_col, _, _) in enumerate(dims):
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col(fk_col).isNull(), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"__null{i}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(fk_col).isNotNull()
+                        & F.col(f"__hit{i}").isNull(),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"__orph{i}")
+        )
+    counters = probe.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{fk_col}', __null{i}, __orph{i}"
+        for i, (fk_col, _, _) in enumerate(dims)
+    )
+    return counters.select(
+        F.lit(fact_name).alias("fact"),
+        F.expr(
+            f"stack({len(dims)}, {stack_args})"
+            " AS (fk_col, n_null_fk, n_orphan)"
+        ),
+        "n_rows",
+    ).select("fact", "fk_col", "n_rows", "n_null_fk", "n_orphan")
 
 
 def rare_category_collapse(

@@ -75,7 +75,14 @@ def scd2_merge(
     cond = reduce(
         lambda a, b: a & b, [open_rows[k] == upd[f"__u_{k}"] for k in keys]
     )
-    j = open_rows.join(upd, cond, "full_outer")
+    from pdcm_etl_spark.operators.sharing import shared
+
+    # the full-outer join feeds THREE branch filters (keep_open,
+    # close_old, insert_new) — without sharing, each re-runs the whole
+    # join including both input scans and the update-compaction window
+    # (6 source scans in the r11 sweep). Materialize once, filter the
+    # stored blocks three ways.
+    j = shared(open_rows.join(upd, cond, "full_outer"))
 
     # is_current is literally true on every open row, so its nullness
     # marks side presence even when a key column is NULL

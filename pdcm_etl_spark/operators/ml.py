@@ -356,17 +356,27 @@ def target_encode_loo(
     # through the whole expression benched 2.6× the wall). If a
     # category's TOTAL genuinely exceeds int64 (9.2e18 micro), the ANSI
     # cast aborts loudly — never silently wrong.
-    cats = base.groupBy("cat").agg(
-        F.sum(F.col("t").cast("decimal(38,0)"))
-        .cast("bigint")
-        .alias("cat_sum"),
-        F.count(F.lit(1)).alias("cat_n"),
+    from pdcm_etl_spark.operators.sharing import shared
+
+    # cats feeds the global rollup AND the encoding join — share it, or
+    # the full category aggregation over the fact runs twice; the
+    # global totals then derive FROM cats (sum of per-category sums ≡
+    # the global sum) instead of a third fact scan (3 source scans in
+    # the r11 sweep → 2: the cats aggregation and the encoding join
+    # probe).
+    cats = shared(
+        base.groupBy("cat").agg(
+            F.sum(F.col("t").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("cat_sum"),
+            F.count(F.lit(1)).alias("cat_n"),
+        )
     )
-    glob = base.agg(
-        F.sum(F.col("t").cast("decimal(38,0)"))
+    glob = cats.agg(
+        F.sum(F.col("cat_sum").cast("decimal(38,0)"))
         .cast("bigint")
         .alias("g_sum"),
-        F.count(F.lit(1)).alias("g_n"),
+        F.sum("cat_n").alias("g_n"),
     ).withColumn("__one", F.lit(1))
     m = int(prior_weight)
     # global LOO mean for this row: (g_sum - t) / (g_n - 1)

@@ -1511,6 +1511,8 @@ def revenue_retention(
     retention_ppm is NULL for a zero week-0 base (no scale to retain
     against).
     """
+    from pdcm_etl_spark.operators.sharing import shared
+
     week = F.expr(
         f"CAST(unix_micros(CAST({ts_col} AS TIMESTAMP))"
         " div 604800000000 AS BIGINT)"
@@ -1524,7 +1526,11 @@ def revenue_retention(
     # the cohort table is ONE ROW PER USER — data-sized; Catalyst's
     # post-agg estimate broadcasts it at test scale, which at 100 TB is
     # an abortive build side (the _size_sides hazard) — pin shuffle-hash
-    cells = (
+    # cells is (cohorts × offsets)-bounded but feeds BOTH the week-0
+    # base filter and the final join — share it, or the whole
+    # scan→cohort-join→sum pipeline runs twice (4 source scans in the
+    # r11 sweep; operators/sharing.py)
+    cells = shared(
         base.join(first.hint("shuffle_hash"), "__u")
         .groupBy(
             "cohort_week",

@@ -979,7 +979,12 @@ def bigram_pmi_topk(
         .agg(F.count(F.lit(1)).cast("bigint").alias("pair_n"))
         .filter(F.col("pair_n") >= min_count)
     )
-    unigrams = (
+    # the unigram table is vocabulary-sized but joined TWICE (w1, w2)
+    # — without sharing each join re-runs the corpus explode+agg (3
+    # source scans in the r11 sweep). The corpus-sized `pre` itself
+    # stays unshared: materializing the full words arrays measured a
+    # net loss (the tfidf-toks verdict).
+    unigrams = shared(
         pre.select(F.explode("ws").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w_n"))
@@ -1315,14 +1320,18 @@ def dup_rate_by_source(
         F.coalesce(F.col(group_col), F.lit("")).alias("__src"),
         "fingerprint",
     )
-    per_sf = fp.groupBy("__src", "fingerprint").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__n")
-    )
-    global_fp = (
-        fp.groupBy("fingerprint")
-        .agg(
-            F.size(F.collect_set("__src")).cast("int").alias("__nsrc")
+    # ONE pass over the corpus (r11): per_sf has exactly one row per
+    # (source, fingerprint), so the distinct-source count per
+    # fingerprint is per_sf's row count per fingerprint — the old
+    # second corpus aggregation (with its collect_set buffer) derives
+    # from the first. per_sf feeds that rollup AND the join — shared.
+    per_sf = shared(
+        fp.groupBy("__src", "fingerprint").agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n")
         )
+    )
+    global_fp = per_sf.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("int").alias("__nsrc")
     )
     joined = per_sf.join(global_fp.hint("shuffle_hash"), "fingerprint")
     return (
@@ -1504,16 +1513,25 @@ def label_distinctive_terms(
         F.coalesce(F.col(label_col), F.lit("")).alias("label"),
         F.explode(words(F.col(text_col))).alias("term"),
     ).filter(F.col("term") != "")
-    lt = tok.groupBy("label", "term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_lt")
+    # ONE pass over the token stream (r11): the (label, term) count is
+    # the finest marginal — the term totals, label totals and corpus
+    # total all derive FROM it by summing n_lt, so the old shape's
+    # three extra corpus-stream aggregations (4 source scans in the
+    # sweep) collapse into sums over the (labels × vocabulary)-sized
+    # table. lt feeds all three marginals plus the scoring join —
+    # compute-once shared (operators/sharing.py).
+    lt = shared(
+        tok.groupBy("label", "term").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lt")
+        )
     )
-    t = tok.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_t")
+    t = lt.groupBy("term").agg(
+        F.sum("n_lt").cast("bigint").alias("n_t")
     )
-    lab = tok.groupBy("label").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_label")
+    lab = lt.groupBy("label").agg(
+        F.sum("n_lt").cast("bigint").alias("n_label")
     )
-    tot = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    tot = lt.agg(F.sum("n_lt").cast("bigint").alias("n_total"))
     scored = (
         lt.filter(F.col("n_lt") >= min_count)
         .join(t.hint("shuffle_hash"), "term")

@@ -360,25 +360,40 @@ FROM baskets GROUP BY basket_arr
 def q_harmonisation_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential match-and-remainder cascade (markers_harmonisation.py:
     27-62): stage 1 matches against lookup A, the remainder tries lookup B,
-    leftovers labelled 'none'; results unioned. Lookups broadcast."""
-    part = _t(spark, sf_dir, "part")
-    lookup_a = part.filter(F.col("p_size") <= 3).select("p_brand").distinct()
-    lookup_b = part.filter(F.col("p_size") >= 45).select("p_type").distinct()
+    leftovers labelled 'none'.
 
-    m1 = part.join(F.broadcast(lookup_a), "p_brand", "left_semi").withColumn(
-        "matched_by", F.lit("brand")
+    r11 shape: the semi/anti-join-per-stage + union form re-scanned the
+    fact once per stage AND re-ran the remainder pipeline per consumer
+    (8 part scans in one plan). The cascade is label assignment, not
+    row routing — so it is ONE fact scan with each lookup's distinct
+    keys attached as a broadcast LEFT join hit marker and the stage
+    precedence folded into a CASE (exactly the oracle's shape). A null
+    join key never matches either way, so null-brand rows fall through
+    identically to the anti-join form."""
+    part = _t(spark, sf_dir, "part")
+    lookup_a = (
+        part.filter(F.col("p_size") <= 3)
+        .select("p_brand")
+        .distinct()
+        .withColumn("__a", F.lit(1))
     )
-    rest1 = part.join(F.broadcast(lookup_a), "p_brand", "left_anti")
-    m2 = rest1.join(F.broadcast(lookup_b), "p_type", "left_semi").withColumn(
-        "matched_by", F.lit("type")
-    )
-    rest2 = rest1.join(F.broadcast(lookup_b), "p_type", "left_anti").withColumn(
-        "matched_by", F.lit("none")
+    lookup_b = (
+        part.filter(F.col("p_size") >= 45)
+        .select("p_type")
+        .distinct()
+        .withColumn("__b", F.lit(1))
     )
     return (
-        m1.select("p_partkey", "matched_by")
-        .unionByName(m2.select("p_partkey", "matched_by"))
-        .unionByName(rest2.select("p_partkey", "matched_by"))
+        part.select("p_partkey", "p_brand", "p_type")
+        .join(F.broadcast(lookup_a), "p_brand", "left")
+        .join(F.broadcast(lookup_b), "p_type", "left")
+        .select(
+            "p_partkey",
+            F.when(F.col("__a") == 1, F.lit("brand"))
+            .when(F.col("__b") == 1, F.lit("type"))
+            .otherwise(F.lit("none"))
+            .alias("matched_by"),
+        )
     )
 
 

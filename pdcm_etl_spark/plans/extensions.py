@@ -1443,10 +1443,17 @@ def x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the IVF index against the exact brute-force baseline
     — the evaluation harness every ANN parameter change should re-run.
     Composes the two declared searches; the oracle composes their CTEs."""
+    from pdcm_etl_spark.operators.sharing import shared
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
+    # the exact result is (k × queries)-sized but consumed twice by
+    # topk_recall (the hit semi-join probe + its own per-query count) —
+    # without sharing, the whole brute-force search re-runs per
+    # consumer (6 embeddings scans in the r11 sweep → 4). approx has
+    # one consumer; no boundary needed.
     approx = similarity.ivf_topk(emb, queries, k=10)
-    exact = similarity.cosine_topk(emb, queries, k=10)
+    exact = shared(similarity.cosine_topk(emb, queries, k=10))
     return similarity.topk_recall(approx, exact)
 
 

@@ -273,16 +273,27 @@ def test_minhash_lsh_plan_shape(spark):
 
 
 def test_scd2_merge_join_decomposition(spark, sf_dir, queries):
-    """The declared single full-outer merge join gets decomposed by
-    Catalyst into one specialized join per output branch (the keep /
-    close / insert filters eliminate the outer-ness) — assert that
-    decomposition: only equi joins, one per branch, no nested loop."""
-    plan = _plan(queries["scd2_merge"](spark, sf_dir), mode="simple")
+    """r11: the full-outer merge join is computed ONCE behind a share
+    boundary and its three branch filters (keep / close / insert)
+    replay stored blocks — the old Catalyst decomposition re-ran the
+    join (and both input scans) per branch. Under the recompute toggle
+    the per-branch decomposition must still hold: only equi joins, one
+    per branch, no nested loop."""
+    plan = _unshared_plan(queries["scd2_merge"], spark, sf_dir,
+                          mode="simple")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     n_joins = sum(plan.count(j) for j in
                   ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
     assert n_joins == 3, plan
+    # sharing on (default): the branches read the one materialized join
+    shared_plan = _plan(queries["scd2_merge"](spark, sf_dir),
+                        mode="simple")
+    assert "Scan ExistingRDD" in shared_plan, shared_plan
+    n_joins_shared = sum(shared_plan.count(j) for j in
+                         ("SortMergeJoin", "ShuffledHashJoin",
+                          "BroadcastHashJoin"))
+    assert n_joins_shared == 0, shared_plan
 
 
 def test_salted_join_spreads_hot_keys(spark, sf_dir, queries):
@@ -1210,15 +1221,23 @@ def test_mode_group_window_over_aggregate_only(spark, sf_dir, queries):
     assert "pythonudf" not in plan.lower()
 
 
-def test_fk_orphan_audit_broadcast_anti_joins(spark, sf_dir, queries):
-    # every FK edge checks via a broadcast anti join against the dim's
-    # distinct keys — a shuffle anti join here would re-shuffle the
-    # fact once per edge
-    plan = _plan(queries["fk_orphan_audit"](spark, sf_dir)).lower()
-    assert "broadcasthashjoin" in plan
-    assert "leftanti" in plan
+def test_fk_orphan_audit_single_fact_pass(spark, sf_dir, queries):
+    # r11: ONE pass over the fact for ALL edges — each dim's distinct
+    # keys attach as a broadcast LEFT join hit marker (never a shuffle
+    # of the fact), one conditional aggregate computes every counter
+    # map-side, and stack() unpivots the single row. The old
+    # anti-join-per-edge form scanned the fact 2·K times.
+    plan = _plan(
+        queries["fk_orphan_audit"](spark, sf_dir), mode="simple"
+    ).lower()
+    assert plan.count("broadcasthashjoin") == 3, plan  # one per edge
     assert "sortmergejoin" not in plan
+    assert "shuffledhashjoin" not in plan
+    assert "broadcastnestedloopjoin" not in plan
     assert "pythonudf" not in plan
+    # exactly one scan of the fact (lineitem); the other scans are dims
+    assert plan.count("filescan") <= 4, plan
+    assert "generate" in plan, plan  # the stack() unpivot
 
 
 def test_source_token_overlap_single_scan_no_join(spark, sf_dir, queries):
