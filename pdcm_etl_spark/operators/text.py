@@ -770,12 +770,19 @@ def language_mix(df: DataFrame, lang_col: str = "lang", text_col: str = "text") 
     One hash aggregation over the corpus; the total arrives via a
     broadcast one-row join (never a collect); share is floor-divided
     ppm so the report hashes identically across engines.
+
+    The per-language table feeds TWO consumers (the total fold and the
+    final select) — without sharing, the corpus scan + tokenizing split
+    ran twice (r11 sweep: documents ×2). ``shared`` materializes the
+    language-cardinality aggregate once; both consumers replay it.
     """
-    per = df.groupBy(F.col(lang_col).alias("lang")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.lower(F.col(text_col)), " ")))
-        .cast("bigint")
-        .alias("n_tokens"),
+    per = shared(
+        df.groupBy(F.col(lang_col).alias("lang")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.lower(F.col(text_col)), " ")))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
     )
     total = per.agg(F.sum("n_tokens").alias("__total")).withColumn(
         "__one", F.lit(1)

@@ -538,8 +538,12 @@ def test_language_mix_one_agg_plus_broadcast_total(spark, sf_dir, queries):
     """One corpus aggregation; the total joins back as a broadcast
     one-row table — Catalyst folds the constant-key join into a single
     one-row BroadcastNestedLoopJoin, which is the intended shape (never
-    a collect, never a data-sized window)."""
-    plan = _plan(queries["corpus_language_mix"](spark, sf_dir), mode="simple")
+    a collect, never a data-sized window). (The per-language aggregate
+    sits behind the r11 share boundary — both consumers replay one
+    corpus pass; pinned under the recompute toggle.)"""
+    plan = _unshared_plan(
+        queries["corpus_language_mix"], spark, sf_dir, mode="simple"
+    )
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "partial_count" in plan and "partial_sum" in plan, plan
     assert "Window" not in plan, plan
@@ -1367,3 +1371,28 @@ def test_recall_banded_no_broadcast_of_pair_tables(spark, sf_dir, queries):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "pythonudf" not in plan.lower()
+
+
+def test_entropy_profile_all_null_column_keeps_row(spark):
+    """The per-column global-agg form emits a profile row even for a
+    column with zero non-null values (n_distinct 0, NULL entropy) —
+    pinned because the r11 single-pass stack-melt experiment silently
+    dropped it (the melt was then reverted on measurement: +39%
+    executor CPU from the Generate and wider agg keys against an
+    illusory scan saving — parquet column pruning already reads each
+    profiled column exactly once across the per-column scans)."""
+    from pyspark.sql import functions as F
+
+    from pdcm_etl_spark.operators.analytics import entropy_profile
+
+    df = spark.range(8).select(
+        (F.col("id") % 2).cast("string").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+    )
+    rows = {r["column_name"]: r for r in entropy_profile(df, ["a", "b"]).collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"]["n_values"] == 8 and rows["a"]["n_distinct"] == 2
+    assert rows["a"]["entropy_bits"] == 1.0
+    assert rows["b"]["n_values"] is None
+    assert rows["b"]["n_distinct"] == 0
+    assert rows["b"]["entropy_bits"] is None
