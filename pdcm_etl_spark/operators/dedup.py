@@ -510,17 +510,20 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, bands: int = 4) ->
     exact hamming via bit_count(xor) ≤ max_hamming."""
     width = SIMHASH_BITS // bands
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    # both pair sides read the banded table — share so the upstream
-    # simhash computation (token + 60-bit explodes) runs once
-    # (operators/sharing.py)
-    banded = _shared(
-        sims.select("id", "simhash", band_idx).withColumn(
-            "bh",
-            F.expr(
-                f"(simhash >> CAST(CAST(band AS BIGINT) * {width} AS INT))"
-                f" & {(1 << width) - 1}"
-            ),
-        )
+    # both pair sides re-run the upstream simhash computation (token +
+    # 60-bit explodes) — share the NARROW (id, simhash) table, not the
+    # ×bands-exploded banded stream: materializing the exploded stream
+    # was a measured regression (r11 driver bench 1.17 → 1.51 s, the
+    # exploded-stream class the wave-1 A/Bs already ruled out), while
+    # the pre-explode table is 16 bytes/row and its upstream is the
+    # expensive part (operators/sharing.py)
+    sims = _shared(sims.select("id", "simhash"))
+    banded = sims.select("id", "simhash", band_idx).withColumn(
+        "bh",
+        F.expr(
+            f"(simhash >> CAST(CAST(band AS BIGINT) * {width} AS INT))"
+            f" & {(1 << width) - 1}"
+        ),
     )
     a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bh")
     b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bh")

@@ -28,8 +28,14 @@ from pyspark.sql import DataFrame
 
 
 def shared(df: DataFrame) -> DataFrame:
-    if os.environ.get("SPARK_GRAFT_SHARE_INTERMEDIATES", "checkpoint") == (
-        "none"
-    ):
+    mode = os.environ.get("SPARK_GRAFT_SHARE_INTERMEDIATES", "checkpoint")
+    if mode == "none":
         return df
+    if mode == "persist":
+        # keeps full lineage: an executor loss recomputes the blocks
+        # instead of failing the job (the cluster-safe mode; see module
+        # docstring for the measured local cost of the re-analysis)
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
     return df.localCheckpoint(eager=False)

@@ -62,6 +62,14 @@ def get_spark(
         # network-shuffling cluster deployment should set
         # SPARK_GRAFT_IO_CODEC=zstd, where 2.2x fewer bytes crossing
         # NICs is the dominant term (guide §1.3 napkin math).
+        # NOTE (r12, advisor): spark.io.compression.codec also compresses
+        # RDD block storage and broadcasts — including every
+        # localCheckpoint block behind the repo's shared()/EntityDag
+        # boundaries — so zstd in production recompresses all
+        # share-boundary blocks too, a cost the shuffle-only measurement
+        # above does not cover; re-measure the flagship (checkpoint-heavy)
+        # before flipping it fleet-wide, or scope the change to
+        # spark.shuffle.* if only shuffle bytes are intended.
         .config(
             "spark.io.compression.codec",
             os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),

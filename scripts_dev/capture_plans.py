@@ -2,7 +2,7 @@
 
     python scripts_dev/capture_plans.py [sf_dir] --tag before q1 q2 ...
 
-Writes plans/r11/<query>_<tag>.txt. Plan shape is load-independent, so
+Writes plans/r12/<query>_<tag>.txt. Plan shape is load-independent, so
 this can run while other work occupies the machine; timed profiling is
 scripts_dev/profile_queries.py.
 """
@@ -38,7 +38,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        "r12",
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
