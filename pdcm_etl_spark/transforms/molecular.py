@@ -65,6 +65,13 @@ def alias_symbols(gene_marker_df: DataFrame) -> DataFrame:
     return _exploded_symbols(gene_marker_df, "alias_symbols", "alias_symbol")
 
 
+def _split_matched(df: DataFrame):
+    return (
+        df.where("gene_marker_id is not null"),
+        df.where("gene_marker_id is null").drop("gene_marker_id", "harmonisation_result"),
+    )
+
+
 def _unique_lookup(symbols_df: DataFrame, sym_col: str, result_label: str) -> DataFrame:
     """Keep only symbols mapping to exactly one gene (the reference's
     correlated count=1 rule) — pre-aggregated, broadcastable."""
@@ -100,72 +107,58 @@ def harmonise_marker_symbols(
     previous_symbols_df = previous_symbols_df.withColumnRenamed("id", "gene_marker_id")
     alias_symbols_df = alias_symbols_df.withColumnRenamed("id", "gene_marker_id")
 
-    # ONE pass over the fact stream (r12; guide §1.2 step 1, §3): the old
-    # matched/remainder split + 6-way union re-executed the fact subtree
-    # once per branch — the single hottest flagship stage (the
-    # harmonised_measurements materialization) re-read and re-projected
-    # the raw-module union up to 6 times. Here every stage is a broadcast
-    # LEFT join whose condition ALSO requires all earlier stages to have
-    # missed — exactly the cascade's remainder semantics (a row matched
-    # at stage i can never match at stage j > i, so duplicate lookup keys
-    # in a LATER stage cannot multiply already-matched rows, same as the
-    # split form) — and one CASE picks the stage label. Identical rows,
-    # identical types; re-proven against the DuckDB oracle (flagship +
-    # harmonisation queries) like the r11 standalone-cascade restructure.
-    stage1 = F.broadcast(
+    # stage 1: approved symbol (unique by construction)
+    approved = F.broadcast(
         gm.select(
-            F.col("approved_symbol").alias("__sym1"),
-            F.col("gene_marker_id").alias("__id1"),
+            F.col("approved_symbol").alias("__sym"),
+            "gene_marker_id",
+            F.lit("approved_symbol").alias("harmonisation_result"),
         )
     )
-    stage2 = F.broadcast(
-        _unique_lookup(previous_symbols_df, "previous_symbol", "previous_symbol")
-        .select(F.col("__sym").alias("__sym2"), F.col("gene_marker_id").alias("__id2"))
-    )
-    stage3 = F.broadcast(
-        _unique_lookup(alias_symbols_df, "alias_symbol", "alias_symbol")
-        .select(F.col("__sym").alias("__sym3"), F.col("gene_marker_id").alias("__id3"))
-    )
-    stage4 = F.broadcast(
-        gm.where("ensembl_gene_id is not null").select(
-            F.col("ensembl_gene_id").alias("__sym4"),
-            F.col("gene_marker_id").alias("__id4"),
+    s1 = md.join(approved, md.non_harmonised_symbol == approved["__sym"], "left").drop("__sym")
+    m1, r1 = _split_matched(s1)
+
+    # stage 2: previous symbol, exactly one owning gene
+    prev = F.broadcast(_unique_lookup(previous_symbols_df, "previous_symbol", "previous_symbol"))
+    s2 = r1.join(prev, r1.non_harmonised_symbol == prev["__sym"], "left").drop("__sym")
+    m2, r2 = _split_matched(s2)
+
+    # stage 3: alias symbol, exactly one owning gene
+    alias = F.broadcast(_unique_lookup(alias_symbols_df, "alias_symbol", "alias_symbol"))
+    s3 = r2.join(alias, r2.non_harmonised_symbol == alias["__sym"], "left").drop("__sym")
+    m3, r3 = _split_matched(s3)
+
+    # stage 4: ensembl gene id
+    ens = F.broadcast(
+        gm.where("ensembl_gene_id is not null")
+        .select(
+            F.col("ensembl_gene_id").alias("__sym"),
+            "gene_marker_id",
+            F.lit("ensembl_gene_id").alias("harmonisation_result"),
         )
     )
-    stage5 = F.broadcast(
-        gm.where("ncbi_gene_id is not null").select(
-            F.round(F.col("ncbi_gene_id")).cast("integer").alias("__sym5"),
-            F.col("gene_marker_id").alias("__id5"),
+    s4 = r3.join(ens, r3.ensembl_gene_id == ens["__sym"], "left").drop("__sym")
+    m4, r4 = _split_matched(s4)
+
+    # stage 5: ncbi gene id (numeric-normalized, ref :159-160)
+    ncbi = F.broadcast(
+        gm.where("ncbi_gene_id is not null")
+        .select(
+            F.round(F.col("ncbi_gene_id")).cast("integer").alias("__sym"),
+            "gene_marker_id",
+            F.lit("ncbi_gene_id").alias("harmonisation_result"),
         )
     )
-    miss1 = F.col("__id1").isNull()
-    miss2 = miss1 & F.col("__id2").isNull()
-    miss3 = miss2 & F.col("__id3").isNull()
-    miss4 = miss3 & F.col("__id4").isNull()
-    j = (
-        md.join(stage1, md.non_harmonised_symbol == F.col("__sym1"), "left")
-        .join(stage2, (F.col("non_harmonised_symbol") == F.col("__sym2")) & miss1, "left")
-        .join(stage3, (F.col("non_harmonised_symbol") == F.col("__sym3")) & miss2, "left")
-        .join(stage4, (F.col("ensembl_gene_id") == F.col("__sym4")) & miss3, "left")
-        .join(
-            stage5,
-            (F.round(F.col("ncbi_gene_id")).cast("integer") == F.col("__sym5")) & miss4,
-            "left",
-        )
+    r4n = r4.withColumn("__ncbi", F.round(F.col("ncbi_gene_id")).cast("integer"))
+    s5 = r4n.join(ncbi, r4n["__ncbi"] == ncbi["__sym"], "left").drop("__sym", "__ncbi")
+    m5, r5 = _split_matched(s5)
+
+    no_map = r5.withColumn("gene_marker_id", F.lit(None).cast("bigint")).withColumn(
+        "harmonisation_result", F.lit("no_mapping")
     )
-    result = j.select(
-        F.coalesce("__id1", "__id2", "__id3", "__id4", "__id5")
-        .cast("bigint")
-        .alias("gene_marker_id"),
-        *md.columns,
-        F.when(F.col("__id1").isNotNull(), F.lit("approved_symbol"))
-        .when(F.col("__id2").isNotNull(), F.lit("previous_symbol"))
-        .when(F.col("__id3").isNotNull(), F.lit("alias_symbol"))
-        .when(F.col("__id4").isNotNull(), F.lit("ensembl_gene_id"))
-        .when(F.col("__id5").isNotNull(), F.lit("ncbi_gene_id"))
-        .otherwise(F.lit("no_mapping"))
-        .alias("harmonisation_result"),
-    )
+
+    result = m1.unionByName(m2).unionByName(m3).unionByName(m4).unionByName(m5).unionByName(no_map)
+
     hgnc = F.broadcast(
         gm.select("gene_marker_id", F.col("approved_symbol").alias("hgnc_symbol"))
     )
